@@ -1,0 +1,157 @@
+"""Content hashing, SimHash, MinHash and fingerprint kernels.
+
+Reference semantics reproduced:
+
+- ``content_hash``: MD5 over ``f"{title}\\n{content}"`` (here: over the
+  document text; /root/reference/src/ir/index/doc_reader.py:70-91).
+- ``simhash64``: 64-bit SimHash over lowercased whitespace tokens with
+  MD5 token hashes, duplicate iff Hamming distance <= 3
+  (/root/reference/src/ir/index/deduplication.py:85-169).
+- MinHash / LSH banding is our scale replacement for the reference's
+  O(M) SimHash linear scan — the reference itself notes banding as the
+  scalable option (deduplication.py:238-248).
+
+All per-token hashing is memoized (vocabularies are tiny relative to
+token streams) and per-document math is vectorized NumPy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def content_hash(title: str, content: str) -> str:
+    """MD5(title + '\\n' + content) (doc_reader.py:70-91)."""
+    return md5_hex(f"{title}\n{content}")
+
+
+def dedup_hash(title: str, url: str) -> str:
+    """App-level dedup key hash(title+url) (data_contract.py:80-90)."""
+    return md5_hex(f"{title}{url}")
+
+
+@lru_cache(maxsize=1 << 20)
+def token_hash64(token: str) -> int:
+    """Stable 64-bit token hash (first 8 bytes of MD5, big-endian)."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    return np.fromiter((token_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash (deduplication.py:85-140 semantics: MD5 token hash,
+    +1/-1 bit votes weighted by term frequency, sign -> bit)."""
+    if not tokens:
+        return 0
+    uniq, counts = np.unique(_token_hashes(tokens), return_counts=True)
+    bits = np.unpackbits(uniq.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)  # (n, 64) MSB-first
+    votes = ((bits.astype(np.int64) * 2) - 1) * counts[:, None]
+    sums = votes.sum(axis=0)
+    out = 0
+    for s in sums:  # 64 iterations
+        out = (out << 1) | (1 if s > 0 else 0)
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin(a ^ b).count("1"))
+
+
+def simhash_bands(sig: int, n_bands: int = 4) -> list[int]:
+    """Split a 64-bit simhash into ``n_bands`` equal bit-bands (LSH keys).
+
+    Two signatures within Hamming distance (n_bands - 1) share at least
+    one identical band (pigeonhole), so 4 bands cover the reference's
+    Hamming<=3 duplicate criterion exactly.
+    """
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return [(sig >> (width * i)) & mask for i in range(n_bands)]
+
+
+def shingles(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Hashed word n-gram shingle set (sorted unique uint64)."""
+    if len(tokens) < n:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    if not joined:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.fromiter((token_hash64(s) for s in joined), dtype=np.uint64, count=len(joined)))
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard similarity of two sorted-unique uint64 shingle sets."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+class MinHasher:
+    """k-permutation MinHash over hashed shingles.
+
+    Each permutation is ``x -> a*x + b (mod 2^64)`` with *odd* ``a`` —
+    an exact bijection of the 64-bit space (multiplicative hashing), so
+    elementwise-min signatures are valid MinHash sketches.  Coefficients
+    come from a seeded generator — deterministic across processes and
+    cluster sizes.  Signatures are mergeable (elementwise min), so
+    per-batch partial signatures combine in a reduce stage.
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 1729):
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(num_perm,) uint64 signature; all-max for empty input."""
+        if shingle_hashes.size == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = shingle_hashes.astype(np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            hv = self.a[:, None] * x + self.b[:, None]  # uint64 wrap == mod 2^64
+        return hv.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray, n_bands: int = 16) -> list[tuple[int, int]]:
+        """[(band_id, band_hash)] LSH keys; r = num_perm // n_bands rows/band."""
+        r = self.num_perm // n_bands
+        keys = []
+        for i in range(n_bands):
+            band = sig[i * r : (i + 1) * r]
+            h = hashlib.md5(band.tobytes()).digest()[:8]
+            keys.append((i, int.from_bytes(h, "big")))
+        return keys
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def winnow_fingerprints(tokens: list[str], k: int = 5, window: int = 4) -> np.ndarray:
+    """Document fingerprint via winnowing (Schleimer et al. 2003): rolling
+    k-gram hashes, keep the min in each sliding window -> sorted unique."""
+    if len(tokens) < k:
+        base = np.fromiter((token_hash64(" ".join(tokens)),), dtype=np.uint64) if tokens else np.empty(0, np.uint64)
+        return base
+    hs = np.fromiter(
+        (token_hash64(" ".join(tokens[i : i + k])) for i in range(len(tokens) - k + 1)),
+        dtype=np.uint64,
+    )
+    if hs.size <= window:
+        return np.unique(hs.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(hs, window).min(axis=1)
+    return np.unique(mins)

@@ -1,0 +1,64 @@
+"""Text cleaning / normalization kernels.
+
+Byte-identical reimplementation of the reference's two normalization
+chains (these are the per-row invariants pinned by golden fixtures):
+
+- ``clean_text``: collapse all whitespace runs to a single space and
+  strip (reference /root/reference/scripts/data/clean_dataset.py:39-63).
+- ``normalize_text``: NFKC -> 臺→台 -> lower -> whitespace collapse ->
+  strip (reference /root/reference/src/ir_app/services/index_service.py:71-81);
+  this is the canonical normalization feeding the BM25 index path.
+- ``extract_text_from_html``: reproduce the crawler extraction chain —
+  paragraph texts (``<p>...</p>``), each cleaned with ``clean_text``,
+  joined with a single space (reference
+  /root/reference/scripts/crawlers/cna_spider.py:175-179).  Implemented
+  with a compiled regex (no HTML lib in this container); our synthetic
+  pages generator emits HTML of exactly this shape.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+_WS = re.compile(r"\s+")
+_P_TAG = re.compile(r"<p(?:\s[^>]*)?>(.*?)</p>", re.S | re.I)
+_ANY_TAG = re.compile(r"<[^>]+>")
+# token must contain at least one word char or CJK char to survive
+# (reference index_service.py:97 — filter r"[\w一-鿿]")
+_TOKEN_KEEP = re.compile(r"[\w一-鿿]")
+
+
+def clean_text(text: str) -> str:
+    """Whitespace-collapse + strip (clean_dataset.py:39-63)."""
+    if not text:
+        return ""
+    return _WS.sub(" ", text).strip()
+
+
+def normalize_text(text: str) -> str:
+    """NFKC → 臺→台 → lower → collapse whitespace → strip (index_service.py:71-81)."""
+    if not text:
+        return ""
+    t = unicodedata.normalize("NFKC", text)
+    t = t.replace("臺", "台")
+    t = t.lower()
+    return _WS.sub(" ", t).strip()
+
+
+def extract_text_from_html(html: str) -> str:
+    """Crawler-style extraction: join cleaned <p> paragraph texts with ' '."""
+    if not html:
+        return ""
+    paras = []
+    for m in _P_TAG.finditer(html):
+        inner = _ANY_TAG.sub("", m.group(1))
+        c = clean_text(inner)
+        if c:
+            paras.append(c)
+    return " ".join(paras)
+
+
+def keep_token(tok: str) -> bool:
+    """True iff the token contains a word/CJK char (index_service.py:97)."""
+    return bool(_TOKEN_KEEP.search(tok))

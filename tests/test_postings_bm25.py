@@ -1,0 +1,88 @@
+"""Posting block packing round-trips + BM25 math vs hand-computed values
+(style of the reference's tests/test_term_weighting.py:12-90)."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from news_information_retrieval_system_ray.functions.bm25 import idf, term_scores, tf_weight, topk_order
+from news_information_retrieval_system_ray.functions.postings import (
+    merge_packed,
+    pack_postings,
+    unpack_block,
+    unpack_postings,
+)
+
+
+def test_idf_hand_value():
+    # N=100, df=10 -> log((100-10+0.5)/(10+0.5)+1)
+    assert math.isclose(float(idf(10, 100)), math.log((90.5 / 10.5) + 1.0))
+
+
+def test_tf_weight_hand_value():
+    # tf=2, dl=10, avgdl=10 -> 2*2.5/(2+1.5*1) = 5/3.5
+    w = float(tf_weight(np.array([2]), np.array([10]), 10.0))
+    assert math.isclose(w, 5.0 / 3.5)
+
+
+def test_term_scores_combines():
+    s = float(term_scores(np.array([2]), np.array([10]), df=10, n_docs=100, avgdl=10.0))
+    assert math.isclose(s, math.log(90.5 / 10.5 + 1.0) * 5.0 / 3.5)
+
+
+def test_topk_order_tiebreak():
+    ids = np.array([7, 3, 9, 1])
+    scores = np.array([1.0, 2.0, 1.0, 2.0])
+    order = topk_order(ids, scores, 4)
+    assert list(ids[order]) == [1, 3, 7, 9]  # (-score, doc_id asc)
+
+
+def _rt(ids, tfs, dls, block_size):
+    packed = pack_postings(np.array(ids), np.array(tfs), np.array(dls), avgdl=10.0, block_size=block_size)
+    out_ids, out_tfs, out_dls = unpack_postings(packed)
+    assert list(out_ids) == list(ids)
+    assert list(out_tfs) == list(tfs)
+    assert list(out_dls) == list(dls)
+    return packed
+
+
+def test_pack_roundtrip_multi_block():
+    ids = list(range(0, 1000, 3))
+    tfs = [(i % 7) + 1 for i in range(len(ids))]
+    dls = [10 + (i % 50) for i in range(len(ids))]
+    packed = _rt(ids, tfs, dls, block_size=128)
+    assert packed["df"] == len(ids)
+    assert packed["cf"] == sum(tfs)
+    assert len(packed["block_len"]) == math.ceil(len(ids) / 128)
+    assert packed["block_last_doc"][-1] == ids[-1]
+    # block_max_weight bounds every in-block weight
+    i0, t0, l0 = unpack_block(packed, 0)
+    assert float(tf_weight(t0, l0, 10.0).max()) <= packed["block_max_weight"][0] + 1e-12
+
+
+def test_merge_packed_equals_single_pack():
+    ids = np.arange(0, 500, 2)
+    tfs = (ids % 5) + 1
+    dls = np.full_like(ids, 20)
+    whole = pack_postings(ids, tfs, dls, avgdl=15.0, block_size=64)
+    a = pack_postings(ids[:100], tfs[:100], dls[:100], avgdl=15.0, block_size=64)
+    b = pack_postings(ids[100:], tfs[100:], dls[100:], avgdl=15.0, block_size=64)
+    merged = merge_packed([a, b])
+    mi, mt, ml = unpack_postings(merged)
+    wi, wt, wl = unpack_postings(whole)
+    assert list(mi) == list(wi)
+    assert list(mt) == list(wt)
+    assert list(ml) == list(wl)
+    assert merged["df"] == whole["df"] and merged["cf"] == whole["cf"]
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=400),
+       st.integers(min_value=1, max_value=7))
+@settings(max_examples=100, deadline=None)
+def test_pack_roundtrip_property(idset, tfbase):
+    ids = sorted(idset)
+    tfs = [((i * tfbase) % 11) + 1 for i in range(len(ids))]
+    dls = [((i * 13) % 90) + 1 for i in range(len(ids))]
+    _rt(ids, tfs, dls, block_size=32)

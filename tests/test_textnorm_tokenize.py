@@ -1,0 +1,65 @@
+"""Golden tests for the normalization chains and tokenizers (the
+byte-identical invariants of SURVEY §2.2 / FIXTURES §3)."""
+
+from news_information_retrieval_system_ray.functions.textnorm import (
+    clean_text,
+    extract_text_from_html,
+    keep_token,
+    normalize_text,
+)
+from news_information_retrieval_system_ray.functions.tokenize import get_tokenizer, tokenize
+
+
+def test_clean_text_collapses_whitespace():
+    assert clean_text("  a\t\tb\n\nc  ") == "a b c"
+    assert clean_text("") == ""
+    assert clean_text("\n \t") == ""
+
+
+def test_normalize_text_chain():
+    # NFKC (fullwidth -> ascii), 臺->台, lower, ws collapse, strip
+    assert normalize_text("ＡＩ　技術") == "ai 技術"
+    assert normalize_text("臺灣  Tech\nNews") == "台灣 tech news"
+    assert normalize_text("") == ""
+
+
+def test_extract_text_from_html_paragraph_join():
+    html = (
+        "<html><head><title>T</title></head><body><h1>T</h1>"
+        "<div class='nav'>導覽列</div>"
+        "<p>第一段  內容。</p><p> second <b>para</b> </p><p></p>"
+        "<div class='footer'>footer junk</div></body></html>"
+    )
+    assert extract_text_from_html(html) == "第一段 內容。 second para"
+
+
+def test_keep_token_filter():
+    assert keep_token("abc")
+    assert keep_token("台")
+    assert keep_token("a1_")
+    assert not keep_token("。")
+    assert not keep_token("---")
+
+
+def test_whitespace_tokenizer():
+    toks = tokenize("The  Fast-Key ORDER", engine="whitespace")
+    # normalize first: lower + collapse; split on spaces; "fast-key" kept (has word chars)
+    assert toks == ["the", "fast-key", "order"]
+
+
+def test_cjk_bigram_tokenizer():
+    toks = tokenize("台灣經濟 AI 發展", engine="cjk_bigram")
+    assert toks == ["台灣", "灣經", "經濟", "ai", "發展"]
+    assert tokenize("台", engine="cjk_bigram") == ["台"]
+    assert tokenize("", engine="cjk_bigram") == []
+
+
+def test_mixed_cjk_english():
+    toks = tokenize("蘇澳abc淹水", engine="cjk_bigram")
+    assert toks == ["蘇澳", "abc", "淹水"]
+
+
+def test_tokenizers_deterministic():
+    tok = get_tokenizer("cjk_bigram")
+    s = normalize_text("颱風鳳凰影響 台灣 economy-2024")
+    assert tok(s) == tok(s)
