@@ -110,6 +110,12 @@ def merge_packed(chunks: list[dict]) -> dict:
         for c in chunks:
             acc.extend(c[f])
         out[f] = acc
+    if "positions_bytes" in chunks[0]:
+        out["positions_bytes"] = b"".join(c["positions_bytes"] for c in chunks)
+        pos_nb: list = []
+        for c in chunks:
+            pos_nb.extend(c["pos_nbytes"])
+        out["pos_nbytes"] = pos_nb
     return out
 
 

@@ -1,0 +1,174 @@
+"""Distributed inverted-index build (the north-rule pipeline).
+
+Stages (each a Ray Data pipeline; persisted outputs are the resume
+units, mirroring the reference's ``processed_files`` checkpoint
+semantics, /root/reference/src/ir/index/incremental_builder.py:415-418):
+
+1. **tokens** (per input shard, resumable): read row groups with
+   deterministic doc_ids -> extract/normalize (map_batches, Arrow) ->
+   tokenizer actor pool -> write ``tokens/shard=K/`` Parquet
+   (atomic tmp+rename; a re-run skips completed shards).
+2. **stats**: ``n_docs`` / ``avg_doc_length`` from the tokens table
+   reading ONLY the ``doc_len`` column (column pruning; the reference's
+   global mean, bm25.py:176).
+3. **segments**: read tokens -> explode to (term_hash, chunk, doc, tf,
+   dl) -> ``groupby([term_hash, chunk]).map_groups(pack)`` -> posting
+   rows, delta+VByte blocks + block-max metadata -> ``segments/``
+   Parquet sorted by term_hash (the groupby's sort order), so query-time
+   term lookups prune row groups via Parquet statistics.
+
+Scale notes (100 TB design): the term shuffle moves one row per
+(doc, term) — pre-aggregated per doc in the tokenizer stage; heavy terms
+are chunk-split so no single task materializes a full stopword posting
+list; tokens/segments are partitioned Parquet so a failed run resumes
+per shard. At sandbox scale everything runs identically on one node.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from ..sources.readers import RowGroupItem, list_input_files, plan_row_groups, read_with_doc_ids
+from ..stages.extract import ExtractNormalize
+from ..stages.indexing import ExplodeTokens, PackGroups
+from ..stages.tokenizer import TokenizeStage
+from ..state.manifest import BuildManifest
+
+
+@dataclass
+class IndexBuildResult:
+    index_dir: str
+    n_docs: int
+    avg_doc_length: float
+    n_posting_rows: int
+    resumed_shards: int
+
+
+def _shard_items(items: list[RowGroupItem], n_shards: int) -> list[list[RowGroupItem]]:
+    """Contiguous slices -> each shard covers a contiguous doc_id range."""
+    n = len(items)
+    n_shards = max(1, min(n_shards, n))
+    per = (n + n_shards - 1) // n_shards
+    return [items[i : i + per] for i in range(0, n, per)]
+
+
+def build_index(
+    input_path: str | list[str],
+    index_dir: str,
+    *,
+    text_source: str = "text",          # "html" -> extract; "text"/other -> use column as-is
+    id_col: str | None = None,           # existing id column; None -> deterministic assignment
+    engine: str = "cjk_bigram",
+    block_size: int = 128,
+    chunk_bits: int = 20,
+    n_shards: int = 4,
+    with_positions: bool = False,
+    tokenize_batch_size: int = 512,
+    tokenize_concurrency: int | None = None,
+    resume: bool = True,
+) -> IndexBuildResult:
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    files = list_input_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs under {input_path!r}")
+    config = {
+        "text_source": text_source, "id_col": id_col, "engine": engine,
+        "block_size": block_size, "chunk_bits": chunk_bits, "n_shards": n_shards,
+        "with_positions": with_positions,
+    }
+    if not resume and os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    manifest = BuildManifest(index_dir, files, config)
+
+    items = plan_row_groups(files)
+    shards = _shard_items(items, n_shards)
+    tokens_root = os.path.join(index_dir, "tokens")
+    os.makedirs(tokens_root, exist_ok=True)
+
+    use_html = text_source == "html"
+    read_cols = None
+    if use_html:
+        read_cols = ["url", "html"] + ([id_col] if id_col else [])
+    elif text_source:
+        read_cols = [text_source] + ([id_col] if id_col else [])
+
+    resumed = 0
+    for k, shard in enumerate(shards):
+        out_dir = os.path.join(tokens_root, f"shard={k}")
+        if manifest.shard_done(k) and os.path.isdir(out_dir):
+            resumed += 1
+            continue
+        shutil.rmtree(out_dir, ignore_errors=True)
+        tmp_dir = os.path.join(tokens_root, f".tmp_shard_{k}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+        ds = read_with_doc_ids(None, read_cols, items=shard, id_col=id_col)
+        ds = ds.map_batches(
+            ExtractNormalize(text_col=text_source if not use_html else "text", use_html=use_html),
+            batch_format="pyarrow",
+        )
+        tok_kwargs = dict(batch_format="pyarrow", batch_size=tokenize_batch_size)
+        if tokenize_concurrency:
+            tok_kwargs["concurrency"] = tokenize_concurrency
+        ds = ds.map_batches(
+            TokenizeStage(engine=engine, text_col="text_norm", pre_normalized=True,
+                          with_positions=with_positions),
+            **tok_kwargs,
+        )
+        ds.write_parquet(tmp_dir)
+        os.replace(tmp_dir, out_dir)
+        manifest.mark_shard(k, rows=sum(i.num_rows for i in shard), inputs=sorted({i.path for i in shard}))
+
+    # ---- global stats (column-pruned read of the tokens table) ----
+    if manifest.stats is None:
+        stats_ds = rd.read_parquet(tokens_root, columns=["doc_len"])
+        agg = stats_ds.aggregate(Sum("doc_len", alias_name="total_len"), Count(alias_name="n_docs"))
+        manifest.set_stats(int(agg["n_docs"]), int(agg["total_len"]))
+    stats = manifest.stats
+    avgdl = stats["avg_doc_length"]
+
+    # ---- segments (the wide shuffle) ----
+    seg_dir = os.path.join(index_dir, "segments")
+    n_rows = manifest.state.get("segments_rows", 0)
+    if not manifest.segments_done:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        tmp_seg = os.path.join(index_dir, ".tmp_segments")
+        shutil.rmtree(tmp_seg, ignore_errors=True)
+        tok_cols = ["doc_id", "doc_len", "terms", "tfs"] + (["positions"] if with_positions else [])
+        exploded = rd.read_parquet(tokens_root, columns=tok_cols).map_batches(
+            ExplodeTokens(chunk_bits=chunk_bits, with_positions=with_positions),
+            batch_format="pyarrow",
+        )
+        packer = PackGroups(avgdl=avgdl, block_size=block_size, with_positions=with_positions)
+
+        def pack_group(group):  # map_groups needs a plain function
+            return packer(group)
+
+        packed = exploded.groupby(["term_hash", "chunk"]).map_groups(
+            pack_group, batch_format="pyarrow",
+        )
+        packed.write_parquet(tmp_seg)
+        os.replace(tmp_seg, seg_dir)
+        n_rows = _count_rows(seg_dir)
+        manifest.mark_segments(n_rows)
+
+    return IndexBuildResult(
+        index_dir=index_dir,
+        n_docs=stats["n_docs"],
+        avg_doc_length=avgdl,
+        n_posting_rows=n_rows,
+        resumed_shards=resumed,
+    )
+
+
+def _count_rows(parquet_dir: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(os.path.join(parquet_dir, "**", "*.parquet"), recursive=True))

@@ -1,0 +1,312 @@
+"""Query engine over built index segments.
+
+Reproduces the reference's query semantics (pinned for parity):
+
+- naive BM25 top-k: candidate union -> score all -> order, with the
+  query treated as a plain token list (duplicate query tokens
+  contribute multiply — /root/reference/src/ir/retrieval/bm25.py:228-232),
+  only docs with score > 0, canonical order (-score, doc_id asc)
+  (SURVEY §7.6.2 spec-tightening of the reference's unspecified ties).
+- WAND top-k (query_optimization.py:191-346): bounded min-heap of size
+  k, threshold = heap min, pivot by cumulative upper bounds, galloping
+  advance — here the advance skips whole compressed blocks via
+  ``block_last_doc`` and scores decode one block at a time
+  (block-max metadata from the build).
+- boolean AND/OR/NOT as sorted-postings merges
+  (inverted_index.py:331-449) via numpy set ops.
+- phrase matching via the positional index (positional_index.py:92-152):
+  intersect docs, then check adjacency on decoded position lists.
+
+The searcher is the query-side stateful actor of SURVEY §2.3: segment
+slices load lazily per term (Parquet predicate pushdown on the sorted
+``term_hash`` column) and are cached in-process.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+
+from ..functions.bm25 import idf as bm25_idf
+from ..functions.bm25 import tf_weight, topk_order
+from ..functions.codecs import vbyte_decode
+from ..functions.hashing import token_hash64
+from ..functions.postings import merge_packed, unpack_block, unpack_postings
+from ..functions.tokenize import get_tokenizer
+from ..functions.textnorm import normalize_text
+from ..state.manifest import read_json
+
+_PACKED_COLS = [
+    "term", "term_hash", "chunk", "df", "cf", "docs_bytes", "tfs_bytes", "dls_bytes",
+    "block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
+    "block_len", "block_last_doc", "block_max_weight",
+]
+
+
+class IndexSearcher:
+    """Loads one index directory; serves BM25 / boolean / phrase queries."""
+
+    def __init__(self, index_dir: str, k1: float = 1.5, b: float = 0.75, delta: float = 0.0):
+        manifest = read_json(os.path.join(index_dir, "manifest.json"))
+        if manifest is None or manifest.get("stats") is None:
+            raise FileNotFoundError(f"no completed index manifest in {index_dir}")
+        self.config = manifest["config"]
+        self.n_docs = manifest["stats"]["n_docs"]
+        self.avgdl = manifest["stats"]["avg_doc_length"]
+        self.k1, self.b, self.delta = k1, b, delta
+        self.with_positions = self.config.get("with_positions", False)
+        self.tokenize = get_tokenizer(self.config["engine"])
+        self._seg = pads.dataset(os.path.join(index_dir, "segments"))
+        self._cache: dict[str, dict | None] = {}
+
+    # ------------------------------------------------------------------ IO
+    def _fetch_terms(self, terms: list[str]) -> None:
+        missing = [t for t in dict.fromkeys(terms) if t not in self._cache]
+        if not missing:
+            return
+        import pyarrow as pa
+
+        hashes = pa.array([token_hash64(t) for t in missing], pa.uint64())
+        cols = list(_PACKED_COLS)
+        if self.with_positions:
+            cols += ["positions_bytes", "pos_nbytes"]
+        tbl = self._seg.to_table(columns=cols, filter=pads.field("term_hash").isin(hashes))
+        rows_by_term: dict[str, list[dict]] = {}
+        for row in tbl.to_pylist():
+            rows_by_term.setdefault(row["term"], []).append(row)
+        for t in missing:
+            rows = rows_by_term.get(t)
+            if not rows:
+                self._cache[t] = None
+                continue
+            rows.sort(key=lambda r: r["chunk"])
+            self._cache[t] = merge_packed(rows)
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, dls) for one term; empty arrays if absent."""
+        self._fetch_terms([term])
+        row = self._cache[term]
+        if row is None:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy(), e.copy()
+        return unpack_postings(row)
+
+    def df(self, term: str) -> int:
+        self._fetch_terms([term])
+        row = self._cache[term]
+        return 0 if row is None else int(row["df"])
+
+    # ------------------------------------------------------------- scoring
+    def _query_terms(self, query: str) -> list[str]:
+        return self.tokenize(normalize_text(query))
+
+    def search(self, query: str, k: int = 10, method: str = "naive") -> list[tuple[int, float]]:
+        """Top-k (doc_id, BM25 score), canonical order."""
+        q_tokens = self._query_terms(query)
+        if not q_tokens:
+            return []
+        if method == "wand":
+            return self._search_wand(q_tokens, k)
+        return self._search_naive(q_tokens, k)
+
+    def _term_weights(self, q_tokens: list[str]) -> list[tuple[str, float]]:
+        """Unique terms with qtf * idf weight (duplicates contribute multiply)."""
+        qtf: dict[str, int] = {}
+        for t in q_tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        self._fetch_terms(list(qtf))
+        out = []
+        for t, n in qtf.items():
+            row = self._cache[t]
+            if row is None:
+                continue
+            out.append((t, n * float(bm25_idf(row["df"], self.n_docs))))
+        return out
+
+    def _search_naive(self, q_tokens: list[str], k: int) -> list[tuple[int, float]]:
+        tw = self._term_weights(q_tokens)
+        if not tw:
+            return []
+        all_ids, all_contrib = [], []
+        for t, w in tw:
+            ids, tfs, dls = unpack_postings(self._cache[t])
+            contrib = w * (tf_weight(tfs, dls, self.avgdl, self.k1, self.b) + self.delta)
+            all_ids.append(ids)
+            all_contrib.append(contrib)
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, contrib)
+        pos = scores > 0.0  # reference keeps score>0 only (bm25.py:304)
+        uniq, scores = uniq[pos], scores[pos]
+        order = topk_order(uniq, scores, k)
+        return [(int(uniq[i]), float(scores[i])) for i in order]
+
+    # ---------------------------------------------------------------- WAND
+    def _search_wand(self, q_tokens: list[str], k: int) -> list[tuple[int, float]]:
+        tw = self._term_weights(q_tokens)
+        if not tw:
+            return []
+        cursors = [_Cursor(self._cache[t], w, self.avgdl, self.k1, self.b, self.delta) for t, w in tw]
+        cursors = [c for c in cursors if not c.exhausted]
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of size k
+        while True:
+            live = [c for c in cursors if not c.exhausted]
+            if not live:
+                break
+            live.sort(key=lambda c: c.cur_doc)
+            # heap not full -> no pruning yet (theta = -inf); ub >= theta is
+            # non-strict so equal-score/smaller-doc_id candidates still get
+            # scored (the heap tie-break decides), keeping WAND == naive.
+            theta = heap[0][0] if len(heap) == k else float("-inf")
+            ub = 0.0
+            pivot_idx = -1
+            for i, c in enumerate(live):
+                ub += c.max_score
+                if ub >= theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx < 0:
+                break
+            pivot_doc = live[pivot_idx].cur_doc
+            if live[0].cur_doc == pivot_doc:
+                score = 0.0
+                for c in live:
+                    if c.cur_doc == pivot_doc:
+                        score += c.score_current()
+                        c.advance()
+                if score > 0.0 and (len(heap) < k or (score, -pivot_doc) > heap[0]):
+                    heapq.heappush(heap, (score, -pivot_doc))
+                    if len(heap) > k:
+                        heapq.heappop(heap)
+            else:
+                for c in live[:pivot_idx]:
+                    c.advance_to(pivot_doc)
+        out = sorted(((s, -negid) for s, negid in heap), key=lambda x: (-x[0], x[1]))
+        return [(int(d), float(s)) for s, d in out]
+
+    # ------------------------------------------------------------- boolean
+    def boolean_and(self, terms: list[str]) -> np.ndarray:
+        """Sorted intersection of posting doc_ids (inverted_index.py:331-373)."""
+        sets = [self.postings(t)[0] for t in terms]
+        if not sets:
+            return np.empty(0, dtype=np.int64)
+        out = sets[0]
+        for s in sets[1:]:
+            out = np.intersect1d(out, s, assume_unique=True)
+        return out
+
+    def boolean_or(self, terms: list[str]) -> np.ndarray:
+        sets = [self.postings(t)[0] for t in terms]
+        if not sets:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(sets))
+
+    def boolean_not(self, include: list[str], exclude: list[str]) -> np.ndarray:
+        """include-AND minus exclude-OR (complement vs doc universe,
+        inverted_index.py:422-449 — the universe here is the matched set,
+        complement against full 0..N is documented as expensive as-is)."""
+        inc = self.boolean_and(include)
+        exc = self.boolean_or(exclude)
+        return np.setdiff1d(inc, exc, assume_unique=True)
+
+    # -------------------------------------------------------------- phrase
+    def positions(self, term: str) -> dict[int, np.ndarray]:
+        """doc_id -> sorted positions (requires with_positions build)."""
+        if not self.with_positions:
+            raise RuntimeError("index built without positions")
+        self._fetch_terms([term])
+        row = self._cache[term]
+        if row is None:
+            return {}
+        ids, _, _ = unpack_postings(row)
+        out: dict[int, np.ndarray] = {}
+        off = 0
+        buf = row["positions_bytes"]
+        for i, nb in enumerate(row["pos_nbytes"]):
+            deltas = vbyte_decode(buf[off : off + nb])
+            out[int(ids[i])] = np.cumsum(deltas.astype(np.int64))
+            off += nb
+        return out
+
+    def phrase_docs(self, phrase_terms: list[str]) -> np.ndarray:
+        """Docs where the terms appear at consecutive positions."""
+        if not phrase_terms:
+            return np.empty(0, dtype=np.int64)
+        pos_maps = [self.positions(t) for t in phrase_terms]
+        cand = set(pos_maps[0])
+        for m in pos_maps[1:]:
+            cand &= set(m)
+        hits = []
+        for d in sorted(cand):
+            starts = pos_maps[0][d]  # candidate run-start positions
+            for i in range(1, len(pos_maps)):
+                starts = starts[np.isin(starts + i, pos_maps[i][d], assume_unique=True)]
+                if starts.size == 0:
+                    break
+            if starts.size:
+                hits.append(d)
+        return np.array(hits, dtype=np.int64)
+
+
+class _Cursor:
+    """Per-term posting cursor with block skipping (WAND path)."""
+
+    def __init__(self, row: dict, weight: float, avgdl: float, k1: float, b: float, delta: float):
+        self.row = row
+        self.weight = weight
+        self.avgdl, self.k1, self.b, self.delta = avgdl, k1, b, delta
+        self.block_last = np.asarray(row["block_last_doc"], dtype=np.int64)
+        maxw = np.asarray(row["block_max_weight"], dtype=np.float64)
+        self.max_score = float(weight * (maxw.max() + delta)) if maxw.size else 0.0
+        self.n_blocks = self.block_last.size
+        self.bi = 0
+        self._ids = self._tfs = self._dls = None
+        self.ii = 0
+        self.exhausted = self.n_blocks == 0
+        if not self.exhausted:
+            self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        self.bi = bi
+        self._ids, self._tfs, self._dls = unpack_block(self.row, bi)
+        self.ii = 0
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self._ids[self.ii])
+
+    def score_current(self) -> float:
+        w = tf_weight(self._tfs[self.ii : self.ii + 1], self._dls[self.ii : self.ii + 1],
+                      self.avgdl, self.k1, self.b)[0]
+        return float(self.weight * (w + self.delta))
+
+    def advance(self) -> None:
+        self.ii += 1
+        if self.ii >= self._ids.size:
+            if self.bi + 1 < self.n_blocks:
+                self._load_block(self.bi + 1)
+            else:
+                self.exhausted = True
+
+    def advance_to(self, target: int) -> None:
+        """Gallop to the first posting >= target, skipping whole blocks."""
+        if self.exhausted:
+            return
+        if self.block_last[self.bi] < target:
+            nb = int(np.searchsorted(self.block_last, target, side="left"))
+            if nb >= self.n_blocks:
+                self.exhausted = True
+                return
+            self._load_block(nb)
+        self.ii = int(np.searchsorted(self._ids[self.ii:], target, side="left")) + self.ii
+        if self.ii >= self._ids.size:
+            # target fell in a gap at block end
+            if self.bi + 1 < self.n_blocks:
+                self._load_block(self.bi + 1)
+            else:
+                self.exhausted = True

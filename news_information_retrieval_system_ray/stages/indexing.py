@@ -1,0 +1,144 @@
+"""Posting-list construction stages: explode + per-group pack.
+
+The reference accumulates ``temp_index[term][doc_id] += 1`` in one heap
+(/root/reference/src/ir/index/inverted_index.py:134-159).  Here the same
+reduction is a shuffle: tokens explode to one row per (doc, term) and a
+``groupby([term_hash, chunk])`` builds each posting-list chunk.
+
+``chunk = doc_id >> chunk_bits`` is the explicit skew split (SURVEY
+§7.5): a stopword-class term with df ≈ N never lands in a single task —
+each of its chunks packs at most ``2^chunk_bits`` postings, and chunks
+concatenate block-wise at query time (blocks are self-contained).
+
+Grouping on the 64-bit ``term_hash`` (not the term string) makes the
+sort shuffle compare ints; the packer still splits defensively by term
+string inside a group in case of a hash collision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.codecs import vbyte_encode
+from ..functions.hashing import token_hash64
+from ..functions.postings import pack_postings
+
+DEFAULT_CHUNK_BITS = 20  # 1M docs per chunk; tests use smaller
+
+
+class ExplodeTokens:
+    """(doc_id, doc_len, terms, tfs[, positions]) -> one row per (doc, term).
+
+    Vectorized: Arrow list_flatten for the list columns, np.repeat for
+    the per-doc columns. Emits ``term_hash`` (shuffle key) and ``chunk``.
+    """
+
+    def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, with_positions: bool = False):
+        self.chunk_bits = chunk_bits
+        self.with_positions = with_positions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch.column("terms")
+        lens = pc.list_value_length(terms).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_terms = pc.list_flatten(terms)
+        flat_tfs = pc.list_flatten(batch.column("tfs"))
+        doc_ids = np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        dls = np.repeat(batch.column("doc_len").to_numpy(zero_copy_only=False), lens)
+        hashes = np.fromiter(
+            (token_hash64(t) for t in flat_terms.to_pylist()),
+            dtype=np.uint64, count=len(flat_terms),
+        )
+        cols = {
+            "term_hash": pa.array(hashes),
+            "chunk": pa.array((doc_ids >> self.chunk_bits).astype(np.int32)),
+            "term": flat_terms,
+            "doc_id": pa.array(doc_ids),
+            "tf": flat_tfs,
+            "dl": pa.array(dls.astype(np.int32)),
+        }
+        if self.with_positions:
+            cols["positions"] = pc.list_flatten(batch.column("positions"))
+        return pa.table(cols)
+
+
+class PackGroups:
+    """groupby([term_hash, chunk]).map_groups body -> one packed posting row.
+
+    Requires global stats (avgdl) — computed before this stage from the
+    persisted tokens table — because block_max_weight bakes in the BM25
+    length normalization (query_optimization.py:164-189 upper bounds,
+    extended to per-block maxima).
+    """
+
+    def __init__(self, avgdl: float, block_size: int = 128, with_positions: bool = False):
+        self.avgdl = avgdl
+        self.block_size = block_size
+        self.with_positions = with_positions
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        terms = group.column("term").to_pylist()
+        rows: list[dict] = []
+        # defensively split on term string (hash-collision guard)
+        if len(set(terms)) == 1:
+            self._pack_one(group, terms[0], rows)
+        else:
+            by_term: dict[str, list[int]] = {}
+            for i, t in enumerate(terms):
+                by_term.setdefault(t, []).append(i)
+            for t, idx in sorted(by_term.items()):
+                self._pack_one(group.take(idx), t, rows)
+        return pa.Table.from_pylist(rows, schema=self._schema())
+
+    def _pack_one(self, group: pa.Table, term: str, out: list[dict]) -> None:
+        doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        tfs = group.column("tf").to_numpy(zero_copy_only=False)
+        dls = group.column("dl").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        packed = pack_postings(doc_ids, tfs, dls, avgdl=self.avgdl, block_size=self.block_size)
+        row = {
+            "term": term,
+            "term_hash": int(group.column("term_hash")[0].as_py()),
+            "chunk": int(group.column("chunk")[0].as_py()),
+            **packed,
+        }
+        if self.with_positions:
+            pos_lists = [group.column("positions")[int(i)].as_py() for i in order]
+            parts, nbytes = [], []
+            for pl in pos_lists:
+                arr = np.asarray(sorted(pl), dtype=np.int64)
+                deltas = np.empty(arr.size, dtype=np.uint64)
+                if arr.size:
+                    deltas[0] = arr[0]
+                    deltas[1:] = np.diff(arr)
+                b = vbyte_encode(deltas)
+                parts.append(b)
+                nbytes.append(len(b))
+            row["positions_bytes"] = b"".join(parts)
+            row["pos_nbytes"] = nbytes
+        out.append(row)
+
+    def _schema(self) -> pa.Schema:
+        fields = [
+            ("term", pa.string()),
+            ("term_hash", pa.uint64()),
+            ("chunk", pa.int32()),
+            ("df", pa.int64()),
+            ("cf", pa.int64()),
+            ("docs_bytes", pa.binary()),
+            ("tfs_bytes", pa.binary()),
+            ("dls_bytes", pa.binary()),
+            ("block_doc_nbytes", pa.list_(pa.int32())),
+            ("block_tf_nbytes", pa.list_(pa.int32())),
+            ("block_dl_nbytes", pa.list_(pa.int32())),
+            ("block_len", pa.list_(pa.int32())),
+            ("block_last_doc", pa.list_(pa.int64())),
+            # float64: upper bounds must not round below the true max
+            # (float32 truncation could make WAND pruning inexact)
+            ("block_max_weight", pa.list_(pa.float64())),
+        ]
+        if self.with_positions:
+            fields += [("positions_bytes", pa.binary()), ("pos_nbytes", pa.list_(pa.int32()))]
+        return pa.schema(fields)

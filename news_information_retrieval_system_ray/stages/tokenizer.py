@@ -1,0 +1,71 @@
+"""Tokenizer stage — the stateful actor-pool stage of the pipeline.
+
+The reference holds its tokenizer as a process-global singleton loaded
+once (jieba lazy init chinese_tokenizer.py:186-199; CKIP ``__new__``
+guard ckip_tokenizer.py:40-50).  Here that state lives in the actor:
+``map_batches(TokenizeStage, concurrency=N)`` constructs the tokenizer
+once per actor in ``__init__`` and reuses it per batch.
+
+Output per doc: unique terms + term frequencies (the in-batch partial
+aggregation of SURVEY §2.5 — the (doc, term)->tf reduce happens here,
+before the shuffle, so the term shuffle moves one row per (doc, term)
+not one per token), plus ``doc_len = max(1, n_tokens)`` (app clamp,
+index_service.py:285) and optional per-term position lists for the
+positional index (positional_index.py:92-152).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.textnorm import normalize_text
+from ..functions.tokenize import DEFAULT_ENGINE, get_tokenizer
+
+TOKENS_SCHEMA_BASE = ("doc_id", "doc_len", "terms", "tfs")
+
+
+class TokenizeStage:
+    """text_norm (or text) -> (doc_id, doc_len, terms, tfs[, positions])."""
+
+    def __init__(self, engine: str = DEFAULT_ENGINE, text_col: str = "text_norm",
+                 pre_normalized: bool = True, with_positions: bool = False):
+        self.tokenize = get_tokenizer(engine)  # once per actor
+        self.text_col = text_col
+        self.pre_normalized = pre_normalized
+        self.with_positions = with_positions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        doc_ids = batch.column("doc_id")
+        doc_lens = np.empty(len(texts), dtype=np.int32)
+        terms_col: list[list[str]] = []
+        tfs_col: list[np.ndarray] = []
+        pos_col: list[list[list[int]]] = []
+        for i, text in enumerate(texts):
+            toks = self.tokenize(text if self.pre_normalized else normalize_text(text or ""))
+            doc_lens[i] = max(1, len(toks))  # app clamp (index_service.py:285)
+            if self.with_positions:
+                pos_map: dict[str, list[int]] = {}
+                for p, t in enumerate(toks):
+                    pos_map.setdefault(t, []).append(p)
+                terms = sorted(pos_map)
+                terms_col.append(terms)
+                tfs_col.append(np.array([len(pos_map[t]) for t in terms], dtype=np.int32))
+                pos_col.append([pos_map[t] for t in terms])
+            else:
+                if toks:
+                    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+                else:
+                    uniq, counts = np.empty(0, object), np.empty(0, np.int64)
+                terms_col.append(list(uniq))
+                tfs_col.append(counts.astype(np.int32))
+        cols = {
+            "doc_id": doc_ids,
+            "doc_len": pa.array(doc_lens),
+            "terms": pa.array(terms_col, pa.list_(pa.string())),
+            "tfs": pa.array([t.tolist() for t in tfs_col], pa.list_(pa.int32())),
+        }
+        if self.with_positions:
+            cols["positions"] = pa.array(pos_col, pa.list_(pa.list_(pa.int32())))
+        return pa.table(cols)
