@@ -1,44 +1,242 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full inverted-index build +
+BM25 top-k) on sf0.001; ``queries()`` exposes each implemented operator
+(SURVEY.md §2) as a callable over an sf_dir; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible operator.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller; nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+from news_information_retrieval_system_ray.pipelines import analytics as A
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments. Tokenization contract (matches the Ray side exactly —
+# see pipelines/analytics.py docstring): lower -> ws-collapse -> trim ->
+# split(' ') -> keep tokens matching [a-z0-9_].
+# ---------------------------------------------------------------------------
+_CTE = """
+WITH norm AS (
+  SELECT doc_id, source, lang,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm
+),
+ft AS (
+  SELECT doc_id, term FROM toks WHERE regexp_matches(term, '[a-z0-9_]')
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY doc_id, term),
+dln AS (SELECT d.doc_id, greatest(1, coalesce(c.n, 0)) AS dl
+        FROM documents d LEFT JOIN
+             (SELECT doc_id, count(*) AS n FROM ft GROUP BY doc_id) c
+             ON d.doc_id = c.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dln) AS avgdl)
+"""
+
+
+def _qterms_values() -> str:
+    rows = []
+    for qid, terms in A.FIXED_QUERIES.items():
+        rows += [f"('{qid}', '{t}')" for t in terms]
+    return ", ".join(rows)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents (whitespace
+    engine) and serve the fixed BM25 queries -> (qid, rank, doc_id, score)."""
+    import pandas as pd
+
+    from news_information_retrieval_system_ray.pipelines.index_build import build_index
+    from news_information_retrieval_system_ray.pipelines.query import IndexSearcher
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = tempfile.mkdtemp(prefix="nirs_entry_idx_")
+    build_index(
+        f"{sf_dir}/documents.parquet", index_dir,
+        text_source="text", id_col="doc_id", engine="whitespace",
+        n_shards=2, chunk_bits=8, resume=False,
+    )
+    s = IndexSearcher(index_dir)
+    rows = []
+    for qid, terms in A.FIXED_QUERIES.items():
+        for rank, (doc_id, score) in enumerate(s.search(" ".join(terms), k=10, method="wand"), 1):
+            rows.append((qid, rank, doc_id, A.round4(score)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core IR pipeline (documents table)
+        "doc_stats": A.doc_stats,
+        "term_stats": A.term_stats,
+        "postings_flat": A.postings_flat,
+        "corpus_stats": A.corpus_stats,
+        "bm25_topk": A.bm25_topk,
+        "tfidf_topk": A.tfidf_topk,
+        "boolean_and": A.boolean_and,
+        "boolean_and_not": lambda sf: A.boolean_and_not(sf),
+        "phrase_match": A.phrase_match,
+        # facets / browse / aggregates
+        "facet_source_counts": A.facet_source_counts,
+        "facet_lang_counts": A.facet_lang_counts,
+        "top_terms": A.top_terms,
+        "per_source_top_terms": A.per_source_top_terms,
+        "browse_sort": A.browse_sort,
+        "events_windowed": A.events_windowed,
+        # quality / counting / fingerprints
+        "doc_quality": A.doc_quality,
+        "token_counts": A.token_counts,
+        "lang_id": A.lang_id,
+        "fingerprints": A.fingerprints,
+        # dedup family
+        "dedup_exact": A.dedup_exact,
+        "dedup_minhash": A.dedup_minhash,
+        "dedup_simhash": A.dedup_simhash,
+        "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
+        # similarity search
+        "ann_topk": A.ann_topk,
+        "ann_lsh": A.ann_lsh,
+        "embedding_nn_within_label": A.embedding_nn_within_label,
+        # multimodal plumbing
+        "media_features": A.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qv = _qterms_values()
+    return {
+        "doc_stats": _CTE + "SELECT doc_id, dl AS doc_len FROM dln",
+        "term_stats": _CTE + """
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term""",
+        "postings_flat": _CTE + "SELECT term, doc_id, tf FROM tf",
+        "corpus_stats": _CTE + """
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT sum(dl)::BIGINT FROM dln) AS total_tokens,
+                   (SELECT count(DISTINCT term) FROM ft) AS vocab_size,
+                   round((SELECT sum(dl)::DOUBLE FROM dln) / (SELECT count(*) FROM documents), 4) AS avg_doc_len""",
+        "bm25_topk": _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT q.qid, tf.doc_id,
+                     ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                     * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+              FROM tf
+              JOIN qterms q USING (term)
+              JOIN dfs USING (term)
+              JOIN dln ON tf.doc_id = dln.doc_id
+              CROSS JOIN stats),
+            scores AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
+            ranked AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                       FROM scores)
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
+        "tfidf_topk": _CTE + f""",
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            wd AS (SELECT tf.doc_id, tf.term,
+                          (1 + log10(tf.tf)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM tf JOIN dfs USING (term) CROSS JOIN stats),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wd GROUP BY doc_id),
+            qterms(qid, term) AS (VALUES {qv}),
+            qw AS (SELECT q.qid, q.term,
+                          (1 + log10(1)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM qterms q JOIN dfs USING (term) CROSS JOIN stats),
+            qnorm AS (SELECT qid, sqrt(sum(w * w)) AS qn FROM qw GROUP BY qid),
+            scores AS (SELECT qw.qid, wd.doc_id,
+                              sum((wd.w / norms.nrm) * (qw.w / qnorm.qn)) AS score
+                       FROM wd JOIN qw USING (term)
+                       JOIN norms ON wd.doc_id = norms.doc_id
+                       JOIN qnorm ON qw.qid = qnorm.qid
+                       GROUP BY qw.qid, wd.doc_id),
+            ranked AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                       FROM scores WHERE score > 0)
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
+        "boolean_and": _CTE + f"""
+            SELECT doc_id FROM tf WHERE term IN ({", ".join(repr(t) for t in A.BOOL_AND)})
+            GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(A.BOOL_AND))}""",
+        "boolean_and_not": _CTE + f""",
+            inc AS (SELECT doc_id FROM tf WHERE term IN ({", ".join(repr(t) for t in A.BOOL_NOT[0])})
+                    GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(A.BOOL_NOT[0]))}),
+            exc AS (SELECT DISTINCT doc_id FROM tf
+                    WHERE term IN ({", ".join(repr(t) for t in A.BOOL_NOT[1])}))
+            SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM exc)""",
+        "phrase_match": _CTE + f"""
+            SELECT doc_id FROM norm
+            WHERE (' ' || t || ' ') LIKE '% {" ".join(A.PHRASE)} %'""",
+        "facet_source_counts": "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
+        "facet_lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "top_terms": _CTE + """,
+            ts AS (SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+            ranked AS (SELECT term, df, cf,
+                              row_number() OVER (ORDER BY cf DESC, term) AS rank FROM ts)
+            SELECT rank, term, df, cf FROM ranked WHERE rank <= 20""",
+        "per_source_top_terms": _CTE + """,
+            st AS (SELECT n.source, tf.term, sum(tf.tf)::BIGINT AS cf
+                   FROM tf JOIN norm n ON tf.doc_id = n.doc_id
+                   GROUP BY n.source, tf.term),
+            ranked AS (SELECT source, term, cf,
+                              row_number() OVER (PARTITION BY source ORDER BY cf DESC, term) AS rank
+                       FROM st)
+            SELECT source, rank, term, cf FROM ranked WHERE rank <= 3""",
+        "browse_sort": """
+            SELECT o_orderkey, o_custkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date, o_totalprice
+            FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100""",
+        "events_windowed": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "doc_quality": _CTE + """,
+            q AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
+                         count(*) FILTER (term IN ('the', 'a')) AS n_stop,
+                         sum(length(term))::BIGINT AS sum_token_len
+                  FROM ft GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(q.n_tokens, 0) AS n_tokens,
+                   coalesce(q.n_distinct, 0) AS n_distinct,
+                   coalesce(q.n_stop, 0) AS n_stop,
+                   coalesce(q.sum_token_len, 0) AS sum_token_len
+            FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id""",
+        "token_counts": _CTE + """
+            SELECT n.doc_id,
+                   (SELECT count(*) FROM ft WHERE ft.doc_id = n.doc_id) AS n_ws_tokens,
+                   len(regexp_extract_all(n.t, '[a-z0-9]{1,4}|[一-鿿]')) AS n_subword_tokens
+            FROM norm n""",
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY md5(text)""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            sims AS (SELECT q.qid, e.vec_id,
+                            list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+                     FROM q CROSS JOIN embeddings e),
+            ranked AS (SELECT qid, vec_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+                       FROM sims)
+            SELECT qid, rank, vec_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
+        "embedding_nn_within_label": """
+            WITH sims AS (SELECT a.vec_id, b.vec_id AS nn_vec_id,
+                                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
+                          FROM embeddings a JOIN embeddings b
+                               ON a.label = b.label AND a.vec_id <> b.vec_id),
+            ranked AS (SELECT vec_id, nn_vec_id, score,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_vec_id) AS rn
+                       FROM sims)
+            SELECT vec_id, nn_vec_id, round(score, 4) AS score FROM ranked WHERE rn = 1""",
+        # rows-only (non-SQL-expressible): lang_id, fingerprints,
+        # dedup_minhash, dedup_simhash, dedup_ngram_jaccard, ann_lsh,
+        # media_features
+    }

@@ -1,0 +1,579 @@
+"""Analytics / IR queries over the testdata tables (documents, embeddings,
+events, orders) — the ``queries()`` surface checked by the correctness
+driver against DuckDB oracle SQL.
+
+Conventions shared with the SQL in ``__ray_entry__.oracle_sql``:
+
+- normalization: ``trim(regexp_replace(lower(text),'\\s+',' '))`` — the
+  app chain (index_service.py:71-81); NFKC and 臺→台 are identity on this
+  ASCII corpus, so the whitespace tokenizer is SQL-expressible.
+- tokens: split on ' ', keep tokens matching ``[a-z0-9_]`` (the
+  reference's token filter, index_service.py:97).
+- doc_len: ``max(1, n_tokens)`` (index_service.py:285).
+- floats are rounded half-away-from-zero to 4 decimals to match DuckDB
+  ``round``; ratio-style outputs return integer numerators/denominators
+  instead of floats wherever possible (exact hashing).
+- canonical ranking order: (-score, id asc) (SURVEY §7.6.2).
+
+Scale notes are inline: anything that collects to the driver here is a
+provably small result (top-k, vocab-sized maps, fixed-query postings);
+the wide paths are groupby shuffles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages.indexing import ExplodeTokens
+from ..stages.tokenizer import TokenizeStage
+
+K1, B = 1.5, 0.75
+
+# fixed query sets (terms exist in the synthetic documents vocabulary)
+FIXED_QUERIES: dict[str, list[str]] = {
+    "q1": ["spark", "join"],
+    "q2": ["merge", "sort", "table"],
+    "q3": ["vector", "window", "batch", "stream"],
+}
+PHRASE = ["batch", "stream"]
+BOOL_AND = ["spark", "vector"]
+BOOL_NOT = (["spark", "join"], ["dup"])
+
+
+def round4(x: float) -> float:
+    """Half-away-from-zero, matching DuckDB round (Python round is banker's)."""
+    return math.floor(abs(x) * 1e4 + 0.5) / 1e4 * (1 if x >= 0 else -1)
+
+
+def _docs_ds(sf_dir: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _tokens_ds(sf_dir: str, with_positions: bool = False):
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        TokenizeStage(engine="whitespace", text_col="text", pre_normalized=False,
+                      with_positions=with_positions),
+        batch_format="pyarrow",
+    )
+
+
+def _exploded_ds(sf_dir: str):
+    return _tokens_ds(sf_dir).map_batches(ExplodeTokens(chunk_bits=40), batch_format="pyarrow")
+
+
+def _corpus_stats(sf_dir: str) -> tuple[int, float]:
+    from ray.data.aggregate import Count, Sum
+
+    agg = _tokens_ds(sf_dir).aggregate(Sum("doc_len", alias_name="total"), Count(alias_name="n"))
+    n = int(agg["n"])
+    return n, float(agg["total"]) / max(1, n)
+
+
+# ------------------------------------------------------------------ basics
+
+def doc_stats(sf_dir: str):
+    """(doc_id, doc_len) — clamped token counts."""
+    ds = _tokens_ds(sf_dir)
+    return ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "doc_len": t.column("doc_len").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def term_stats(sf_dir: str):
+    """(term, df, cf) — the groupby(term) aggregate (index df/cf)."""
+    from ray.data.aggregate import Count, Sum
+
+    ex = _exploded_ds(sf_dir)
+    return ex.groupby("term").aggregate(
+        Count(alias_name="df"),
+        Sum("tf", alias_name="cf"),
+    )
+
+
+def postings_flat(sf_dir: str):
+    """(term, doc_id, tf) — the exploded postings table."""
+    ex = _exploded_ds(sf_dir)
+    return ex.map_batches(
+        lambda t: t.select(["term", "doc_id", "tf"]).set_column(
+            2, "tf", t.column("tf").cast(pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+def corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Single row: n_docs, total_tokens (clamped), vocab_size, avg_doc_len."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = _tokens_ds(sf_dir).aggregate(Sum("doc_len", alias_name="total"), Count(alias_name="n"))
+    vocab = term_stats(sf_dir).count()
+    n, total = int(agg["n"]), int(agg["total"])
+    return pd.DataFrame([{
+        "n_docs": n,
+        "total_tokens": total,
+        "vocab_size": int(vocab),
+        "avg_doc_len": round4(total / max(1, n)),
+    }])
+
+
+# ------------------------------------------------------------------ ranking
+
+def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Fixed-query BM25 top-k, distributed scoring.
+
+    postings for the (broadcast) query terms are scored inside
+    map_batches; per-doc sums and per-query top-k are groupby stages.
+    df/N/avgdl are tiny aggregates collected to the driver (vocab-sized).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    term_to_qids: dict[str, list[str]] = {
+        t: [qid for qid, ts in FIXED_QUERIES.items() if t in ts] for t in qterms
+    }
+    ex = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
+        batch_format="pyarrow",
+    ).materialize()  # small: query-term postings only
+    dfs = {r["term"]: int(r["df"]) for r in
+           ex.groupby("term").aggregate(Count(alias_name="df")).take_all()}
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_pylist()
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        out_q, out_d, out_c = [], [], []
+        for i, term in enumerate(terms):
+            df = dfs.get(term, 0)
+            if df == 0:
+                continue
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            for qid in term_to_qids[term]:
+                out_q.append(qid)
+                out_d.append(int(doc[i]))
+                out_c.append(idf * w[i])
+        return pa.table({
+            "qid": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "c": pa.array(out_c, pa.float64()),
+        })
+
+    scores = ex.map_batches(score_batch, batch_format="pyarrow") \
+               .groupby(["qid", "doc_id"]).aggregate(Sum("c", alias_name="score"))
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "doc_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = scores.groupby("qid").map_groups(topk, batch_format="pandas").to_pandas()
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
+
+
+def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """SMART-style TF-IDF cosine top-k (app math: (1+log10 tf)·idf,
+    L2-normalized doc & query vectors — index_service.py:297-306).
+
+    Per-doc norms need the FULL doc vector, so the per-doc group stage
+    computes the norm and emits only query-term dot contributions.  The
+    vocab-wide df map is collected driver-side here (tiny corpus vocab);
+    at web scale it would be a broadcast join keyed on term.
+    """
+    from ray.data.aggregate import Count
+
+    n_docs, _ = _corpus_stats(sf_dir)
+    ex = _exploded_ds(sf_dir).materialize()
+    df_map = {r["term"]: int(r["df"]) for r in
+              ex.groupby("term").aggregate(Count(alias_name="df")).take_all()}
+
+    def idf(term: str) -> float:
+        df = df_map.get(term, 0)
+        if df == 0:
+            return 0.0
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    # query vectors (normalized), driver-side: queries are tiny
+    qvecs: dict[str, dict[str, float]] = {}
+    for qid, terms in FIXED_QUERIES.items():
+        w = {t: (1.0 + math.log10(1)) * idf(t) for t in terms if df_map.get(t)}
+        nrm = math.sqrt(sum(v * v for v in w.values()))
+        qvecs[qid] = {t: v / nrm for t, v in w.items()} if nrm else {}
+
+    def doc_scores(group: pd.DataFrame) -> pd.DataFrame:
+        tfs = group["tf"].to_numpy(dtype=np.float64)
+        terms = group["term"].tolist()
+        ws = (1.0 + np.log10(tfs)) * np.array([idf(t) for t in terms])
+        nrm = float(np.sqrt((ws * ws).sum()))
+        if nrm == 0.0:
+            return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+        doc_id = int(group["doc_id"].iloc[0])
+        tw = dict(zip(terms, ws / nrm))
+        rows = []
+        for qid, qv in qvecs.items():
+            s = sum(tw.get(t, 0.0) * qw for t, qw in qv.items())
+            if s > 0:
+                rows.append((qid, doc_id, s))
+        return pd.DataFrame(rows, columns=["qid", "doc_id", "score"])
+
+    scored = ex.groupby("doc_id").map_groups(doc_scores, batch_format="pandas")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "doc_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = scored.groupby("qid").map_groups(topk, batch_format="pandas").to_pandas()
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
+
+
+# ------------------------------------------------------------------ boolean / phrase
+
+def boolean_and(sf_dir: str, terms: list[str] | None = None) -> pd.DataFrame:
+    """doc_ids containing ALL terms (sorted-merge AND,
+    inverted_index.py:331-373, expressed as a distinct-count match)."""
+    from ray.data.aggregate import Count
+
+    terms = terms or BOOL_AND
+    tset = pa.array(sorted(set(terms)))
+    ex = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=tset)),
+        batch_format="pyarrow",
+    )
+    counts = ex.groupby("doc_id").aggregate(Count(alias_name="n_terms"))
+    need = len(set(terms))
+    hit = counts.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("n_terms"), need)).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return hit.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def boolean_and_not(sf_dir: str) -> pd.DataFrame:
+    """(A AND B) NOT C.  The exclude set is collected as doc_ids only
+    (a semi-join mask; at scale -> broadcast Bloom filter)."""
+    inc = boolean_and(sf_dir, BOOL_NOT[0])
+    exc = set(boolean_and(sf_dir, BOOL_NOT[1])["doc_id"])
+    out = inc[~inc["doc_id"].isin(exc)].reset_index(drop=True)
+    return out
+
+
+def phrase_match(sf_dir: str, phrase: list[str] | None = None) -> pd.DataFrame:
+    """doc_ids where the phrase occurs at consecutive token positions
+    (positional-index adjacency, positional_index.py:92-152)."""
+    phrase = phrase or PHRASE
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def check(t: pa.Table) -> pa.Table:
+        hits = []
+        for row in t.to_pylist():
+            pos = dict(zip(row["terms"], row["positions"]))
+            if any(x not in pos for x in phrase):
+                continue
+            starts = np.asarray(pos[phrase[0]], dtype=np.int64)
+            for i in range(1, len(phrase)):
+                starts = starts[np.isin(starts + i, np.asarray(pos[phrase[i]], dtype=np.int64))]
+                if starts.size == 0:
+                    break
+            if starts.size:
+                hits.append(row["doc_id"])
+        return pa.table({"doc_id": pa.array(hits, pa.int64())})
+
+    return toks.map_batches(check, batch_format="pyarrow").to_pandas() \
+               .sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ quality / counts
+
+def doc_quality(sf_dir: str):
+    """Integer quality features per doc (exact-hashable: no float ratios):
+    n_tokens (unclamped), n_distinct, n_stop ('the'/'a'), sum_token_len."""
+    toks = _tokens_ds(sf_dir)
+
+    def q(t: pa.Table) -> pa.Table:
+        n_tok, n_dis, n_stop, s_len = [], [], [], []
+        for row in t.to_pylist():
+            terms, tfs = row["terms"], row["tfs"]
+            n_tok.append(int(sum(tfs)))
+            n_dis.append(len(terms))
+            n_stop.append(int(sum(tf for tm, tf in zip(terms, tfs) if tm in ("the", "a"))))
+            s_len.append(int(sum(len(tm) * tf for tm, tf in zip(terms, tfs))))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_dis, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "sum_token_len": pa.array(s_len, pa.int64()),
+        })
+
+    return toks.map_batches(q, batch_format="pyarrow")
+
+
+def token_counts(sf_dir: str):
+    """Whitespace + BPE-ish subword token counts per doc."""
+    from ..stages.textstats import TokenCountStage
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenCountStage(text_col="text"), batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str):
+    """Heuristic language ID (rows-only check; unit-tested separately)."""
+    from ..stages.textstats import LangIdStage
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdStage(text_col="text"), batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str):
+    """SimHash64 + winnowed fingerprints per doc (rows-only check)."""
+    from ..stages.textstats import FingerprintStage
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        FingerprintStage(text_col="text"), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ dedup
+
+def dedup_exact(sf_dir: str):
+    """(content_hash, keeper_doc_id, n_docs) — exact dedup groups."""
+    from ..stages.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs_ds(sf_dir, ["doc_id", "text"]))
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """MinHash-LSH near-dup candidate pairs (rows-only check)."""
+    from ..stages.dedup import minhash_pairs
+
+    return minhash_pairs(_docs_ds(sf_dir, ["doc_id", "text"]),
+                         engine="whitespace", threshold=threshold)
+
+
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash Hamming<=3 near-dup pairs (rows-only check)."""
+    from ..stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), engine="whitespace")
+
+
+def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """Exact word-3-gram Jaccard pairs >= threshold, with MinHash-LSH
+    candidate generation (est >= threshold-0.2) and exact verification.
+
+    Candidate texts are fetched driver-side here (candidate set is
+    O(duplicates), small); at scale the verify is a join of candidates
+    back to the shingle table."""
+    from ..functions.hashing import jaccard, shingles
+    from ..functions.tokenize import get_tokenizer
+    from ..functions.textnorm import normalize_text
+    from ..stages.dedup import minhash_pairs
+
+    cands = minhash_pairs(_docs_ds(sf_dir, ["doc_id", "text"]),
+                          engine="whitespace", threshold=max(0.0, threshold - 0.2))
+    if cands.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
+    ids = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tmap = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    tok = get_tokenizer("whitespace")
+    sh = {i: shingles(tok(normalize_text(tmap[i] or "")), 3) for i in ids}
+    rows = []
+    for a, b in zip(cands["doc_a"], cands["doc_b"]):
+        j = jaccard(sh[int(a)], sh[int(b)])
+        if j >= threshold:
+            rows.append((int(a), int(b), round4(j)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+# ------------------------------------------------------------------ facets / browse
+
+def facet_source_counts(sf_dir: str):
+    return _docs_ds(sf_dir, ["source"]).groupby("source").count().rename_columns({"count()": "n_docs"})
+
+
+def facet_lang_counts(sf_dir: str):
+    return _docs_ds(sf_dir, ["lang"]).groupby("lang").count().rename_columns({"count()": "n_docs"})
+
+
+def top_terms(sf_dir: str, n: int = 20) -> pd.DataFrame:
+    """Top-n terms by collection frequency (collection-LM head,
+    index_service.py:394-422)."""
+    ts = term_stats(sf_dir).to_pandas()
+    ts = ts.sort_values(["cf", "term"], ascending=[False, True]).head(n).reset_index(drop=True)
+    ts["rank"] = np.arange(1, len(ts) + 1, dtype=np.int64)
+    return ts[["rank", "term", "df", "cf"]]
+
+
+def per_source_top_terms(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Top-n terms by cf within each source (facet × term aggregate).
+
+    source joins onto the exploded tokens via a broadcast doc->source
+    map (small side broadcast; at scale: bucketed hash join on doc_id).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    smap_ref = ray.put(dict(zip(src.column("doc_id").to_pylist(), src.column("source").to_pylist())))
+
+    class AddSource:
+        def __init__(self):
+            self.smap = ray.get(smap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            srcs = [self.smap[d] for d in t.column("doc_id").to_pylist()]
+            return t.append_column("source", pa.array(srcs, pa.string()))
+
+    ex = _exploded_ds(sf_dir).map_batches(AddSource, batch_format="pyarrow", concurrency=2)
+    agg = ex.groupby(["source", "term"]).aggregate(Sum("tf", alias_name="cf")).to_pandas()
+    agg = agg.sort_values(["source", "cf", "term"], ascending=[True, False, True])
+    agg["rank"] = agg.groupby("source").cumcount() + 1
+    out = agg[agg["rank"] <= n].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["source", "rank", "term", "cf"]]
+
+
+def browse_sort(sf_dir: str, n: int = 100) -> pd.DataFrame:
+    """Browse ordering: (o_orderdate, o_orderkey) desc, limit n
+    (reference browse sort semantics, search_service.py:1089-1147)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    top = ds.sort(["o_orderdate", "o_orderkey"], descending=[True, True]).limit(n).to_pandas()
+    top["o_date"] = top["o_orderdate"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    return top[["o_orderkey", "o_custkey", "o_date", "o_totalprice"]]
+
+
+# ------------------------------------------------------------------ events
+
+def events_windowed(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour windows per event_type: count, distinct users, sum.
+
+    Partial aggregation inside map_batches emits (type, window, user)
+    partials; the groupby merges them (pre-aggregate pattern — the only
+    all-to-all moves the reduced rows)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        g = df.groupby(["event_type", "window_start", "user_id"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return g
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "event_type": group["event_type"].iloc[0],
+            "window_start": group["window_start"].iloc[0],
+            "n_events": int(group["n_events"].sum()),
+            "n_users": int(group["user_id"].nunique()),
+            "sum_value": round4(float(group["sum_value"].sum())),
+        }])
+
+    out = part.groupby(["event_type", "window_start"]).map_groups(merge, batch_format="pandas").to_pandas()
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ embeddings
+
+def _query_vectors(sf_dir: str, n: int = 5) -> tuple[np.ndarray, list[int]]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.array(df["embedding"].tolist(), dtype=np.float64), df["vec_id"].tolist()
+
+
+def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Brute-force cosine top-k for the first 5 vectors as queries."""
+    import ray.data as rd
+
+    from ..stages.ann import brute_force_topk
+
+    q, qids = _query_vectors(sf_dir, 5)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, q, k=k)
+    out["qid"] = out["qid"].map(dict(enumerate(qids))).astype(np.int64)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def ann_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """LSH-bucketed approximate ANN (rows-only; recall tested vs brute
+    force in the unit suite)."""
+    import ray.data as rd
+
+    from ..stages.ann import lsh_topk
+
+    q, qids = _query_vectors(sf_dir, 5)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = lsh_topk(ds, q, k=k, dim=q.shape[1], n_planes=8, n_tables=4, multiprobe=1)
+    out["qid"] = out["qid"].map(dict(enumerate(qids))).astype(np.int64)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: opaque binary payloads -> feature vectors via
+    an actor-pool stage with small batches (decode stubbed — see
+    stages/multimodal.py). Deterministic fake corpus; rows-only check."""
+    import ray.data as rd
+
+    from ..stages.multimodal import MediaFeatureStage, make_fake_media_table
+
+    ds = rd.from_arrow(make_fake_media_table(n=64, seed=5))
+    out = ds.map_batches(MediaFeatureStage(out_dim=16), batch_format="pyarrow",
+                         batch_size=8, concurrency=2).to_pandas()
+    out["feat_norm"] = out["feature"].map(lambda f: round4(float(np.linalg.norm(f))))
+    return out[["media_id", "feat_norm"]].sort_values("media_id").reset_index(drop=True)
+
+
+def embedding_nn_within_label(sf_dir: str) -> pd.DataFrame:
+    """Nearest neighbor per vector within its label group (the
+    embedding-cosine near-dup operator with label blocking; emits the
+    top candidate per vector)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def nn(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "nn_vec_id": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        ids = group["vec_id"].to_numpy()
+        m = np.array(group["embedding"].tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        order = np.argsort(ids)
+        # deterministic: for ties pick smallest neighbor vec_id
+        rows = []
+        for i in range(len(ids)):
+            s = sims[i]
+            best = np.lexsort((ids, -s))[0]
+            rows.append((int(ids[i]), int(ids[best]), round4(float(s[best]))))
+        return pd.DataFrame(rows, columns=["vec_id", "nn_vec_id", "score"])
+
+    out = ds.groupby("label").map_groups(nn, batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

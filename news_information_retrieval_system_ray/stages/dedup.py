@@ -1,0 +1,215 @@
+"""Deduplication stages (exact, SimHash, MinHash-LSH).
+
+The reference's detector is a single in-heap MD5 set + SimHash dict
+scanned linearly (/root/reference/src/ir/index/deduplication.py:41-63,
+204-258) — explicitly not scalable (its own comment at :238-248 points
+to banding).  Here every variant is a shuffle:
+
+- exact: content-hash column -> per-batch partial (hash -> min doc_id,
+  count) -> small groupby (pre-aggregate pattern; first-wins by lowest
+  doc_id = arrival order, matching the reference's first-wins).
+- SimHash: 64-bit signature -> 4 x 16-bit bands -> groupby(band key) ->
+  per-bucket Hamming<=3 verify (pigeonhole-exact for distance<=3).
+- MinHash-LSH: shingle -> signature -> band keys -> groupby(band key)
+  -> per-bucket candidate pairs verified by signature-estimated
+  Jaccard (tests check the estimate against exact Jaccard).
+
+All signature computation is per-doc work inside actor-pool
+``map_batches`` stages; only (key, doc_id [, sig]) rows shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import MinHasher, hamming64, shingles, simhash64, simhash_bands
+from ..functions.tokenize import DEFAULT_ENGINE, get_tokenizer
+from ..functions.textnorm import normalize_text
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5(text) per row (reference content-hash, doc_reader.py:70-91)."""
+    hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dup_partial(batch: pa.Table, hash_col: str = "content_hash", id_col: str = "doc_id") -> pa.Table:
+    """Per-batch partial aggregate: one row per hash (pre-aggregation
+    before the groupby shuffle — SURVEY 'Aggregation at scale')."""
+    df = pd.DataFrame({
+        "content_hash": batch.column(hash_col).to_pandas(),
+        "doc_id": batch.column(id_col).to_pandas(),
+    })
+    g = df.groupby("content_hash", sort=False)["doc_id"].agg(["min", "count"]).reset_index()
+    return pa.table({
+        "content_hash": pa.array(g["content_hash"], pa.string()),
+        "keeper_doc_id": pa.array(g["min"], pa.int64()),
+        "n_docs": pa.array(g["count"], pa.int64()),
+    })
+
+
+def exact_dedup_groups(ds):
+    """Dataset (.. text, doc_id) -> (content_hash, keeper_doc_id, n_docs)."""
+    from ray.data.aggregate import Min, Sum
+
+    partial = ds.map_batches(lambda b: exact_dup_partial(add_content_hash(b)), batch_format="pyarrow")
+    return partial.groupby("content_hash").aggregate(
+        Min("keeper_doc_id", alias_name="keeper_doc_id"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+
+
+class SimHashStage:
+    """text -> (doc_id, simhash, band_0..band_3) rows."""
+
+    def __init__(self, engine: str = DEFAULT_ENGINE, text_col: str = "text", n_bands: int = 4):
+        self.tokenize = get_tokenizer(engine)
+        self.text_col = text_col
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs, bands = [], []
+        for t in batch.column(self.text_col).to_pylist():
+            # reference hashes whitespace-lowercased tokens (deduplication.py:85-110)
+            sig = simhash64(self.tokenize(normalize_text(t or "")))
+            sigs.append(sig)
+            bands.append(simhash_bands(sig, self.n_bands))
+        out = {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+        }
+        for i in range(self.n_bands):
+            out[f"band_{i}"] = pa.array(np.array([b[i] for b in bands], dtype=np.uint64))
+        return pa.table(out)
+
+
+def simhash_pairs(ds, engine: str = DEFAULT_ENGINE, text_col: str = "text",
+                  max_hamming: int = 3) -> "pd.DataFrame":
+    """Near-dup pairs (doc_a < doc_b, hamming<=3) via banded LSH.
+
+    groupby on each of the 4 bands; per-bucket pairwise Hamming verify
+    (bucket sizes are small once hashes are spread); pairs dedup'd
+    globally at the end (a pair can match in multiple bands).
+    """
+    sigs = ds.map_batches(SimHashStage(engine=engine, text_col=text_col), batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy()
+        sh = group["simhash"].to_numpy(dtype=np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+                {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        a_out, b_out, h_out = [], [], []
+        for i in range(ids.size):
+            x = np.bitwise_xor(sh[i + 1:], sh[i])
+            # vectorized popcount via unpackbits on the byte view
+            hams = np.unpackbits(x.view(np.uint8).reshape(x.size, 8), axis=1).sum(axis=1) if x.size else np.empty(0, np.int64)
+            hit = np.nonzero(hams <= max_hamming)[0]
+            for j in hit:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[i + 1 + j]))
+                h_out.append(int(hams[j]))
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": h_out})
+
+    frames = []
+    for band in range(4):
+        pairs = sigs.groupby(f"band_{band}").map_groups(bucket_pairs, batch_format="pandas")
+        frames.append(pairs.to_pandas())
+    allp = pd.concat(frames, ignore_index=True)
+    if allp.empty:
+        return allp
+    return allp.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+class MinHashStage:
+    """text -> (doc_id, signature list<uint64>, band keys exploded later)."""
+
+    def __init__(self, engine: str = DEFAULT_ENGINE, text_col: str = "text",
+                 num_perm: int = 128, shingle_n: int = 3, seed: int = 1729):
+        self.tokenize = get_tokenizer(engine)
+        self.text_col = text_col
+        self.mh = MinHasher(num_perm=num_perm, seed=seed)
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig_rows = []
+        for t in batch.column(self.text_col).to_pylist():
+            toks = self.tokenize(normalize_text(t or ""))
+            sig_rows.append(self.mh.signature(shingles(toks, self.shingle_n)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sig": pa.array([s.tolist() for s in sig_rows], pa.list_(pa.uint64())),
+        })
+
+
+def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
+                  num_perm: int = 128, n_bands: int = 16, shingle_n: int = 3,
+                  threshold: float = 0.8, seed: int = 1729) -> "pd.DataFrame":
+    """Near-dup pairs with signature-estimated Jaccard >= threshold.
+
+    signature stage (actor pool) -> explode to (band_hash, doc_id, sig)
+    -> groupby(band) -> per-bucket verify.  Bands make candidate
+    generation ~O(dups) instead of O(n^2) (deduplication.py:238-248's
+    suggested scalable design).
+    """
+    mh = MinHasher(num_perm=num_perm, seed=seed)
+    sigs = ds.map_batches(
+        MinHashStage(engine=engine, text_col=text_col, num_perm=num_perm,
+                     shingle_n=shingle_n, seed=seed),
+        batch_format="pyarrow",
+    )
+    r = num_perm // n_bands
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sig_mat = np.array(batch.column("sig").to_pylist(), dtype=np.uint64)
+        rows_doc, rows_key, rows_sig = [], [], []
+        for i in range(doc_ids.size):
+            for bidx in range(n_bands):
+                band = sig_mat[i, bidx * r : (bidx + 1) * r]
+                key = int.from_bytes(hashlib.md5(bytes([bidx]) + band.tobytes()).digest()[:8], "big")
+                rows_doc.append(int(doc_ids[i]))
+                rows_key.append(key)
+                rows_sig.append(sig_mat[i].tolist())
+        return pa.table({
+            "band_key": pa.array(np.array(rows_key, dtype=np.uint64)),
+            "doc_id": pa.array(np.array(rows_doc, dtype=np.int64)),
+            "sig": pa.array(rows_sig, pa.list_(pa.uint64())),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy()
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(dtype=np.float64)})
+        sig_mat = np.array(group["sig"].tolist(), dtype=np.uint64)
+        order = np.argsort(ids)
+        ids, sig_mat = ids[order], sig_mat[order]
+        a_out, b_out, j_out = [], [], []
+        for i in range(ids.size):
+            if ids[i + 1:].size == 0:
+                break
+            est = (sig_mat[i + 1:] == sig_mat[i]).mean(axis=1)
+            hit = np.nonzero(est >= threshold)[0]
+            for j in hit:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[i + 1 + j]))
+                j_out.append(float(est[j]))
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out})
+
+    pairs = (
+        sigs.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pairs
+    return pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -1,0 +1,145 @@
+"""Dedup stages (exact / minhash / simhash) against brute-force truth on
+the synthetic pages corpus (which plants ~1.3% exact duplicates), ANN
+recall, and multimodal plumbing."""
+
+import hashlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from news_information_retrieval_system_ray.functions.hashing import jaccard, shingles
+from news_information_retrieval_system_ray.functions.tokenize import get_tokenizer
+from news_information_retrieval_system_ray.functions.textnorm import normalize_text
+from news_information_retrieval_system_ray.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def pages_df(tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("dedup_pages")
+    paths = generate_pages(str(d), n_docs=600, seed=11, n_files=2, dup_rate=0.05)
+    frames = [pq.read_table(p).to_pandas() for p in paths]
+    df = pd.concat(frames, ignore_index=True)
+    df["doc_id"] = np.arange(len(df), dtype=np.int64)
+    return df
+
+
+@pytest.fixture(scope="module")
+def pages_ds(ray_session, pages_df):
+    import ray.data as rd
+
+    return rd.from_pandas(pages_df[["doc_id", "text"]])
+
+
+def test_exact_dedup_matches_bruteforce(pages_ds, pages_df):
+    from news_information_retrieval_system_ray.stages.dedup import exact_dedup_groups
+
+    got = exact_dedup_groups(pages_ds).to_pandas()
+    truth = pages_df.assign(h=pages_df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()))
+    tg = truth.groupby("h")["doc_id"].agg(["min", "count"])
+    assert len(got) == len(tg)
+    merged = got.set_index("content_hash").join(tg)
+    assert (merged["keeper_doc_id"] == merged["min"]).all()
+    assert (merged["n_docs"] == merged["count"]).all()
+    assert (tg["count"] > 1).any()  # corpus really has dups
+
+
+def _exact_pairs(pages_df, threshold):
+    tok = get_tokenizer("cjk_bigram")
+    sh = [shingles(tok(normalize_text(t)), 3) for t in pages_df["text"]]
+    pairs = set()
+    for i in range(len(sh)):
+        for j in range(i + 1, len(sh)):
+            if jaccard(sh[i], sh[j]) >= threshold:
+                pairs.add((i, j))
+    return pairs
+
+
+def test_minhash_finds_all_exact_dups(pages_ds, pages_df):
+    from news_information_retrieval_system_ray.stages.dedup import minhash_pairs
+
+    got = minhash_pairs(pages_ds, engine="cjk_bigram", threshold=0.9)
+    got_pairs = set(zip(got["doc_a"], got["doc_b"])) if len(got) else set()
+    exact_dups = _exact_pairs(pages_df, 1.0)  # identical shingle sets
+    assert exact_dups, "corpus should contain exact dups"
+    missing = exact_dups - got_pairs
+    assert not missing, f"minhash missed exact duplicates: {sorted(missing)[:5]}"
+
+
+def test_simhash_finds_exact_dups(pages_ds, pages_df):
+    from news_information_retrieval_system_ray.stages.dedup import simhash_pairs
+
+    got = simhash_pairs(pages_ds, engine="cjk_bigram")
+    assert len(got) > 0
+    # exact dup pairs have hamming 0 and must be present
+    exact_dups = _exact_pairs(pages_df, 1.0)
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert exact_dups <= got_pairs
+    assert (got["hamming"] <= 3).all()
+
+
+def test_ann_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.stages.ann import brute_force_topk, lsh_topk
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.array(t.column("embedding").to_pylist()[:5], dtype=np.float64)
+    bf = brute_force_topk(ds, q, k=10)
+    approx = lsh_topk(ds, q, k=10, dim=q.shape[1], n_planes=8, n_tables=4, multiprobe=1)
+    recalls = []
+    for qid in range(5):
+        truth = set(bf[bf["qid"] == qid]["vec_id"])
+        got = set(approx[approx["qid"] == qid]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.5, recalls
+    # query 0 is its own vector -> rank 1, score 1.0
+    assert bf[(bf["qid"] == 0) & (bf["rank"] == 1)]["vec_id"].iloc[0] == 0
+
+
+def test_media_feature_plumbing(ray_session):
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.stages.multimodal import (
+        MediaFeatureStage,
+        make_fake_media_table,
+    )
+
+    ds = rd.from_arrow(make_fake_media_table(n=32, seed=3))
+    out = ds.map_batches(MediaFeatureStage(out_dim=8), batch_format="pyarrow",
+                         batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert all(len(f) == 8 for f in out["feature"])
+    out2 = rd.from_arrow(make_fake_media_table(n=32, seed=3)).map_batches(
+        MediaFeatureStage(out_dim=8), batch_format="pyarrow", batch_size=16).to_pandas()
+    a = out.sort_values("media_id")["feature"].tolist()
+    b = out2.sort_values("media_id")["feature"].tolist()
+    assert all(np.allclose(x, y) for x, y in zip(a, b))  # batch-size invariant
+
+
+def test_media_pil_decoder_unavailable():
+    from news_information_retrieval_system_ray.stages.multimodal import MediaFeatureStage
+
+    with pytest.raises((NotImplementedError, ValueError)):
+        MediaFeatureStage(decoder="pil")
+
+
+def test_lang_id_heuristic():
+    import pyarrow as pa
+
+    from news_information_retrieval_system_ray.stages.textstats import LangIdStage
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "台灣的新聞內容都是中文的報導",
+            "the news of the day is good for the people",
+            "der Hund und die Katze sind nicht da",
+        ]),
+    })
+    out = LangIdStage()(batch).to_pylist()
+    assert [r["pred_lang"] for r in out] == ["zh", "en", "de"]

@@ -1,0 +1,44 @@
+"""Regression guard for the driver's correctness gate: a fast subset of
+queries() vs oracle_sql() at sf0.001 (the full sweep is
+scripts/check_oracle.py)."""
+
+import importlib.util
+import sys
+
+import duckdb
+import pytest
+
+SUBSET = [
+    "doc_stats", "term_stats", "corpus_stats", "bm25_topk", "boolean_and",
+    "phrase_match", "facet_source_counts", "top_terms", "dedup_exact",
+    "ann_topk", "doc_quality",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _load_checker():
+    spec = importlib.util.spec_from_file_location("check_oracle", "/root/repo/scripts/check_oracle.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def harness(ray_session, sf_dir):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return _load_checker(), entrymod, con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(harness, sf_dir, name):
+    checker, entrymod, con = harness
+    ray_df = checker.to_pandas(entrymod.queries()[name](sf_dir))
+    sql_df = con.sql(entrymod.oracle_sql()[name]).df()
+    assert checker.compare(name, ray_df, sql_df)
