@@ -81,7 +81,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_flat": A.postings_flat,
         "corpus_stats": A.corpus_stats,
         "bm25_topk": A.bm25_topk,
+        "bm25_wand_topk": A.bm25_wand_topk,
         "tfidf_topk": A.tfidf_topk,
+        "lm_dirichlet_topk": A.lm_dirichlet_topk,
+        "bim_topk": A.bim_topk,
+        "hybrid_rrf": A.hybrid_rrf,
+        "fuzzy_match": A.fuzzy_match,
+        "wildcard_match": A.wildcard_match,
+        "facet_filtered_search": A.facet_filtered_search,
+        "eval_metrics": A.eval_metrics,
+        "search_snippets": A.search_snippets,
         "boolean_and": A.boolean_and,
         "boolean_and_not": lambda sf: A.boolean_and_not(sf),
         "phrase_match": A.phrase_match,
@@ -113,17 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     qv = _qterms_values()
-    return {
-        "doc_stats": _CTE + "SELECT doc_id, dl AS doc_len FROM dln",
-        "term_stats": _CTE + """
-            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term""",
-        "postings_flat": _CTE + "SELECT term, doc_id, tf FROM tf",
-        "corpus_stats": _CTE + """
-            SELECT (SELECT count(*) FROM documents) AS n_docs,
-                   (SELECT sum(dl)::BIGINT FROM dln) AS total_tokens,
-                   (SELECT count(DISTINCT term) FROM ft) AS vocab_size,
-                   round((SELECT sum(dl)::DOUBLE FROM dln) / (SELECT count(*) FROM documents), 4) AS avg_doc_len""",
-        "bm25_topk": _CTE + f""",
+    bm25_sql = _CTE + f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
             contrib AS (
@@ -139,7 +138,19 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT qid, doc_id, score,
                               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
                        FROM scores)
-            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10"""
+    return {
+        "doc_stats": _CTE + "SELECT doc_id, dl AS doc_len FROM dln",
+        "term_stats": _CTE + """
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term""",
+        "postings_flat": _CTE + "SELECT term, doc_id, tf FROM tf",
+        "corpus_stats": _CTE + """
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT sum(dl)::BIGINT FROM dln) AS total_tokens,
+                   (SELECT count(DISTINCT term) FROM ft) AS vocab_size,
+                   round((SELECT sum(dl)::DOUBLE FROM dln) / (SELECT count(*) FROM documents), 4) AS avg_doc_len""",
+        "bm25_topk": bm25_sql,
+        "bm25_wand_topk": bm25_sql,
         "tfidf_topk": _CTE + f""",
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
             wd AS (SELECT tf.doc_id, tf.term,
@@ -160,6 +171,100 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT qid, doc_id, score,
                               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
                        FROM scores WHERE score > 0)
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
+        "lm_dirichlet_topk": _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+            tot AS (SELECT sum(tf)::DOUBLE AS t FROM tf),
+            cands AS (SELECT DISTINCT q.qid, tf.doc_id FROM tf JOIN qterms q USING (term)),
+            contrib AS (
+              SELECT c.qid, c.doc_id,
+                     ln((coalesce(tf.tf, 0) + {A.MU} * cfs.cf / tot.t) / (dln.dl + {A.MU})) AS s
+              FROM cands c
+              JOIN qterms q ON q.qid = c.qid
+              JOIN cfs ON cfs.term = q.term
+              LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = q.term
+              JOIN dln ON dln.doc_id = c.doc_id
+              CROSS JOIN tot),
+            scores AS (SELECT qid, doc_id, sum(s) AS score FROM contrib GROUP BY qid, doc_id),
+            ranked AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                       FROM scores)
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
+        "bim_topk": _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (SELECT q.qid, tf.doc_id,
+                               ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                        FROM tf JOIN qterms q USING (term)
+                        JOIN dfs USING (term) CROSS JOIN stats),
+            scores AS (SELECT qid, doc_id, sum(w) AS score FROM contrib GROUP BY qid, doc_id),
+            ranked AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                       FROM scores)
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
+        "hybrid_rrf": _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            bmcontrib AS (
+              SELECT q.qid, tf.doc_id,
+                     ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                     * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+              FROM tf JOIN qterms q USING (term) JOIN dfs USING (term)
+              JOIN dln ON tf.doc_id = dln.doc_id CROSS JOIN stats),
+            bmscores AS (SELECT qid, doc_id, sum(c) AS score FROM bmcontrib GROUP BY qid, doc_id),
+            bmranked AS (SELECT qid, doc_id,
+                                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                         FROM bmscores),
+            wd AS (SELECT tf.doc_id, tf.term,
+                          (1 + log10(tf.tf)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM tf JOIN dfs USING (term) CROSS JOIN stats),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wd GROUP BY doc_id),
+            qw AS (SELECT q.qid, q.term,
+                          (1 + log10(1)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM qterms q JOIN dfs USING (term) CROSS JOIN stats),
+            qnorm AS (SELECT qid, sqrt(sum(w * w)) AS qn FROM qw GROUP BY qid),
+            tfscores AS (SELECT qw.qid, wd.doc_id,
+                                sum((wd.w / norms.nrm) * (qw.w / qnorm.qn)) AS score
+                         FROM wd JOIN qw USING (term)
+                         JOIN norms ON wd.doc_id = norms.doc_id
+                         JOIN qnorm ON qw.qid = qnorm.qid
+                         GROUP BY qw.qid, wd.doc_id),
+            tfranked AS (SELECT qid, doc_id,
+                                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                         FROM tfscores WHERE score > 0),
+            fused AS (SELECT coalesce(b.qid, t.qid) AS qid,
+                             coalesce(b.doc_id, t.doc_id) AS doc_id,
+                             coalesce({A.RRF_W_BM25} / ({A.RRF_K0} + b.rank), 0)
+                           + coalesce({A.RRF_W_TFIDF} / ({A.RRF_K0} + t.rank), 0) AS score
+                      FROM (SELECT * FROM bmranked WHERE rank <= {A.RRF_DEPTH}) b
+                      FULL OUTER JOIN (SELECT * FROM tfranked WHERE rank <= {A.RRF_DEPTH}) t
+                           ON b.qid = t.qid AND b.doc_id = t.doc_id),
+            final AS (SELECT qid, doc_id, score,
+                             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                      FROM fused)
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM final WHERE rank <= 10""",
+        "fuzzy_match": _CTE + f"""
+            SELECT DISTINCT doc_id FROM tf WHERE term IN (
+              SELECT DISTINCT term FROM tf WHERE levenshtein(term, '{A.FUZZY_TERM}') <= 1)""",
+        "wildcard_match": _CTE + f""",
+            ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT term, df FROM ts WHERE term LIKE '{A.WILDCARD_PREFIX}%'""",
+        "facet_filtered_search": _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT q.qid, tf.doc_id,
+                     ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                     * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+              FROM tf JOIN qterms q USING (term) JOIN dfs USING (term)
+              JOIN dln ON tf.doc_id = dln.doc_id CROSS JOIN stats),
+            scores AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
+            filtered AS (SELECT s.* FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+                         WHERE d.lang = '{A.FACET_LANG}'),
+            ranked AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                       FROM filtered)
             SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
         "boolean_and": _CTE + f"""
             SELECT doc_id FROM tf WHERE term IN ({", ".join(repr(t) for t in A.BOOL_AND)})
@@ -238,5 +343,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, nn_vec_id, round(score, 4) AS score FROM ranked WHERE rn = 1""",
         # rows-only (non-SQL-expressible): lang_id, fingerprints,
         # dedup_minhash, dedup_simhash, dedup_ngram_jaccard, ann_lsh,
-        # media_features
+        # media_features, eval_metrics (metric battery; kernels
+        # unit-tested in tests/test_metrics.py)
     }

@@ -1,0 +1,234 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md for results).
+
+Default mode: one Ray session (``num_cpus=$RAY_GRAFT_CPUS``, default 32)
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) running
+
+  * the headline north-rule pipeline — synthetic Common-Crawl-style
+    pages corpus (input_hint schema, generated deterministically to
+    /tmp, generation excluded from timing) -> full index build (HTML
+    extract -> tokenize actor pool -> groupby(term) shuffle -> packed
+    VByte/block-max segments) -> the 15-query reference set via
+    block-max WAND, and
+  * the headline sf-dir analytics queries (term_stats, bm25_topk,
+    dedup_minhash, ann_topk, events_windowed).
+
+Prints ONE JSON line: {"metric", "value", "unit":"sec", "queries",
+"sf", "num_cpus", ...extras (docs_per_sec, query p50/p99 ms)}.
+
+``--scaling``: runs the headline pipeline twice in FRESH subprocesses
+(num_cpus=8 then 32) on the same input and reports throughput at both
+plus efficiency = (thr_32 / thr_8) / (32 / 8); this is the sandbox
+evidence for the north rule's N-vs-4N-node criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "400000"))
+
+
+def _pages_corpus(n_docs: int) -> str:
+    """Deterministic synthetic pages corpus (realistic web-page lengths:
+    ~4-10 paragraphs — FIXTURES.md §1), cached under /tmp."""
+    from news_information_retrieval_system_ray.sources.pages import generate_pages
+
+    out = f"/tmp/nirs_bench_pages_long_{n_docs}"
+    marker = os.path.join(out, ".complete")
+    if not os.path.isfile(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        generate_pages(out, n_docs=n_docs, seed=42, n_files=64,
+                       para_range=(4, 10), words_range=(20, 60))
+        open(marker, "w").close()
+    return out
+
+
+def run_headline(num_cpus: int, n_docs: int) -> dict:
+    """Index build + reference query set; returns timings/throughputs."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from news_information_retrieval_system_ray.pipelines.index_build import build_index
+    from news_information_retrieval_system_ray.pipelines.query import IndexSearcher
+    from news_information_retrieval_system_ray.sources.pages import REFERENCE_QUERIES
+
+    # Warm the worker pool (process spawn + imports) before timing:
+    # steady-state throughput is the metric — on a real cluster workers
+    # are already up; cold-start otherwise penalizes HIGHER parallelism.
+    import ray.data as rd
+
+    def _warm(b):
+        import news_information_retrieval_system_ray.stages.indexing  # noqa: F401
+        import news_information_retrieval_system_ray.stages.tokenizer  # noqa: F401
+        return b
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        _warm, batch_size=1).count()
+
+    corpus = _pages_corpus(n_docs)
+    idx_dir = tempfile.mkdtemp(prefix="nirs_bench_idx_")
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    try:
+        build_s = float("inf")  # best-of-N (the sandbox host is noisy)
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            res = build_index(corpus, idx_dir, text_source="html", engine="cjk_bigram",
+                              n_shards=4 * num_cpus, resume=False)
+            build_s = min(build_s, time.perf_counter() - t0)
+
+        searcher = IndexSearcher(idx_dir)
+        lats = []
+        t0 = time.perf_counter()
+        n_results = 0
+        for _qid, qtext in REFERENCE_QUERIES.items():
+            t1 = time.perf_counter()
+            n_results += len(searcher.search(qtext, k=10, method="wand"))
+            lats.append(time.perf_counter() - t1)
+        query_s = time.perf_counter() - t0
+        lats.sort()
+        p50 = lats[len(lats) // 2]
+        p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+        return {
+            "index_build_sec": round(build_s, 3),
+            "docs_per_sec": round(res.n_docs / build_s, 1),
+            "n_docs": res.n_docs,
+            "query_batch_sec": round(query_s, 3),
+            "query_p50_ms": round(p50 * 1e3, 2),
+            "query_p99_ms": round(p99 * 1e3, 2),
+            "n_results": n_results,
+        }
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def run_sf_queries(sf_dir: str) -> dict[str, float]:
+    """Headline analytics queries over the sf dir (ray already init)."""
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    def consume(res) -> None:
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.count()
+                return
+        except ImportError:
+            pass
+        len(res)
+
+    out: dict[str, float] = {}
+    for name, fn in [
+        ("term_stats", A.term_stats),
+        ("bm25_topk", A.bm25_topk),
+        ("dedup_minhash", A.dedup_minhash),
+        ("ann_topk", A.ann_topk),
+        ("events_windowed", A.events_windowed),
+    ]:
+        t0 = time.perf_counter()
+        consume(fn(sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
+    import ray
+
+    head = run_headline(num_cpus, BENCH_DOCS)
+    queries = {"index_build": head["index_build_sec"],
+               "reference_queries": head["query_batch_sec"]}
+    if not headline_only:
+        queries.update(run_sf_queries(sf_dir))
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "e2e_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_docs": head["n_docs"],
+        "docs_per_sec": head["docs_per_sec"],
+        "query_p50_ms": head["query_p50_ms"],
+        "query_p99_ms": head["query_p99_ms"],
+    }
+    ray.shutdown()
+    return out
+
+
+def main_scaling(sf_dir: str) -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh pinned processes.
+
+    Levels run interleaved (8, 32, 8, 32) and each level keeps its best
+    run — the sandbox host's available compute fluctuates by tens of
+    percent minute-to-minute, so a single sample per level conflates
+    host noise with scaling behavior.
+    """
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    runs: dict[int, dict] = {}
+    for _ in range(rounds):
+        for n in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       GRAFT_BENCH_DOCS=str(SCALING_DOCS))
+            # Pin CPU affinity for the whole process tree: ray.init(num_cpus=n)
+            # only limits task SLOTS — pyarrow's internal thread pools would
+            # otherwise let the "8-CPU" run burn all host cores, overstating
+            # small-cluster throughput and understating scaling efficiency.
+            cmd = [sys.executable, os.path.abspath(__file__), "--_one", "--headline-only"]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+            p = subprocess.run(
+                cmd, env=env, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            if p.returncode != 0:
+                print(p.stdout, file=sys.stderr)
+                print(p.stderr, file=sys.stderr)
+                raise RuntimeError(f"scaling run at num_cpus={n} failed")
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            if n not in runs or r["docs_per_sec"] > runs[n]["docs_per_sec"]:
+                runs[n] = r
+    thr8, thr32 = runs[8]["docs_per_sec"], runs[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "index_build_cpus8": runs[8]["queries"]["index_build"],
+            "index_build_cpus32": runs[32]["queries"]["index_build"],
+        },
+        "sf": sf_dir,
+        "num_cpus": 32,
+        "bench_docs": runs[32]["bench_docs"],
+        "docs_per_sec_cpus8": thr8,
+        "docs_per_sec_cpus32": thr32,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_one", action="store_true", help="internal: single fresh-process run")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        result = main_scaling(SF_DIR)
+    else:
+        result = main_once(NUM_CPUS, SF_DIR, headline_only=args.headline_only)
+    print(json.dumps(result))

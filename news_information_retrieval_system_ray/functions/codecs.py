@@ -22,6 +22,13 @@ _U64 = np.uint64
 _THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 
 
+def vbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count (for computing block offsets without
+    encoding block-by-block)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    return np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64) + 1
+
+
 def vbyte_encode(values: np.ndarray) -> bytes:
     """Encode a 1-D array of non-negative ints to VByte bytes."""
     v = np.ascontiguousarray(values, dtype=_U64)
@@ -90,3 +97,132 @@ def encode_sorted_ids(sorted_ids: np.ndarray) -> bytes:
 
 def decode_sorted_ids(buf: bytes) -> np.ndarray:
     return delta_decode(vbyte_decode(buf))
+
+
+# ---------------------------------------------------------------------------
+# Elias-Gamma / Elias-Delta (reference compression.py:296-639).  Values must
+# be >= 1 (the reference raises on 0 — gaps are >= 1 by the delta contract).
+# Bit order matches the reference: unary length prefix (N zeros + '1'), then
+# the N low-order bits of the value, MSB-first, packed big-endian into bytes.
+# Vectorized: the bitstream is assembled per-value into a uint8 bit matrix.
+# ---------------------------------------------------------------------------
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    return np.floor(np.log2(v.astype(np.float64))).astype(np.int64) + 1
+
+
+def _pack_bits(bits: np.ndarray) -> bytes:
+    pad = (-bits.size) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
+    return np.packbits(bits).tobytes()
+
+
+def _values_to_bits(v: np.ndarray, nbits: np.ndarray) -> np.ndarray:
+    """Concatenate, per value, its ``nbits`` low-order bits MSB-first."""
+    total = int(nbits.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    # position j within a value's field holds bit (nbits-1-j)
+    idx = np.arange(total, dtype=np.int64)
+    grp = np.searchsorted(ends, idx, side="right")
+    j = idx - starts[grp]
+    shift = (nbits[grp] - 1 - j).astype(np.uint64)
+    out[:] = ((v[grp] >> shift) & _U64(1)).astype(np.uint8)
+    return out
+
+
+def gamma_encode(values: np.ndarray) -> bytes:
+    """Elias-Gamma: unary(len) ++ low (len-1) bits (compression.py:296-458)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return b""
+    if int(v.min()) < 1:
+        raise ValueError("elias-gamma requires values >= 1")
+    L = _bit_lengths(v)
+    # per value: (L-1) zeros, then the L bits of the value (MSB of value is 1)
+    nbits = 2 * L - 1
+    total = int(nbits.sum())
+    bits = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    val_bits = _values_to_bits(v, L)
+    vends = np.cumsum(L)
+    vstarts = vends - L
+    for i in range(v.size):  # copy value fields (vector ops inside)
+        bits[starts[i] + L[i] - 1 : ends[i]] = val_bits[vstarts[i] : vends[i]]
+    return _pack_bits(bits)
+
+
+def gamma_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` Elias-Gamma values."""
+    if count == 0:
+        return np.empty(0, dtype=_U64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    out = np.empty(count, dtype=_U64)
+    p = 0
+    for i in range(count):
+        z = 0
+        while bits[p] == 0:
+            z += 1
+            p += 1
+        field = bits[p : p + z + 1]
+        p += z + 1
+        val = 0
+        for b in field:
+            val = (val << 1) | int(b)
+        out[i] = val
+    return out
+
+
+def delta_elias_encode(values: np.ndarray) -> bytes:
+    """Elias-Delta: gamma(len) ++ low (len-1) bits (compression.py:492-639)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return b""
+    if int(v.min()) < 1:
+        raise ValueError("elias-delta requires values >= 1")
+    L = _bit_lengths(v)
+    LL = _bit_lengths(L.astype(_U64))
+    nbits = (2 * LL - 1) + (L - 1)
+    total = int(nbits.sum())
+    bits = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    len_bits = _values_to_bits(L.astype(_U64), LL)
+    lends = np.cumsum(LL)
+    lstarts = lends - LL
+    val_bits = _values_to_bits(v, L)  # includes leading 1 bit; we drop it
+    vends = np.cumsum(L)
+    vstarts = vends - L
+    for i in range(v.size):
+        s = starts[i] + LL[i] - 1
+        bits[s : s + LL[i]] = len_bits[lstarts[i] : lends[i]]
+        bits[s + LL[i] : ends[i]] = val_bits[vstarts[i] + 1 : vends[i]]
+    return _pack_bits(bits)
+
+
+def delta_elias_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` Elias-Delta values."""
+    if count == 0:
+        return np.empty(0, dtype=_U64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    out = np.empty(count, dtype=_U64)
+    p = 0
+    for i in range(count):
+        z = 0
+        while bits[p] == 0:
+            z += 1
+            p += 1
+        lfield = bits[p : p + z + 1]
+        p += z + 1
+        L = 0
+        for b in lfield:
+            L = (L << 1) | int(b)
+        val = 1
+        for b in bits[p : p + L - 1]:
+            val = (val << 1) | int(b)
+        p += L - 1
+        out[i] = val
+    return out

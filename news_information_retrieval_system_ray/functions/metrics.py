@@ -1,0 +1,181 @@
+"""IR evaluation metrics — pure functions over ranked lists + qrels.
+
+Reimplements the reference's metric battery
+(/root/reference/src/ir/eval/metrics.py:84-872): P/R/F1, P@K, R@K,
+AP/MAP, MRR, DCG/nDCG@K, ERR, GMAP, RBP, bpref, R-precision,
+success@K.  These run driver-side (qrels and runs are tiny relative to
+the corpus — SURVEY §2.5), vectorized NumPy.
+
+Conventions (matching the reference):
+- ``ranked``: doc ids in rank order (rank 1 first).
+- ``qrels``: dict doc_id -> graded relevance (int >= 0); relevant iff
+  grade > 0 for the binary metrics.
+- DCG uses the ``rel / log2(rank+1)`` form (metrics.py's dcg_at_k);
+  nDCG normalizes by the ideal DCG at the same cutoff.
+- ERR uses graded probability ``(2^g - 1) / 2^g_max``.
+- RBP persistence default 0.8 (metrics.py default).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _rel_mask(ranked: list[int], qrels: dict[int, int]) -> np.ndarray:
+    return np.array([qrels.get(d, 0) > 0 for d in ranked], dtype=bool)
+
+
+def precision(ranked: list[int], qrels: dict[int, int]) -> float:
+    if not ranked:
+        return 0.0
+    return float(_rel_mask(ranked, qrels).sum()) / len(ranked)
+
+
+def recall(ranked: list[int], qrels: dict[int, int]) -> float:
+    n_rel = sum(1 for g in qrels.values() if g > 0)
+    if n_rel == 0:
+        return 0.0
+    return float(_rel_mask(ranked, qrels).sum()) / n_rel
+
+
+def f1(ranked: list[int], qrels: dict[int, int]) -> float:
+    p, r = precision(ranked, qrels), recall(ranked, qrels)
+    return 0.0 if p + r == 0 else 2 * p * r / (p + r)
+
+
+def precision_at_k(ranked: list[int], qrels: dict[int, int], k: int) -> float:
+    if k <= 0:
+        return 0.0
+    return float(_rel_mask(ranked[:k], qrels).sum()) / k
+
+
+def recall_at_k(ranked: list[int], qrels: dict[int, int], k: int) -> float:
+    n_rel = sum(1 for g in qrels.values() if g > 0)
+    if n_rel == 0:
+        return 0.0
+    return float(_rel_mask(ranked[:k], qrels).sum()) / n_rel
+
+
+def r_precision(ranked: list[int], qrels: dict[int, int]) -> float:
+    n_rel = sum(1 for g in qrels.values() if g > 0)
+    return precision_at_k(ranked, qrels, n_rel) if n_rel else 0.0
+
+
+def success_at_k(ranked: list[int], qrels: dict[int, int], k: int) -> float:
+    return 1.0 if _rel_mask(ranked[:k], qrels).any() else 0.0
+
+
+def average_precision(ranked: list[int], qrels: dict[int, int]) -> float:
+    rel = _rel_mask(ranked, qrels)
+    n_rel = sum(1 for g in qrels.values() if g > 0)
+    if n_rel == 0:
+        return 0.0
+    hits = np.cumsum(rel)
+    ranks = np.arange(1, rel.size + 1)
+    return float((hits[rel] / ranks[rel]).sum()) / n_rel
+
+
+def reciprocal_rank(ranked: list[int], qrels: dict[int, int]) -> float:
+    rel = _rel_mask(ranked, qrels)
+    idx = np.nonzero(rel)[0]
+    return 0.0 if idx.size == 0 else 1.0 / (int(idx[0]) + 1)
+
+
+def dcg_at_k(ranked: list[int], qrels: dict[int, int], k: int) -> float:
+    gains = np.array([qrels.get(d, 0) for d in ranked[:k]], dtype=np.float64)
+    if gains.size == 0:
+        return 0.0
+    discounts = np.log2(np.arange(2, gains.size + 2))
+    return float((gains / discounts).sum())
+
+
+def ndcg_at_k(ranked: list[int], qrels: dict[int, int], k: int) -> float:
+    ideal = sorted(qrels.values(), reverse=True)[:k]
+    idcg = float(sum(g / math.log2(i + 2) for i, g in enumerate(ideal)))
+    if idcg == 0.0:
+        return 0.0
+    return dcg_at_k(ranked, qrels, k) / idcg
+
+
+def err(ranked: list[int], qrels: dict[int, int], k: int | None = None) -> float:
+    g_max = max(qrels.values(), default=0)
+    if g_max == 0:
+        return 0.0
+    docs = ranked if k is None else ranked[:k]
+    p_stop_all = np.array([(2 ** qrels.get(d, 0) - 1) / (2 ** g_max) for d in docs])
+    out, p_continue = 0.0, 1.0
+    for r, p in enumerate(p_stop_all, 1):
+        out += p_continue * p / r
+        p_continue *= 1.0 - p
+    return out
+
+
+def rbp(ranked: list[int], qrels: dict[int, int], persistence: float = 0.8) -> float:
+    rel = _rel_mask(ranked, qrels).astype(np.float64)
+    weights = (1.0 - persistence) * persistence ** np.arange(rel.size)
+    return float((rel * weights).sum())
+
+
+def bpref(ranked: list[int], qrels: dict[int, int]) -> float:
+    """bpref (metrics.py's judged-preference metric): for each relevant
+    doc, penalty = min(#nonrelevant-judged ranked above, R) / min(N, R)."""
+    judged_rel = {d for d, g in qrels.items() if g > 0}
+    judged_non = {d for d, g in qrels.items() if g == 0}
+    R, N = len(judged_rel), len(judged_non)
+    if R == 0:
+        return 0.0
+    non_above = 0
+    acc = 0.0
+    for d in ranked:
+        if d in judged_non:
+            non_above += 1
+        elif d in judged_rel:
+            denom = min(R, N)
+            acc += 1.0 - (min(non_above, denom) / denom if denom else 0.0)
+    return acc / R
+
+
+def gmap(ap_values: list[float], eps: float = 1e-5) -> float:
+    if not ap_values:
+        return 0.0
+    return float(np.exp(np.mean(np.log(np.maximum(np.array(ap_values), eps)))))
+
+
+def evaluate_run(run: dict[str, list[int]], qrels: dict[str, dict[int, int]],
+                 k: int = 10) -> dict[str, float]:
+    """Aggregate metrics over a run {qid: ranked doc_ids} vs {qid: qrels}.
+
+    Mirrors the reference's evaluate_run summary (metrics.py:877-1023):
+    macro-averages over queries present in both run and qrels.
+    """
+    qids = sorted(set(run) & set(qrels))
+    if not qids:
+        return {}
+    aps, out = [], {}
+    acc: dict[str, list[float]] = {m: [] for m in (
+        "P", "R", "F1", f"P@{k}", f"R@{k}", "MRR", f"nDCG@{k}", "R-prec",
+        f"ERR@{k}", "RBP", "bpref", f"success@{k}")}
+    for qid in qids:
+        ranked, qr = run[qid], qrels[qid]
+        ap = average_precision(ranked, qr)
+        aps.append(ap)
+        acc["P"].append(precision(ranked, qr))
+        acc["R"].append(recall(ranked, qr))
+        acc["F1"].append(f1(ranked, qr))
+        acc[f"P@{k}"].append(precision_at_k(ranked, qr, k))
+        acc[f"R@{k}"].append(recall_at_k(ranked, qr, k))
+        acc["MRR"].append(reciprocal_rank(ranked, qr))
+        acc[f"nDCG@{k}"].append(ndcg_at_k(ranked, qr, k))
+        acc["R-prec"].append(r_precision(ranked, qr))
+        acc[f"ERR@{k}"].append(err(ranked, qr, k))
+        acc["RBP"].append(rbp(ranked, qr))
+        acc["bpref"].append(bpref(ranked, qr))
+        acc[f"success@{k}"].append(success_at_k(ranked, qr, k))
+    for m, vals in acc.items():
+        out[m] = float(np.mean(vals))
+    out["MAP"] = float(np.mean(aps))
+    out["GMAP"] = gmap(aps)
+    out["n_queries"] = float(len(qids))
+    return out

@@ -8,11 +8,13 @@ doc_lens VByte.  Every block is self-contained, so posting lists built
 for disjoint doc-id chunks (the skew-splitting shuffle, SURVEY §7.5)
 merge by plain concatenation — no re-encode.
 
-Per-block metadata (``block_last_doc``, ``block_max_weight``) enables
-block-max WAND skipping (the reference's term upper bounds,
-query_optimization.py:164-189, extended to per-block maxima).
-``block_max_weight`` stores the max BM25 tf/doc-len weight (IDF
-excluded — IDF is a per-term constant applied at query time).
+Per-block metadata (``block_last_doc``, ``block_max_tf``,
+``block_min_dl``) enables block-max WAND skipping: the upper bound is
+``weight(max_tf, min_dl)`` exactly as the reference computes term upper
+bounds (query_optimization.py:164-189, ``score(max_tf, min_doc_len)``),
+held per block.  Storing raw (tf, dl) extremes instead of a precomputed
+weight keeps segment files independent of global stats (avgdl) — the
+bound is evaluated at query-load time.
 
 Storing doc_len inline with each posting makes query scoring
 self-contained (no doc-id -> length sidecar lookup at 10^12-doc scale).
@@ -22,68 +24,60 @@ from __future__ import annotations
 
 import numpy as np
 
-from .bm25 import tf_weight
-from .codecs import vbyte_decode, vbyte_encode
+from .codecs import vbyte_decode, vbyte_encode, vbyte_lengths
 
 BLOCK_SIZE = 128
 
 PACKED_FIELDS = (
     "df", "cf", "docs_bytes", "tfs_bytes", "dls_bytes",
     "block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
-    "block_len", "block_last_doc", "block_max_weight",
+    "block_len", "block_last_doc", "block_max_tf", "block_min_dl",
 )
 
 
 def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                  avgdl: float, block_size: int = BLOCK_SIZE) -> dict:
+                  block_size: int = BLOCK_SIZE) -> dict:
     """Encode one (chunk of a) posting list sorted by doc_id.
 
-    Returns a dict of the PACKED_FIELDS columns (term not included).
+    Fully vectorized single-pass encode: deltas are computed with an
+    absolute reset at every block start, the whole stream is VByte-encoded
+    in ONE call, and per-block byte offsets come from per-value encoded
+    lengths via ``np.add.reduceat`` — no per-block Python loop (this stage
+    dominates segment-build CPU at scale).  Returns a dict of the
+    PACKED_FIELDS columns (term not included).
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
     n = doc_ids.size
-    docs_parts: list[bytes] = []
-    tf_parts: list[bytes] = []
-    dl_parts: list[bytes] = []
-    b_doc_nb: list[int] = []
-    b_tf_nb: list[int] = []
-    b_dl_nb: list[int] = []
-    b_len: list[int] = []
-    b_last: list[int] = []
-    b_maxw: list[float] = []
-    for s in range(0, n, block_size):
-        e = min(s + block_size, n)
-        ids = doc_ids[s:e]
-        deltas = np.empty(e - s, dtype=np.uint64)
-        deltas[0] = np.uint64(ids[0])
-        if e - s > 1:
-            deltas[1:] = np.diff(ids).astype(np.uint64)
-        db = vbyte_encode(deltas)
-        tb = vbyte_encode(tfs[s:e].astype(np.uint64))
-        lb = vbyte_encode(dls[s:e].astype(np.uint64))
-        docs_parts.append(db)
-        tf_parts.append(tb)
-        dl_parts.append(lb)
-        b_doc_nb.append(len(db))
-        b_tf_nb.append(len(tb))
-        b_dl_nb.append(len(lb))
-        b_len.append(e - s)
-        b_last.append(int(ids[-1]))
-        b_maxw.append(float(tf_weight(tfs[s:e], dls[s:e], avgdl).max()))
+    if n == 0:
+        return {
+            "df": 0, "cf": 0, "docs_bytes": b"", "tfs_bytes": b"", "dls_bytes": b"",
+            "block_doc_nbytes": [], "block_tf_nbytes": [], "block_dl_nbytes": [],
+            "block_len": [], "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
+        }
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    ends = np.minimum(starts + block_size, n)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(doc_ids[0])
+    if n > 1:
+        deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    deltas[starts] = doc_ids[starts].astype(np.uint64)  # absolute at block start
+    tfs_u = tfs.astype(np.uint64)
+    dls_u = dls.astype(np.uint64)
     return {
         "df": n,
         "cf": int(tfs.sum()),
-        "docs_bytes": b"".join(docs_parts),
-        "tfs_bytes": b"".join(tf_parts),
-        "dls_bytes": b"".join(dl_parts),
-        "block_doc_nbytes": b_doc_nb,
-        "block_tf_nbytes": b_tf_nb,
-        "block_dl_nbytes": b_dl_nb,
-        "block_len": b_len,
-        "block_last_doc": b_last,
-        "block_max_weight": b_maxw,
+        "docs_bytes": vbyte_encode(deltas),
+        "tfs_bytes": vbyte_encode(tfs_u),
+        "dls_bytes": vbyte_encode(dls_u),
+        "block_doc_nbytes": np.add.reduceat(vbyte_lengths(deltas), starts).tolist(),
+        "block_tf_nbytes": np.add.reduceat(vbyte_lengths(tfs_u), starts).tolist(),
+        "block_dl_nbytes": np.add.reduceat(vbyte_lengths(dls_u), starts).tolist(),
+        "block_len": (ends - starts).tolist(),
+        "block_last_doc": doc_ids[ends - 1].tolist(),
+        "block_max_tf": np.maximum.reduceat(tfs, starts).tolist(),
+        "block_min_dl": np.minimum.reduceat(dls, starts).tolist(),
     }
 
 
@@ -105,7 +99,7 @@ def merge_packed(chunks: list[dict]) -> dict:
         "dls_bytes": b"".join(c["dls_bytes"] for c in chunks),
     }
     for f in ("block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
-              "block_len", "block_last_doc", "block_max_weight"):
+              "block_len", "block_last_doc", "block_max_tf", "block_min_dl"):
         acc: list = []
         for c in chunks:
             acc.extend(c[f])

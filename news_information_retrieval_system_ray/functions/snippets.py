@@ -1,0 +1,73 @@
+"""Snippet / highlight / KWIC kernels (serving-side maps, SURVEY §2.2).
+
+Reference semantics reproduced:
+
+- ``make_snippet`` (/root/reference/src/ir_app/services/search_service.py:627-672):
+  split text into sentences on ``[。！？.!?]``, pick the sentence with the
+  most DISTINCT query-term hits (first wins ties), trim to 180 chars with
+  an ellipsis appended when truncated.
+- ``highlight`` (search_service.py:688-703): HTML-escape, then wrap each
+  query-term occurrence (case-insensitive) in ``<mark>..</mark>``.
+- ``kwic_windows`` (/root/reference/src/ir/summarize/dynamic.py:100-472
+  fixed-window mode): for each term occurrence, a window of ``width``
+  chars each side, occurrence position reported.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+
+_SENT_SPLIT = re.compile(r"[。！？.!?]")
+SNIPPET_LEN = 180
+
+
+def split_sentences(text: str) -> list[str]:
+    return [s.strip() for s in _SENT_SPLIT.split(text) if s.strip()]
+
+
+def make_snippet(text: str, query_terms: list[str], max_len: int = SNIPPET_LEN) -> str:
+    """Best sentence by distinct query-term hits, trimmed to max_len."""
+    if not text:
+        return ""
+    sentences = split_sentences(text)
+    if not sentences:
+        sentences = [text.strip()]
+    lower_terms = [t.lower() for t in query_terms]
+    best, best_hits = sentences[0], -1
+    for s in sentences:
+        sl = s.lower()
+        hits = sum(1 for t in lower_terms if t and t in sl)
+        if hits > best_hits:
+            best, best_hits = s, hits
+    if len(best) > max_len:
+        return best[:max_len] + "…"
+    return best
+
+
+def highlight(text: str, query_terms: list[str]) -> str:
+    """HTML-escape then <mark>-wrap query-term occurrences (case-insensitive)."""
+    out = html.escape(text, quote=False)
+    for t in sorted({t for t in query_terms if t}, key=len, reverse=True):
+        out = re.sub(
+            f"({re.escape(html.escape(t, quote=False))})",
+            r"<mark>\1</mark>", out, flags=re.IGNORECASE,
+        )
+    return out
+
+
+def kwic_windows(text: str, term: str, width: int = 30,
+                 max_windows: int = 5) -> list[tuple[int, str]]:
+    """(position, window) pairs for each occurrence of term (fixed width)."""
+    if not text or not term:
+        return []
+    out: list[tuple[int, str]] = []
+    tl, low = term.lower(), text.lower()
+    start = 0
+    while len(out) < max_windows:
+        p = low.find(tl, start)
+        if p < 0:
+            break
+        out.append((p, text[max(0, p - width): p + len(term) + width]))
+        start = p + len(term)
+    return out

@@ -43,6 +43,13 @@ FIXED_QUERIES: dict[str, list[str]] = {
 PHRASE = ["batch", "stream"]
 BOOL_AND = ["spark", "vector"]
 BOOL_NOT = (["spark", "join"], ["dup"])
+FUZZY_TERM = "spark"      # edit-distance<=1 expansion target (fuzzy.py:63-213)
+WILDCARD_PREFIX = "wind"  # prefix wildcard 'wind*' (wildcard.py:81-175)
+FACET_LANG = "en"         # facet filter value (search_service.py:413-432)
+MU = 2000.0               # Dirichlet smoothing (index_service.py:383-388)
+RRF_K0 = 60.0             # RRF constant (search_service.py:268-295)
+RRF_DEPTH = 50            # per-ranker depth max(50, k*5) at k=10
+RRF_W_BM25, RRF_W_TFIDF = 0.65, 0.35
 
 
 def round4(x: float) -> float:
@@ -129,16 +136,26 @@ def corpus_stats(sf_dir: str) -> pd.DataFrame:
 
 # ------------------------------------------------------------------ ranking
 
-def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Fixed-query BM25 top-k, distributed scoring.
+def _topk_group(k: int):
+    """pandas map_groups body: rank top-k by (-score, doc_id) (SURVEY §7.6.2)."""
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "doc_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return topk
+
+
+def _bm25_scores(sf_dir: str, n_docs: int, avgdl: float):
+    """Dataset (qid, doc_id, score) of BM25 scores for the fixed queries.
 
     postings for the (broadcast) query terms are scored inside
-    map_batches; per-doc sums and per-query top-k are groupby stages.
-    df/N/avgdl are tiny aggregates collected to the driver (vocab-sized).
+    map_batches; per-doc sums are a groupby stage.  df/N/avgdl are tiny
+    aggregates collected to the driver (vocab-sized).
     """
     from ray.data.aggregate import Count, Sum
 
-    n_docs, avgdl = _corpus_stats(sf_dir)
     qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
     term_to_qids: dict[str, list[str]] = {
         t: [qid for qid, ts in FIXED_QUERIES.items() if t in ts] for t in qterms
@@ -172,17 +189,39 @@ def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
             "c": pa.array(out_c, pa.float64()),
         })
 
-    scores = ex.map_batches(score_batch, batch_format="pyarrow") \
-               .groupby(["qid", "doc_id"]).aggregate(Sum("c", alias_name="score"))
+    return ex.map_batches(score_batch, batch_format="pyarrow") \
+             .groupby(["qid", "doc_id"]).aggregate(Sum("c", alias_name="score"))
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["score", "doc_id"], ascending=[False, True]).head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
 
-    out = scores.groupby("qid").map_groups(topk, batch_format="pandas").to_pandas()
+def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Fixed-query BM25 top-k, distributed scoring."""
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    scores = _bm25_scores(sf_dir, n_docs, avgdl)
+    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
+
+
+def bm25_wand_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Fixed-query BM25 top-k served by the REAL index engine: distributed
+    segment build (groupby(term) shuffle -> VByte/block-max postings) then
+    block-max WAND with a bounded min-heap (pipelines/query.py).  Shares
+    the bm25_topk oracle SQL — proving WAND pruning == exhaustive scoring
+    == SQL, rank-identically (north-rule invariant)."""
+    import tempfile
+
+    from .index_build import build_index
+    from .query import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="nirs_wand_idx_")
+    build_index(f"{sf_dir}/documents.parquet", idx, text_source="text",
+                id_col="doc_id", engine="whitespace", n_shards=4, resume=False)
+    s = IndexSearcher(idx)
+    rows = []
+    for qid, terms in FIXED_QUERIES.items():
+        for rank, (doc_id, score) in enumerate(s.search(" ".join(terms), k=k, method="wand"), 1):
+            rows.append((qid, rank, doc_id, round4(score)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
 def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -240,6 +279,276 @@ def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out = scored.groupby("qid").map_groups(topk, batch_format="pandas").to_pandas()
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
+
+
+def lm_dirichlet_topk(sf_dir: str, k: int = 10, mu: float = MU) -> pd.DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k (language_model_retrieval.py:250-268,
+    app mu=2000 index_service.py:383-388).
+
+    score(q,d) = sum_t log((tf + mu*P(t|C)) / (dl + mu)) over the query's
+    terms (absent terms contribute the smoothed background).  Distributed
+    form: present-(qid,term,doc) rows emit
+    ``a = log(tf + mu*Pc) - log(mu*Pc)``; per-(qid,doc) score is then
+    ``sum(a) + C_q - |q|*log(dl + mu)`` with the per-query constant
+    ``C_q = sum_t log(mu*Pc_t)`` — only present rows ever shuffle.
+    Candidates (reference semantics) are docs containing >= 1 query term.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    ex = _exploded_ds(sf_dir).materialize()
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    # collection stats for the query terms + total token count (tiny)
+    cf_rows = ex.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
+        batch_format="pyarrow",
+    ).groupby("term").aggregate(Sum("tf", alias_name="cf")).take_all()
+    cf = {r["term"]: int(r["cf"]) for r in cf_rows}
+    total = int(ex.aggregate(Sum("tf", alias_name="t"))["t"])
+    live = {qid: [t for t in ts if cf.get(t)] for qid, ts in FIXED_QUERIES.items()}
+    cq = {qid: sum(math.log(mu * cf[t] / total) for t in ts) for qid, ts in live.items()}
+    nq = {qid: len(ts) for qid, ts in live.items()}
+    term_to_qids = {t: [qid for qid, ts in live.items() if t in ts] for t in qterms}
+
+    def present(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms)))
+        terms = t.column("term").to_pylist()
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out_q, out_d, out_a, out_dl = [], [], [], []
+        for i, term in enumerate(terms):
+            pc = mu * cf[term] / total
+            a = math.log(tf[i] + pc) - math.log(pc)
+            for qid in term_to_qids[term]:
+                out_q.append(qid)
+                out_d.append(int(doc[i]))
+                out_a.append(a)
+                out_dl.append(dl[i])
+        return pa.table({
+            "qid": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "a": pa.array(out_a, pa.float64()),
+            "dl": pa.array(out_dl, pa.float64()),
+        })
+
+    agg = ex.map_batches(present, batch_format="pyarrow") \
+            .groupby(["qid", "doc_id"]) \
+            .aggregate(Sum("a", alias_name="sum_a"), Max("dl", alias_name="dl"))
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        qv = df["qid"].map(cq).to_numpy(dtype=np.float64)
+        nv = df["qid"].map(nq).to_numpy(dtype=np.float64)
+        df["score"] = df["sum_a"].to_numpy() + qv - nv * np.log(df["dl"].to_numpy() + mu)
+        return df[["qid", "doc_id", "score"]]
+
+    scores = agg.map_batches(score_rows, batch_format="pandas")
+    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
+
+
+def bim_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Binary Independence Model top-k: score = sum over matched distinct
+    query terms of RSJ weight log((N-df+0.5)/(df+0.5)) (bim.py:187-207 —
+    note: no +1, unlike BM25 IDF; SURVEY §7.6.3)."""
+    from ray.data.aggregate import Count, Sum
+
+    n_docs, _ = _corpus_stats(sf_dir)
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    term_to_qids = {t: [qid for qid, ts in FIXED_QUERIES.items() if t in ts] for t in qterms}
+    ex = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
+        batch_format="pyarrow",
+    ).materialize()
+    dfs = {r["term"]: int(r["df"]) for r in
+           ex.groupby("term").aggregate(Count(alias_name="df")).take_all()}
+
+    def weigh(t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_pylist()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out_q, out_d, out_w = [], [], []
+        for i, term in enumerate(terms):
+            df = dfs.get(term, 0)
+            if df == 0:
+                continue
+            w = math.log((n_docs - df + 0.5) / (df + 0.5))
+            for qid in term_to_qids[term]:
+                out_q.append(qid)
+                out_d.append(int(doc[i]))
+                out_w.append(w)
+        return pa.table({
+            "qid": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "w": pa.array(out_w, pa.float64()),
+        })
+
+    scores = ex.map_batches(weigh, batch_format="pyarrow") \
+               .groupby(["qid", "doc_id"]).aggregate(Sum("w", alias_name="score"))
+    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
+
+
+def hybrid_rrf(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Hybrid reciprocal-rank fusion of BM25 + TF-IDF
+    (search_service.py:268-295): per-ranker depth max(50, k*5), fused
+    score = 0.65/(60+rank_bm25) + 0.35/(60+rank_tfidf), top-k by
+    (-fused, doc_id).  The per-ranker top lists are tiny — fusion is a
+    driver-side join (SURVEY §2.6)."""
+    bm = bm25_topk(sf_dir, k=RRF_DEPTH)[["qid", "doc_id", "rank"]]
+    tf = tfidf_topk(sf_dir, k=RRF_DEPTH)[["qid", "doc_id", "rank"]]
+    bm["c_bm"] = RRF_W_BM25 / (RRF_K0 + bm.pop("rank"))
+    tf["c_tf"] = RRF_W_TFIDF / (RRF_K0 + tf.pop("rank"))
+    fused = bm.merge(tf, on=["qid", "doc_id"], how="outer").fillna(0.0)
+    fused["score"] = fused["c_bm"] + fused["c_tf"]
+    rows = []
+    for qid, g in fused.groupby("qid"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            rows.append((qid, rank, int(r["doc_id"]), round4(float(r["score"]))))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
+def _edit_distance_le1(a: str, b: str) -> bool:
+    """Levenshtein <= 1 without the full DP table (fuzzy.py:63-213)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = diff = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+        else:
+            diff += 1
+            if diff > 1:
+                return False
+        j += 1
+    return True
+
+
+def fuzzy_match(sf_dir: str, term: str | None = None) -> pd.DataFrame:
+    """Docs containing any vocabulary term within edit distance 1 of the
+    query term (fuzzy.py:63-213 expansion -> OR).  The vocab scan is a
+    distributed filter over term_stats; the matched set (tiny) broadcasts
+    into a semi-join on the exploded table."""
+    term = term or FUZZY_TERM
+    ts = term_stats(sf_dir)
+    matched = ts.map_batches(
+        lambda t: t.filter(pa.array([_edit_distance_le1(x, term) for x in t.column("term").to_pylist()])),
+        batch_format="pyarrow",
+    ).select_columns(["term"]).take_all()
+    mset = pa.array(sorted({r["term"] for r in matched}))
+    if len(mset) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+    hits = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=mset)).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return hits.drop_duplicates().sort_values("doc_id").reset_index(drop=True)
+
+
+def wildcard_match(sf_dir: str, prefix: str | None = None) -> pd.DataFrame:
+    """(term, df) for vocabulary terms matching ``prefix*``
+    (wildcard.py:81-175 prefix expansion; also the PAT-tree prefix-search
+    semantics, pat_tree.py prefix queries)."""
+    prefix = prefix or WILDCARD_PREFIX
+    ts = term_stats(sf_dir)
+    out = ts.map_batches(
+        lambda t: t.filter(pa.compute.starts_with(t.column("term"), prefix)),
+        batch_format="pyarrow",
+    ).select_columns(["term", "df"]).to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def facet_filtered_search(sf_dir: str, k: int = 10, lang: str = FACET_LANG) -> pd.DataFrame:
+    """BM25 with a facet filter: score at full retrieval depth, intersect
+    with the allowed doc set, THEN truncate to top-k — the reference's
+    filter-then-truncate semantics (search_service.py:108,413-432).  The
+    lang->doc mask joins as a broadcast map inside map_batches."""
+    import ray
+
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    allowed = {d for d, l in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("lang").to_pylist()) if l == lang}
+    allowed_ref = ray.put(allowed)
+    scores = _bm25_scores(sf_dir, n_docs, avgdl)
+
+    class FilterAllowed:
+        def __init__(self):
+            self.allowed = ray.get(allowed_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([d in self.allowed for d in t.column("doc_id").to_pylist()])
+            return t.filter(mask)
+
+    filt = scores.map_batches(FilterAllowed, batch_format="pyarrow", concurrency=2)
+    out = filt.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
+
+
+def eval_metrics(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Metric battery (metrics.py:84-872) of the BM25 run against a
+    deterministic synthetic qrels: doc is relevant (grade 2) iff it
+    contains ALL the query's terms, grade 1 iff >= half; graded from the
+    same exploded table (rows-only check; kernels unit-tested)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.metrics import evaluate_run
+
+    run_df = bm25_topk(sf_dir, k=k)
+    run = {qid: g.sort_values("rank")["doc_id"].tolist() for qid, g in run_df.groupby("qid")}
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    ex = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
+        batch_format="pyarrow",
+    )
+    per_doc = ex.groupby(["doc_id", "term"]).aggregate(Count(alias_name="n")).to_pandas()
+    doc_terms: dict[int, set[str]] = {}
+    for d, t in zip(per_doc["doc_id"], per_doc["term"]):
+        doc_terms.setdefault(int(d), set()).add(t)
+    qrels: dict[str, dict[int, int]] = {}
+    for qid, terms in FIXED_QUERIES.items():
+        need = set(terms)
+        qq = {}
+        for d, ts in doc_terms.items():
+            hit = len(need & ts)
+            if hit == len(need):
+                qq[d] = 2
+            elif hit * 2 >= len(need):
+                qq[d] = 1
+        qrels[qid] = qq
+    summary = evaluate_run(run, qrels, k=k)
+    rows = [(m, round4(v)) for m, v in sorted(summary.items())]
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+def search_snippets(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Result assembly for the fixed queries: BM25 top-k hydrated with
+    snippet + highlight + matched-term count (search_service.py:627-703
+    serving-side map; doc texts fetched by id — the small-side hydrate
+    lookup of SURVEY §2.4).  Rows-only check; kernels unit-tested."""
+    from ..functions.snippets import highlight, make_snippet
+
+    top = bm25_topk(sf_dir, k=k)
+    ids = sorted(set(top["doc_id"]))
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tmap = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    rows = []
+    for _, r in top.iterrows():
+        terms = FIXED_QUERIES[r["qid"]]
+        text = tmap.get(int(r["doc_id"]), "") or ""
+        snip = make_snippet(text, terms)
+        marked = highlight(snip, terms)
+        rows.append((r["qid"], int(r["rank"]), int(r["doc_id"]),
+                     snip, marked.count("<mark>")))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "snippet", "n_marks"])
 
 
 # ------------------------------------------------------------------ boolean / phrase

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
+import time
 from dataclasses import dataclass
 
 from ..sources.readers import RowGroupItem, list_input_files, plan_row_groups, read_with_doc_ids
@@ -62,12 +64,25 @@ def build_index(
     id_col: str | None = None,           # existing id column; None -> deterministic assignment
     engine: str = "cjk_bigram",
     block_size: int = 128,
-    chunk_bits: int = 20,
+    chunk_bits: int | None = None,       # None -> auto: ~8 chunks over the
+                                         # corpus so stopword-class terms
+                                         # split at ANY corpus size (SURVEY §7.5)
     n_shards: int = 4,
     with_positions: bool = False,
-    tokenize_batch_size: int = 512,
+    shuffle_blocks: int | None = None,       # blocks into the term shuffle;
+                                             # None -> cluster CPU count (too
+                                             # many tiny blocks inflate the
+                                             # sort's coordination overhead)
+    tokenize_batch_size: int | None = None,  # None -> one batch per row-group
+                                             # block; a number here rebatches and,
+                                             # via operator fusion, also gates the
+                                             # upstream loader's task granularity
     tokenize_concurrency: int | None = None,
     resume: bool = True,
+    build_vocab: bool = False,           # (term_hash, term) sidecar + 64-bit
+                                         # collision check; costs a full pass
+                                         # over the terms column, so opt-in
+    verbose: bool = False,
 ) -> IndexBuildResult:
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -85,6 +100,13 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     manifest = BuildManifest(index_dir, files, config)
 
+    t_start = time.perf_counter()
+
+    def _v(msg: str) -> None:
+        if verbose:
+            print(f"[build_index +{time.perf_counter() - t_start:6.2f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
     items = plan_row_groups(files)
     shards = _shard_items(items, n_shards)
     tokens_root = os.path.join(index_dir, "tokens")
@@ -97,22 +119,26 @@ def build_index(
     elif text_source:
         read_cols = [text_source] + ([id_col] if id_col else [])
 
-    resumed = 0
-    for k, shard in enumerate(shards):
-        out_dir = os.path.join(tokens_root, f"shard={k}")
-        if manifest.shard_done(k) and os.path.isdir(out_dir):
-            resumed += 1
-            continue
-        shutil.rmtree(out_dir, ignore_errors=True)
-        tmp_dir = os.path.join(tokens_root, f".tmp_shard_{k}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-
-        ds = read_with_doc_ids(None, read_cols, items=shard, id_col=id_col)
+    # One streaming pipeline over ALL pending shards (a sequential
+    # per-shard loop would serialize the cluster); the ``shard`` column
+    # drives a hive-partitioned write so each shard directory can still
+    # be promoted atomically (tmp+rename) — per-shard resume granularity
+    # is preserved without giving up whole-cluster parallelism.
+    pending = [k for k in range(len(shards))
+               if not (manifest.shard_done(k) and os.path.isdir(os.path.join(tokens_root, f"shard={k}")))]
+    resumed = len(shards) - len(pending)
+    if pending:
+        tmp_root = os.path.join(tokens_root, ".tmp_write")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        items_w = [{**i.__dict__, "shard": k} for k in pending for i in shards[k]]
+        ds = read_with_doc_ids(None, read_cols, items=items_w, id_col=id_col)
         ds = ds.map_batches(
             ExtractNormalize(text_col=text_source if not use_html else "text", use_html=use_html),
             batch_format="pyarrow",
         )
-        tok_kwargs = dict(batch_format="pyarrow", batch_size=tokenize_batch_size)
+        tok_kwargs = dict(batch_format="pyarrow")
+        if tokenize_batch_size:
+            tok_kwargs["batch_size"] = tokenize_batch_size
         if tokenize_concurrency:
             tok_kwargs["concurrency"] = tokenize_concurrency
         ds = ds.map_batches(
@@ -120,9 +146,16 @@ def build_index(
                           with_positions=with_positions),
             **tok_kwargs,
         )
-        ds.write_parquet(tmp_dir)
-        os.replace(tmp_dir, out_dir)
-        manifest.mark_shard(k, rows=sum(i.num_rows for i in shard), inputs=sorted({i.path for i in shard}))
+        ds.write_parquet(tmp_root, partition_cols=["shard"])
+        for k in pending:
+            src = os.path.join(tmp_root, f"shard={k}")
+            dst = os.path.join(tokens_root, f"shard={k}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+            manifest.mark_shard(k, rows=sum(i.num_rows for i in shards[k]),
+                                inputs=sorted({i.path for i in shards[k]}))
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    _v(f"tokens stage done ({len(pending)} shards built, {resumed} resumed)")
 
     # ---- global stats (column-pruned read of the tokens table) ----
     if manifest.stats is None:
@@ -131,6 +164,7 @@ def build_index(
         manifest.set_stats(int(agg["n_docs"]), int(agg["total_len"]))
     stats = manifest.stats
     avgdl = stats["avg_doc_length"]
+    _v(f"stats done (n_docs={stats['n_docs']}, avgdl={avgdl:.1f})")
 
     # ---- segments (the wide shuffle) ----
     seg_dir = os.path.join(index_dir, "segments")
@@ -139,12 +173,23 @@ def build_index(
         shutil.rmtree(seg_dir, ignore_errors=True)
         tmp_seg = os.path.join(index_dir, ".tmp_segments")
         shutil.rmtree(tmp_seg, ignore_errors=True)
+        eff_chunk_bits = chunk_bits if chunk_bits is not None else \
+            max(10, int(stats["n_docs"]).bit_length() - 3)
         tok_cols = ["doc_id", "doc_len", "terms", "tfs"] + (["positions"] if with_positions else [])
-        exploded = rd.read_parquet(tokens_root, columns=tok_cols).map_batches(
-            ExplodeTokens(chunk_bits=chunk_bits, with_positions=with_positions),
+        if shuffle_blocks is None:
+            import ray
+
+            shuffle_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        exploded = rd.read_parquet(
+            tokens_root, columns=tok_cols, override_num_blocks=shuffle_blocks,
+        ).map_batches(
+            # hash-only shuffle: the term STRING never enters the wide
+            # exchange (30%+ of row bytes); strings live in the vocab sidecar
+            ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
+                          emit_term=False),
             batch_format="pyarrow",
         )
-        packer = PackGroups(avgdl=avgdl, block_size=block_size, with_positions=with_positions)
+        packer = PackGroups(block_size=block_size, with_positions=with_positions)
 
         def pack_group(group):  # map_groups needs a plain function
             return packer(group)
@@ -156,6 +201,44 @@ def build_index(
         os.replace(tmp_seg, seg_dir)
         n_rows = _count_rows(seg_dir)
         manifest.mark_segments(n_rows)
+    _v(f"segments done ({n_rows} posting rows)")
+
+    # ---- vocab sidecar: (term_hash, term), the small side of the index.
+    # Also the hash-collision check: two distinct terms sharing a 64-bit
+    # hash would silently merge posting lists in the hash-only shuffle.
+    vocab_dir = os.path.join(index_dir, "vocab")
+    if build_vocab and not manifest.state.get("vocab_done"):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.hashing import token_hash64
+
+        def uniq_terms(t: "pa.Table") -> "pa.Table":
+            flat = pc.list_flatten(t.column("terms"))
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            u = pc.unique(flat)
+            hashes = np.fromiter((token_hash64(x) for x in u.to_pylist()),
+                                 dtype=np.uint64, count=len(u))
+            return pa.table({"term_hash": pa.array(hashes), "term": u})
+
+        def first_term(g):  # pandas group -> collision check + first
+            if g["term"].nunique() > 1:
+                raise ValueError(
+                    f"64-bit term-hash collision: {sorted(set(g['term']))[:2]}")
+            return g.iloc[:1][["term_hash", "term"]]
+
+        tmp_vocab = os.path.join(index_dir, ".tmp_vocab")
+        shutil.rmtree(tmp_vocab, ignore_errors=True)
+        rd.read_parquet(tokens_root, columns=["terms"]) \
+          .map_batches(uniq_terms, batch_format="pyarrow") \
+          .groupby("term_hash").map_groups(first_term, batch_format="pandas") \
+          .write_parquet(tmp_vocab)
+        os.replace(tmp_vocab, vocab_dir)
+        manifest.state["vocab_done"] = True
+        manifest.save()
+        _v("vocab sidecar done")
 
     return IndexBuildResult(
         index_dir=index_dir,

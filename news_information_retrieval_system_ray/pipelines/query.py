@@ -40,9 +40,9 @@ from ..functions.textnorm import normalize_text
 from ..state.manifest import read_json
 
 _PACKED_COLS = [
-    "term", "term_hash", "chunk", "df", "cf", "docs_bytes", "tfs_bytes", "dls_bytes",
+    "term_hash", "chunk", "df", "cf", "docs_bytes", "tfs_bytes", "dls_bytes",
     "block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
-    "block_len", "block_last_doc", "block_max_weight",
+    "block_len", "block_last_doc", "block_max_tf", "block_min_dl",
 ]
 
 
@@ -69,16 +69,19 @@ class IndexSearcher:
             return
         import pyarrow as pa
 
-        hashes = pa.array([token_hash64(t) for t in missing], pa.uint64())
+        hash_of = {t: token_hash64(t) for t in missing}
+        hashes = pa.array(list(hash_of.values()), pa.uint64())
         cols = list(_PACKED_COLS)
         if self.with_positions:
             cols += ["positions_bytes", "pos_nbytes"]
         tbl = self._seg.to_table(columns=cols, filter=pads.field("term_hash").isin(hashes))
-        rows_by_term: dict[str, list[dict]] = {}
+        # segments key on the 64-bit hash (the term string never enters the
+        # shuffle); the query term's own hash is the lookup key
+        rows_by_hash: dict[int, list[dict]] = {}
         for row in tbl.to_pylist():
-            rows_by_term.setdefault(row["term"], []).append(row)
+            rows_by_hash.setdefault(int(row["term_hash"]), []).append(row)
         for t in missing:
-            rows = rows_by_term.get(t)
+            rows = rows_by_hash.get(hash_of[t])
             if not rows:
                 self._cache[t] = None
                 continue
@@ -261,8 +264,12 @@ class _Cursor:
         self.weight = weight
         self.avgdl, self.k1, self.b, self.delta = avgdl, k1, b, delta
         self.block_last = np.asarray(row["block_last_doc"], dtype=np.int64)
-        maxw = np.asarray(row["block_max_weight"], dtype=np.float64)
-        self.max_score = float(weight * (maxw.max() + delta)) if maxw.size else 0.0
+        # UB = weight(max_tf, min_dl) — the reference's score(max_tf,
+        # min_doc_len) bound (query_optimization.py:164-189), per block
+        max_tf = np.asarray(row["block_max_tf"], dtype=np.float64)
+        min_dl = np.asarray(row["block_min_dl"], dtype=np.float64)
+        ubs = tf_weight(max_tf, min_dl, avgdl, k1, b) if max_tf.size else max_tf
+        self.max_score = float(weight * (ubs.max() + delta)) if ubs.size else 0.0
         self.n_blocks = self.block_last.size
         self.bi = 0
         self._ids = self._tfs = self._dls = None

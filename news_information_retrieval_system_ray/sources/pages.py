@@ -63,7 +63,9 @@ def _zipf_weights(n: int) -> np.ndarray:
 
 
 def generate_pages(out_dir: str, n_docs: int = 1000, seed: int = 42,
-                   n_files: int = 4, dup_rate: float = 0.013) -> list[str]:
+                   n_files: int = 4, dup_rate: float = 0.013,
+                   para_range: tuple[int, int] = (1, 5),
+                   words_range: tuple[int, int] = (8, 40)) -> list[str]:
     """Write a deterministic pages corpus as ``n_files`` parquet files.
 
     Returns the sorted list of file paths. Idempotent for identical
@@ -72,25 +74,41 @@ def generate_pages(out_dir: str, n_docs: int = 1000, seed: int = 42,
     rng = np.random.default_rng(seed)
     vocab = np.array(VOCAB, dtype=object)
     weights = _zipf_weights(len(vocab))
+    cumw = np.cumsum(weights)
     os.makedirs(out_dir, exist_ok=True)
+
+    # bulk-draw all randomness (per-call rng.choice(p=...) rebuilds the
+    # CDF every time — searchsorted over one uniform block is ~50x faster)
+    srcs = rng.integers(0, 20, size=n_docs)
+    ts_jit = rng.integers(0, 50_000_000, size=n_docs)
+    dup_draw = rng.random(n_docs)
+    dup_pick = rng.random(n_docs)
+    n_titles = rng.integers(3, 7, size=n_docs)
+    n_paras_all = rng.integers(para_range[0], para_range[1], size=n_docs)
+    max_paras = int(n_paras_all.max())
+    n_words_all = rng.integers(words_range[0], words_range[1], size=(n_docs, max_paras))
+    lang_draw = rng.random(n_docs)
+    total_words = int(n_titles.sum()) + int((n_words_all * (np.arange(max_paras) < n_paras_all[:, None])).sum())
+    word_stream = vocab[np.searchsorted(cumw, rng.random(total_words) * cumw[-1])]
+    wpos = 0
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
     base_ts = np.datetime64("2025-11-01T00:00:00", "us")
     prev: list[tuple[str, str]] = []  # (html, text) pool for planted dups
     for i in range(n_docs):
-        src = int(rng.integers(0, 20))
-        url = f"https://example-src{src}.tw/news/202511{(i % 28) + 1:02d}{i:06d}"
-        ts = base_ts + np.timedelta64(int(i) * 60_000_000 + int(rng.integers(0, 50_000_000)), "us")
-        if prev and rng.random() < dup_rate:
-            html, text = prev[int(rng.integers(0, len(prev)))]
+        url = f"https://example-src{int(srcs[i])}.tw/news/202511{(i % 28) + 1:02d}{i:06d}"
+        ts = base_ts + np.timedelta64(int(i) * 60_000_000 + int(ts_jit[i]), "us")
+        if prev and dup_draw[i] < dup_rate:
+            html, text = prev[int(dup_pick[i] * len(prev))]
         else:
-            title = " ".join(rng.choice(vocab, size=int(rng.integers(3, 7)), p=weights))
-            n_paras = int(rng.integers(1, 5))
+            nt = int(n_titles[i])
+            title = " ".join(word_stream[wpos : wpos + nt])
+            wpos += nt
             paras = []
-            for _ in range(n_paras):
-                n_words = int(rng.integers(8, 40))
-                words = rng.choice(vocab, size=n_words, p=weights)
-                paras.append("  ".join(words.tolist()) + "。")
+            for j in range(int(n_paras_all[i])):
+                nw = int(n_words_all[i, j])
+                paras.append("  ".join(word_stream[wpos : wpos + nw]) + "。")
+                wpos += nw
             body = "".join(f"<p>{p}</p>" for p in paras)
             html = (
                 f"<html><head><title>{title}</title></head><body><h1>{title}</h1>"
@@ -103,7 +121,7 @@ def generate_pages(out_dir: str, n_docs: int = 1000, seed: int = 42,
         tss.append(ts)
         htmls.append(html.encode("utf-8"))
         texts.append(text)
-        langs.append("zh-tw" if rng.random() < 0.8 else "en")
+        langs.append("zh-tw" if lang_draw[i] < 0.8 else "en")
 
     table = pa.table(
         {

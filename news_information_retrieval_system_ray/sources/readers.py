@@ -76,6 +76,9 @@ class _LoadRowGroups:
                 t = t.append_column("doc_id", ids)
             elif self.id_col != "doc_id":
                 t = t.rename_columns(["doc_id" if c == self.id_col else c for c in t.column_names])
+            if "shard" in row:  # resume-unit tag for partitioned writes
+                t = t.append_column("shard", pa.array(
+                    np.full(t.num_rows, row["shard"], dtype=np.int32)))
             tables.append(t)
         return pa.concat_tables(tables)
 
@@ -90,6 +93,9 @@ def read_with_doc_ids(path: str | list[str], columns: list[str] | None = None,
 
     if items is None:
         items = plan_row_groups(list_input_files(path))
-    ds = rd.from_items([i.__dict__ for i in items])
-    # batch_size=1 -> one task per row group (the parallelism unit)
+    rows = [i.__dict__ if isinstance(i, RowGroupItem) else dict(i) for i in items]
+    # one block per item -> one read task per row group (the parallelism
+    # unit); without this from_items packs everything into few blocks and
+    # the whole downstream chain runs nearly serial
+    ds = rd.from_items(rows, override_num_blocks=len(rows))
     return ds.map_batches(_LoadRowGroups(columns, id_col), batch_size=1, batch_format="pyarrow")

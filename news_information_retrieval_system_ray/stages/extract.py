@@ -24,7 +24,7 @@ class ExtractNormalize:
     """
 
     def __init__(self, html_col: str = "html", text_col: str = "text",
-                 use_html: bool = True, keep_cols: tuple[str, ...] = ("url", "doc_id")):
+                 use_html: bool = True, keep_cols: tuple[str, ...] = ("url", "doc_id", "shard")):
         self.html_col = html_col
         self.text_col = text_col
         self.use_html = use_html

@@ -35,9 +35,14 @@ class ExplodeTokens:
     the per-doc columns. Emits ``term_hash`` (shuffle key) and ``chunk``.
     """
 
-    def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, with_positions: bool = False):
+    def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, with_positions: bool = False,
+                 emit_term: bool = True):
         self.chunk_bits = chunk_bits
         self.with_positions = with_positions
+        # emit_term=False drops the term STRING from the shuffle (30%+ of
+        # row bytes at web scale) — postings key on the 64-bit hash alone;
+        # term strings live in the small vocab sidecar (index_build).
+        self.emit_term = emit_term
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms = batch.column("terms")
@@ -46,18 +51,25 @@ class ExplodeTokens:
         flat_tfs = pc.list_flatten(batch.column("tfs"))
         doc_ids = np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
         dls = np.repeat(batch.column("doc_len").to_numpy(zero_copy_only=False), lens)
-        hashes = np.fromiter(
-            (token_hash64(t) for t in flat_terms.to_pylist()),
-            dtype=np.uint64, count=len(flat_terms),
+        # hash unique terms only (dictionary encode): token streams are
+        # ~10^3x larger than their per-batch vocabulary
+        if isinstance(flat_terms, pa.ChunkedArray):
+            flat_terms = flat_terms.combine_chunks()
+        dict_arr = pc.dictionary_encode(flat_terms)
+        uniq_hashes = np.fromiter(
+            (token_hash64(t) for t in dict_arr.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(dict_arr.dictionary),
         )
+        hashes = uniq_hashes[dict_arr.indices.to_numpy(zero_copy_only=False)]
         cols = {
             "term_hash": pa.array(hashes),
             "chunk": pa.array((doc_ids >> self.chunk_bits).astype(np.int32)),
-            "term": flat_terms,
             "doc_id": pa.array(doc_ids),
             "tf": flat_tfs,
             "dl": pa.array(dls.astype(np.int32)),
         }
+        if self.emit_term:
+            cols["term"] = flat_terms
         if self.with_positions:
             cols["positions"] = pc.list_flatten(batch.column("positions"))
         return pa.table(cols)
@@ -66,20 +78,23 @@ class ExplodeTokens:
 class PackGroups:
     """groupby([term_hash, chunk]).map_groups body -> one packed posting row.
 
-    Requires global stats (avgdl) — computed before this stage from the
-    persisted tokens table — because block_max_weight bakes in the BM25
-    length normalization (query_optimization.py:164-189 upper bounds,
-    extended to per-block maxima).
+    Block metadata holds (max_tf, min_dl) extremes; the WAND upper bound
+    weight(max_tf, min_dl) (query_optimization.py:164-189) is evaluated
+    at query-load time, so packing needs NO global stats.
     """
 
-    def __init__(self, avgdl: float, block_size: int = 128, with_positions: bool = False):
-        self.avgdl = avgdl
+    def __init__(self, block_size: int = 128, with_positions: bool = False):
         self.block_size = block_size
         self.with_positions = with_positions
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        terms = group.column("term").to_pylist()
         rows: list[dict] = []
+        if "term" not in group.column_names:
+            # hash-only shuffle: collisions are detected at vocab build
+            # (index_build) rather than split here
+            self._pack_one(group, None, rows)
+            return pa.Table.from_pylist(rows, schema=self._schema(with_term=False))
+        terms = group.column("term").to_pylist()
         # defensively split on term string (hash-collision guard)
         if len(set(terms)) == 1:
             self._pack_one(group, terms[0], rows)
@@ -89,21 +104,22 @@ class PackGroups:
                 by_term.setdefault(t, []).append(i)
             for t, idx in sorted(by_term.items()):
                 self._pack_one(group.take(idx), t, rows)
-        return pa.Table.from_pylist(rows, schema=self._schema())
+        return pa.Table.from_pylist(rows, schema=self._schema(with_term=True))
 
-    def _pack_one(self, group: pa.Table, term: str, out: list[dict]) -> None:
+    def _pack_one(self, group: pa.Table, term: str | None, out: list[dict]) -> None:
         doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
         tfs = group.column("tf").to_numpy(zero_copy_only=False)
         dls = group.column("dl").to_numpy(zero_copy_only=False)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        packed = pack_postings(doc_ids, tfs, dls, avgdl=self.avgdl, block_size=self.block_size)
+        packed = pack_postings(doc_ids, tfs, dls, block_size=self.block_size)
         row = {
-            "term": term,
             "term_hash": int(group.column("term_hash")[0].as_py()),
             "chunk": int(group.column("chunk")[0].as_py()),
             **packed,
         }
+        if term is not None:
+            row["term"] = term
         if self.with_positions:
             pos_lists = [group.column("positions")[int(i)].as_py() for i in order]
             parts, nbytes = [], []
@@ -120,9 +136,9 @@ class PackGroups:
             row["pos_nbytes"] = nbytes
         out.append(row)
 
-    def _schema(self) -> pa.Schema:
+    def _schema(self, with_term: bool = True) -> pa.Schema:
         fields = [
-            ("term", pa.string()),
+            *([("term", pa.string())] if with_term else []),
             ("term_hash", pa.uint64()),
             ("chunk", pa.int32()),
             ("df", pa.int64()),
@@ -135,9 +151,8 @@ class PackGroups:
             ("block_dl_nbytes", pa.list_(pa.int32())),
             ("block_len", pa.list_(pa.int32())),
             ("block_last_doc", pa.list_(pa.int64())),
-            # float64: upper bounds must not round below the true max
-            # (float32 truncation could make WAND pruning inexact)
-            ("block_max_weight", pa.list_(pa.float64())),
+            ("block_max_tf", pa.list_(pa.int32())),
+            ("block_min_dl", pa.list_(pa.int32())),
         ]
         if self.with_positions:
             fields += [("positions_bytes", pa.binary()), ("pos_nbytes", pa.list_(pa.int32()))]

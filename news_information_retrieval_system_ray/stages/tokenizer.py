@@ -16,6 +16,8 @@ positional index (positional_index.py:92-152).
 
 from __future__ import annotations
 
+from collections import Counter
+
 import numpy as np
 import pyarrow as pa
 
@@ -54,12 +56,11 @@ class TokenizeStage:
                 tfs_col.append(np.array([len(pos_map[t]) for t in terms], dtype=np.int32))
                 pos_col.append([pos_map[t] for t in terms])
             else:
-                if toks:
-                    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-                else:
-                    uniq, counts = np.empty(0, object), np.empty(0, np.int64)
-                terms_col.append(list(uniq))
-                tfs_col.append(counts.astype(np.int32))
+                # Counter beats np.unique(object) ~5x here; downstream
+                # (explode -> shuffle) does not need per-doc term order
+                c = Counter(toks)
+                terms_col.append(list(c.keys()))
+                tfs_col.append(np.fromiter(c.values(), dtype=np.int32, count=len(c)))
         cols = {
             "doc_id": doc_ids,
             "doc_len": pa.array(doc_lens),
@@ -68,4 +69,6 @@ class TokenizeStage:
         }
         if self.with_positions:
             cols["positions"] = pa.array(pos_col, pa.list_(pa.list_(pa.int32())))
+        if "shard" in batch.column_names:  # resume-unit tag (partitioned write)
+            cols["shard"] = batch.column("shard")
         return pa.table(cols)

@@ -57,3 +57,47 @@ def test_sorted_ids_roundtrip(ids):
 
 def test_delta_roundtrip_singleton():
     assert list(delta_decode(delta_encode(np.array([42])))) == [42]
+
+
+# ---------------------------------------------------------------- Elias codecs
+
+from news_information_retrieval_system_ray.functions.codecs import (  # noqa: E402
+    delta_elias_decode,
+    delta_elias_encode,
+    gamma_decode,
+    gamma_encode,
+)
+
+
+def test_gamma_known_values():
+    # 1 -> '1'; 2 -> '010'; 3 -> '011'; 4 -> '00100' (classic Elias-Gamma)
+    assert gamma_encode(np.array([1], dtype=np.uint64)) == bytes([0b10000000])
+    assert gamma_encode(np.array([2], dtype=np.uint64)) == bytes([0b01000000])
+    assert gamma_encode(np.array([4], dtype=np.uint64)) == bytes([0b00100000])
+
+
+def test_gamma_rejects_zero():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        gamma_encode(np.array([0], dtype=np.uint64))
+    with _pytest.raises(ValueError):
+        delta_elias_encode(np.array([0], dtype=np.uint64))
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**32), min_size=0, max_size=100))
+@settings(max_examples=150, deadline=None)
+def test_gamma_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert list(gamma_decode(gamma_encode(arr), len(vals))) == vals
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**32), min_size=0, max_size=100))
+@settings(max_examples=150, deadline=None)
+def test_elias_delta_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert list(delta_elias_decode(delta_elias_encode(arr), len(vals))) == vals
+
+
+def test_elias_delta_beats_gamma_on_large_values():
+    vals = np.arange(10_000, 10_100, dtype=np.uint64)
+    assert len(delta_elias_encode(vals)) < len(gamma_encode(vals))

@@ -1,0 +1,98 @@
+"""Metric kernels vs hand-computed values (reference metrics.py:84-872
+semantics; 3-doc toy examples mirror its unit-test style, SURVEY §5)."""
+
+import math
+
+import pytest
+
+from news_information_retrieval_system_ray.functions.metrics import (
+    average_precision,
+    bpref,
+    dcg_at_k,
+    err,
+    evaluate_run,
+    f1,
+    gmap,
+    ndcg_at_k,
+    precision,
+    precision_at_k,
+    r_precision,
+    rbp,
+    recall,
+    recall_at_k,
+    reciprocal_rank,
+    success_at_k,
+)
+
+QRELS = {1: 2, 2: 1, 3: 0, 4: 1}  # relevant: 1, 2, 4 (graded)
+RANKED = [1, 3, 2, 5, 4]
+
+
+def test_precision_recall_f1():
+    assert precision(RANKED, QRELS) == pytest.approx(3 / 5)
+    assert recall(RANKED, QRELS) == pytest.approx(1.0)
+    p, r = 3 / 5, 1.0
+    assert f1(RANKED, QRELS) == pytest.approx(2 * p * r / (p + r))
+
+
+def test_precision_recall_at_k():
+    assert precision_at_k(RANKED, QRELS, 2) == pytest.approx(1 / 2)
+    assert precision_at_k(RANKED, QRELS, 3) == pytest.approx(2 / 3)
+    assert recall_at_k(RANKED, QRELS, 3) == pytest.approx(2 / 3)
+    assert r_precision(RANKED, QRELS) == pytest.approx(2 / 3)  # R=3 -> P@3
+    assert success_at_k(RANKED, QRELS, 1) == 1.0
+    assert success_at_k([3, 5], QRELS, 2) == 0.0
+
+
+def test_average_precision():
+    # hits at ranks 1, 3, 5 -> (1/1 + 2/3 + 3/5) / 3
+    assert average_precision(RANKED, QRELS) == pytest.approx((1 + 2 / 3 + 3 / 5) / 3)
+
+
+def test_reciprocal_rank():
+    assert reciprocal_rank(RANKED, QRELS) == 1.0
+    assert reciprocal_rank([3, 1], QRELS) == pytest.approx(1 / 2)
+    assert reciprocal_rank([3, 5], QRELS) == 0.0
+
+
+def test_dcg_ndcg():
+    # gains [2,0,1,0,1] / log2([2,3,4,5,6])
+    expect = 2 / math.log2(2) + 1 / math.log2(4) + 1 / math.log2(6)
+    assert dcg_at_k(RANKED, QRELS, 5) == pytest.approx(expect)
+    ideal = 2 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert ndcg_at_k(RANKED, QRELS, 5) == pytest.approx(expect / ideal)
+    perfect = [1, 2, 4]
+    assert ndcg_at_k(perfect, QRELS, 3) == pytest.approx(1.0)
+
+
+def test_err_monotone_in_rank():
+    early = err([1, 5, 6], QRELS, 3)
+    late = err([5, 6, 1], QRELS, 3)
+    assert early > late > 0.0
+
+
+def test_rbp():
+    # rel pattern [1,0,1,0,1], p=0.5 -> 0.5*(1 + 0.25 + 0.0625)
+    assert rbp(RANKED, QRELS, persistence=0.5) == pytest.approx(0.5 * (1 + 0.25 + 0.0625))
+
+
+def test_bpref():
+    # judged nonrel: {3}; ranked: 1(rel, 0 nonrel above), 3(nonrel),
+    # 2(rel, 1 above -> 1 - 1/1 = 0), 4(rel, 1 above -> 0); R=3
+    assert bpref(RANKED, QRELS) == pytest.approx(1 / 3)
+
+
+def test_gmap():
+    assert gmap([1.0, 1.0]) == pytest.approx(1.0)
+    assert gmap([0.25, 1.0]) == pytest.approx(0.5)
+    assert gmap([]) == 0.0
+
+
+def test_evaluate_run_summary():
+    run = {"q1": RANKED, "q2": [2, 1]}
+    qrels = {"q1": QRELS, "q2": {1: 1, 2: 1}}
+    out = evaluate_run(run, qrels, k=5)
+    assert out["n_queries"] == 2.0
+    assert out["MAP"] == pytest.approx((average_precision(RANKED, QRELS) + 1.0) / 2)
+    assert 0.0 < out["GMAP"] <= out["MAP"]
+    assert out["MRR"] == 1.0

@@ -40,7 +40,7 @@ def test_topk_order_tiebreak():
 
 
 def _rt(ids, tfs, dls, block_size):
-    packed = pack_postings(np.array(ids), np.array(tfs), np.array(dls), avgdl=10.0, block_size=block_size)
+    packed = pack_postings(np.array(ids), np.array(tfs), np.array(dls), block_size=block_size)
     out_ids, out_tfs, out_dls = unpack_postings(packed)
     assert list(out_ids) == list(ids)
     assert list(out_tfs) == list(tfs)
@@ -57,18 +57,23 @@ def test_pack_roundtrip_multi_block():
     assert packed["cf"] == sum(tfs)
     assert len(packed["block_len"]) == math.ceil(len(ids) / 128)
     assert packed["block_last_doc"][-1] == ids[-1]
-    # block_max_weight bounds every in-block weight
+    # (max_tf, min_dl) extremes bound every in-block weight: weight is
+    # monotone up in tf, down in dl (the reference UB, query_optimization.py:164-189)
     i0, t0, l0 = unpack_block(packed, 0)
-    assert float(tf_weight(t0, l0, 10.0).max()) <= packed["block_max_weight"][0] + 1e-12
+    assert packed["block_max_tf"][0] == int(t0.max())
+    assert packed["block_min_dl"][0] == int(l0.min())
+    ub = float(tf_weight(np.array([packed["block_max_tf"][0]]),
+                         np.array([packed["block_min_dl"][0]]), 10.0)[0])
+    assert float(tf_weight(t0, l0, 10.0).max()) <= ub + 1e-12
 
 
 def test_merge_packed_equals_single_pack():
     ids = np.arange(0, 500, 2)
     tfs = (ids % 5) + 1
     dls = np.full_like(ids, 20)
-    whole = pack_postings(ids, tfs, dls, avgdl=15.0, block_size=64)
-    a = pack_postings(ids[:100], tfs[:100], dls[:100], avgdl=15.0, block_size=64)
-    b = pack_postings(ids[100:], tfs[100:], dls[100:], avgdl=15.0, block_size=64)
+    whole = pack_postings(ids, tfs, dls, block_size=64)
+    a = pack_postings(ids[:100], tfs[:100], dls[:100], block_size=64)
+    b = pack_postings(ids[100:], tfs[100:], dls[100:], block_size=64)
     merged = merge_packed([a, b])
     mi, mt, ml = unpack_postings(merged)
     wi, wt, wl = unpack_postings(whole)
