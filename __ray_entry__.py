@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_filtered_search": A.facet_filtered_search,
         "eval_metrics": A.eval_metrics,
         "search_snippets": A.search_snippets,
+        "textrank_keywords": A.textrank_keywords,
+        "summarize_leadk": A.summarize_leadk,
         "boolean_and": A.boolean_and,
         "boolean_and_not": lambda sf: A.boolean_and_not(sf),
         "phrase_match": A.phrase_match,
@@ -101,6 +103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_top_terms": A.per_source_top_terms,
         "browse_sort": A.browse_sort,
         "events_windowed": A.events_windowed,
+        "bigram_pmi": A.bigram_pmi,
+        "facet_date_ranges": A.facet_date_ranges,
+        # cleaning / dates / feedback
+        "clean_corpus": A.clean_corpus,
+        "standardize_dates": A.standardize_dates,
+        "rocchio_topk": A.rocchio_topk,
         # quality / counting / fingerprints
         "doc_quality": A.doc_quality,
         "token_counts": A.token_counts,
@@ -278,6 +286,13 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": _CTE + f"""
             SELECT doc_id FROM norm
             WHERE (' ' || t || ' ') LIKE '% {" ".join(A.PHRASE)} %'""",
+        "clean_corpus": r"""
+            SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_clean
+            FROM documents
+            WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''""",
+        "standardize_dates": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS date_std
+            FROM orders""",
         "facet_source_counts": "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
         "facet_lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "top_terms": _CTE + """,
@@ -293,6 +308,35 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (PARTITION BY source ORDER BY cf DESC, term) AS rank
                        FROM st)
             SELECT source, rank, term, cf FROM ranked WHERE rank <= 3""",
+        "bigram_pmi": _CTE + """,
+            arr AS (SELECT doc_id,
+                           list_filter(string_split(t, ' '),
+                                       x -> regexp_matches(x, '[a-z0-9_]')) AS a
+                    FROM norm),
+            tokpos AS (SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i
+                       FROM arr),
+            prs AS (SELECT p1.w AS w1, p2.w AS w2
+                    FROM tokpos p1 JOIN tokpos p2
+                         ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1),
+            big AS (SELECT w1, w2, count(*) AS n_ab FROM prs GROUP BY w1, w2),
+            npairs AS (SELECT count(*)::DOUBLE AS np FROM prs),
+            uni AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+            ntok AS (SELECT sum(tf)::DOUBLE AS nt FROM tf),
+            scored AS (SELECT b.w1, b.w2, b.n_ab,
+                              round(ln((b.n_ab / npairs.np)
+                                       / ((u1.cf / ntok.nt) * (u2.cf / ntok.nt))), 4) AS pmi
+                       FROM big b
+                       JOIN uni u1 ON u1.term = b.w1
+                       JOIN uni u2 ON u2.term = b.w2
+                       CROSS JOIN npairs CROSS JOIN ntok
+                       WHERE b.n_ab >= 5),
+            ranked AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+                       FROM scored)
+            SELECT rank, w1, w2, n_ab, pmi FROM ranked WHERE rank <= 20""",
+        "facet_date_ranges": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY 1 ORDER BY 1""",
         "browse_sort": """
             SELECT o_orderkey, o_custkey,
                    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date, o_totalprice

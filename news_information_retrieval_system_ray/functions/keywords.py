@@ -1,0 +1,58 @@
+"""Keyword extraction kernels.
+
+- TextRank (reference /root/reference/src/ir/keyextract/textrank.py:85-737
+  semantics): undirected co-occurrence graph over tokens within a sliding
+  window (default 5), PageRank power iteration with damping 0.85 until
+  max-delta < tol or max_iter, scores ranked (score desc, term asc).
+- Frequency keywords: top-k by tf (the reference's fallback extractor).
+
+Pure NumPy; used per-doc inside map_batches stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DAMPING = 0.85
+WINDOW = 5
+
+
+def textrank_keywords(tokens: list[str], k: int = 5, window: int = WINDOW,
+                      damping: float = DAMPING, max_iter: int = 50,
+                      tol: float = 1e-6) -> list[tuple[str, float]]:
+    """Top-k (term, score) by TextRank over the token sequence."""
+    if not tokens:
+        return []
+    vocab = sorted(set(tokens))
+    idx = {t: i for i, t in enumerate(vocab)}
+    n = len(vocab)
+    if n == 1:
+        return [(vocab[0], 1.0)]
+    adj = np.zeros((n, n), dtype=np.float64)
+    seq = np.fromiter((idx[t] for t in tokens), dtype=np.int64, count=len(tokens))
+    for i in range(len(seq)):
+        for j in range(i + 1, min(i + window, len(seq))):
+            a, b = seq[i], seq[j]
+            if a != b:
+                adj[a, b] += 1.0
+                adj[b, a] += 1.0
+    deg = adj.sum(axis=1)
+    deg[deg == 0] = 1.0
+    trans = adj / deg[:, None]  # row-normalized
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        r_new = (1.0 - damping) / n + damping * (trans.T @ r)
+        if np.abs(r_new - r).max() < tol:
+            r = r_new
+            break
+        r = r_new
+    order = np.lexsort((np.array(vocab), -r))  # (-score, term asc)
+    return [(vocab[i], float(r[i])) for i in order[:k]]
+
+
+def frequency_keywords(tokens: list[str], k: int = 5) -> list[tuple[str, int]]:
+    """Top-k (term, tf) by raw frequency, ties by term asc."""
+    from collections import Counter
+
+    c = Counter(tokens)
+    return sorted(c.items(), key=lambda x: (-x[1], x[0]))[:k]

@@ -56,6 +56,13 @@ def highlight(text: str, query_terms: list[str]) -> str:
     return out
 
 
+def lead_k_summary(text: str, k: int = 2) -> str:
+    """First-k-sentences summary (reference lead-k summarizer,
+    /root/reference/src/ir/summarize/static.py:110-698 lead mode)."""
+    sents = split_sentences(text)
+    return "。".join(sents[:k]) if sents else ""
+
+
 def kwic_windows(text: str, term: str, width: int = 30,
                  max_windows: int = 5) -> list[tuple[int, str]]:
     """(position, window) pairs for each occurrence of term (fixed width)."""

@@ -551,6 +551,53 @@ def search_snippets(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "snippet", "n_marks"])
 
 
+def textrank_keywords(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-doc TextRank keywords (textrank.py:85-737: window-5
+    co-occurrence graph, damping 0.85) as a map_batches stage over the
+    tokenized docs (rows-only; kernel unit-tested)."""
+    from ..functions.keywords import textrank_keywords as tr
+
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def kw(t: pa.Table) -> pa.Table:
+        doc_out, rank_out, term_out, score_out = [], [], [], []
+        for row in t.to_pylist():
+            seq: list[tuple[int, str]] = []
+            for term, poss in zip(row["terms"], row["positions"]):
+                seq.extend((p, term) for p in poss)
+            seq.sort()
+            for rank, (term, score) in enumerate(tr([w for _, w in seq], k=k), 1):
+                doc_out.append(row["doc_id"])
+                rank_out.append(rank)
+                term_out.append(term)
+                score_out.append(round4(score))
+        return pa.table({
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "term": pa.array(term_out, pa.string()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+    return toks.map_batches(kw, batch_format="pyarrow").to_pandas() \
+               .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def summarize_leadk(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Lead-k-sentence summaries per doc (static.py lead mode; rows-only)."""
+    from ..functions.snippets import lead_k_summary
+
+    def s(t: pa.Table) -> pa.Table:
+        outs = [lead_k_summary(x or "", k) for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "summary": pa.array(outs, pa.string()),
+            "summary_len": pa.array([len(x) for x in outs], pa.int64()),
+        })
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(s, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ boolean / phrase
 
 def boolean_and(sf_dir: str, terms: list[str] | None = None) -> pd.DataFrame:
@@ -605,6 +652,124 @@ def phrase_match(sf_dir: str, phrase: list[str] | None = None) -> pd.DataFrame:
 
     return toks.map_batches(check, batch_format="pyarrow").to_pandas() \
                .sort_values("doc_id").reset_index(drop=True)
+
+
+def clean_corpus(sf_dir: str) -> pd.DataFrame:
+    """The reference's cleaning pass (clean_dataset.py:39-63,98-133):
+    whitespace-collapse + strip per doc, drop rows whose cleaned text is
+    empty (validation drop).  NOTE: clean_text does NOT lowercase (that
+    is the separate app normalization chain)."""
+    from ..functions.textnorm import clean_text
+
+    def c(t: pa.Table) -> pa.Table:
+        cleaned = [clean_text(x or "") for x in t.column("text").to_pylist()]
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "text_clean": pa.array(cleaned, pa.string()),
+        })
+        return out.filter(pa.compute.not_equal(out.column("text_clean"), ""))
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(c, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_DATE_STYLE_FMTS = ["%Y-%m-%d", "%Y/%m/%d", "%d/%m/%Y", "%Y年%m月%d日"]
+
+
+def standardize_dates(sf_dir: str) -> pd.DataFrame:
+    """Round-trip test of the multi-format date parser
+    (clean_dataset.py:65-97): render each order date in one of 4 formats
+    (cycled deterministically by o_orderkey % 4) then standardize back to
+    YYYY-MM-DD.  The oracle computes the expected value directly from the
+    timestamp, so any parser defect mismatches."""
+    import ray.data as rd
+
+    from ..functions.dates import standardize_date
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    def s(df: pd.DataFrame) -> pd.DataFrame:
+        raws = [
+            d.strftime(_DATE_STYLE_FMTS[int(k) % 4])
+            for k, d in zip(df["o_orderkey"], df["o_orderdate"])
+        ]
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "date_std": [standardize_date(r) for r in raws],
+        })
+
+    return ds.map_batches(s, batch_format="pandas").to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+
+
+def rocchio_topk(sf_dir: str, k: int = 10, alpha: float = 1.0, beta: float = 0.75,
+                 n_feedback: int = 5) -> pd.DataFrame:
+    """Rocchio pseudo-relevance feedback on TF-IDF vectors (reference
+    Rocchio adapter hydrated from the lexical cache, index_service.py:308-392):
+    q' = alpha*q + beta*centroid(top-n tfidf docs); rerank by cosine
+    against q'.  Rows-only check (fusion of two distributed passes);
+    vector math unit-tested via tfidf parity."""
+    from ray.data.aggregate import Count
+
+    n_docs, _ = _corpus_stats(sf_dir)
+    base = tfidf_topk(sf_dir, k=n_feedback)
+    ex = _exploded_ds(sf_dir).materialize()
+    df_map = {r["term"]: int(r["df"]) for r in
+              ex.groupby("term").aggregate(Count(alias_name="df")).take_all()}
+
+    def idf(term: str) -> float:
+        df = df_map.get(term, 0)
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
+
+    # normalized doc vectors for the feedback docs (small set -> driver)
+    fb_ids = sorted(set(base["doc_id"]))
+    fb_set = pa.array(fb_ids)
+    fb_rows = ex.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=fb_set)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    doc_vecs: dict[int, dict[str, float]] = {}
+    for d, g in fb_rows.groupby("doc_id"):
+        ws = {t: (1.0 + math.log10(tf)) * idf(t) for t, tf in zip(g["term"], g["tf"])}
+        nrm = math.sqrt(sum(v * v for v in ws.values())) or 1.0
+        doc_vecs[int(d)] = {t: v / nrm for t, v in ws.items()}
+
+    rows = []
+    for qid, terms in FIXED_QUERIES.items():
+        qw = {t: (1.0 + math.log10(1)) * idf(t) for t in terms if df_map.get(t)}
+        nrm = math.sqrt(sum(v * v for v in qw.values())) or 1.0
+        qvec = {t: alpha * v / nrm for t, v in qw.items()}
+        fb = base[base["qid"] == qid]["doc_id"].tolist()
+        for d in fb:
+            for t, v in doc_vecs.get(int(d), {}).items():
+                qvec[t] = qvec.get(t, 0.0) + beta * v / max(1, len(fb))
+        # distributed rerank: score all docs against expanded vector
+        qterms = pa.array(sorted(qvec))
+        wmap = dict(qvec)
+
+        def score(tb: pa.Table, wmap=wmap, qterms=qterms, qid=qid) -> pa.Table:
+            tb = tb.filter(pa.compute.is_in(tb.column("term"), value_set=qterms))
+            if tb.num_rows == 0:
+                return pa.table({"qid": pa.array([], pa.string()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.float64())})
+            tfv = tb.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+            terms_l = tb.column("term").to_pylist()
+            contrib = (1.0 + np.log10(tfv)) * np.array([idf(t) * wmap[t] for t in terms_l])
+            return pa.table({
+                "qid": pa.array([qid] * tb.num_rows, pa.string()),
+                "doc_id": tb.column("doc_id").cast(pa.int64()),
+                "c": pa.array(contrib, pa.float64()),
+            })
+
+        from ray.data.aggregate import Sum
+
+        sc = ex.map_batches(score, batch_format="pyarrow") \
+               .groupby(["qid", "doc_id"]).aggregate(Sum("c", alias_name="score")).to_pandas()
+        sc = sc.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(sc.iterrows(), 1):
+            rows.append((qid, rank, int(r["doc_id"]), round4(float(r["score"]))))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
 # ------------------------------------------------------------------ quality / counts
@@ -770,6 +935,85 @@ def browse_sort(sf_dir: str, n: int = 100) -> pd.DataFrame:
     top = ds.sort(["o_orderdate", "o_orderkey"], descending=[True, True]).limit(n).to_pandas()
     top["o_date"] = top["o_orderdate"].dt.strftime("%Y-%m-%d %H:%M:%S")
     return top[["o_orderkey", "o_custkey", "o_date", "o_totalprice"]]
+
+
+def bigram_pmi(sf_dir: str, n: int = 20, min_count: int = 5) -> pd.DataFrame:
+    """Top-n adjacent-bigram collocations by PMI (collocation.py:137-448
+    PMI scoring over bigram/unigram frequencies):
+
+    ``PMI(a,b) = ln( (n_ab/N_pairs) / ((cf_a/N_tok) * (cf_b/N_tok)) )``
+
+    Bigrams are adjacent pairs in the FILTERED token sequence; pair
+    counting is a map_batches explode + groupby (pre-aggregated per
+    batch); unigram cfs reuse term_stats.  min_count prunes the tail
+    before ranking."""
+    from ray.data.aggregate import Sum
+
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for row in t.to_pylist():
+            # rebuild the positional token sequence (filtered order)
+            seq: list[tuple[int, str]] = []
+            for term, poss in zip(row["terms"], row["positions"]):
+                seq.extend((p, term) for p in poss)
+            seq.sort()
+            for (p1, w1), (p2, w2) in zip(seq, seq[1:]):
+                if p2 == p1 + 1:
+                    c[(w1, w2)] += 1
+        if not c:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64())})
+        ws = list(c.keys())
+        return pa.table({
+            "w1": pa.array([w[0] for w in ws], pa.string()),
+            "w2": pa.array([w[1] for w in ws], pa.string()),
+            "n_ab": pa.array(list(c.values()), pa.int64()),
+        })
+
+    pair_counts = toks.map_batches(pairs, batch_format="pyarrow") \
+                      .groupby(["w1", "w2"]).aggregate(Sum("n_ab", alias_name="n_ab")) \
+                      .to_pandas()
+    n_pairs = int(pair_counts["n_ab"].sum())
+    ts = term_stats(sf_dir).to_pandas()
+    cf = dict(zip(ts["term"], ts["cf"]))
+    n_tok = int(ts["cf"].sum())
+    pc_ = pair_counts[pair_counts["n_ab"] >= min_count].copy()
+    pc_["pmi"] = [
+        round4(math.log((nab / n_pairs) / ((cf[a] / n_tok) * (cf[b] / n_tok))))
+        for a, b, nab in zip(pc_["w1"], pc_["w2"], pc_["n_ab"])
+    ]
+    pc_ = pc_.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True]).head(n)
+    pc_["rank"] = np.arange(1, len(pc_) + 1, dtype=np.int64)
+    return pc_.reset_index(drop=True)[["rank", "w1", "w2", "n_ab", "pmi"]]
+
+
+def facet_date_ranges(sf_dir: str) -> pd.DataFrame:
+    """Month-bucket facet over orders (the reference's date-range facet
+    buckets, facet_engine.py:173-498): count + revenue per month."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["month"] = df["o_orderdate"].dt.strftime("%Y-%m")
+        return df.groupby("month", sort=False).agg(
+            n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum")).reset_index()
+
+    from ray.data.aggregate import Sum
+
+    part = ds.map_batches(partial, batch_format="pandas")
+    out = part.groupby("month").aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue"),
+    ).to_pandas()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue"] = out["revenue"].map(round4)
+    return out.sort_values("month").reset_index(drop=True)
 
 
 # ------------------------------------------------------------------ events

@@ -153,18 +153,34 @@ def build_index(
             shutil.rmtree(dst, ignore_errors=True)
             os.replace(src, dst)
             manifest.mark_shard(k, rows=sum(i.num_rows for i in shards[k]),
-                                inputs=sorted({i.path for i in shards[k]}))
+                                inputs=sorted({i.path for i in shards[k]}), save=False)
+        manifest.save()  # one atomic write for the whole promotion batch
         shutil.rmtree(tmp_root, ignore_errors=True)
     _v(f"tokens stage done ({len(pending)} shards built, {resumed} resumed)")
 
     # ---- global stats (column-pruned read of the tokens table) ----
+    # Packing no longer needs avgdl (block metadata stores raw tf/dl
+    # extremes), so the stats aggregate runs in a background thread
+    # OVERLAPPED with the segments shuffle; joined before manifest write.
+    stats_result: dict = {}
+    stats_thread = None
     if manifest.stats is None:
-        stats_ds = rd.read_parquet(tokens_root, columns=["doc_len"])
-        agg = stats_ds.aggregate(Sum("doc_len", alias_name="total_len"), Count(alias_name="n_docs"))
-        manifest.set_stats(int(agg["n_docs"]), int(agg["total_len"]))
-    stats = manifest.stats
-    avgdl = stats["avg_doc_length"]
-    _v(f"stats done (n_docs={stats['n_docs']}, avgdl={avgdl:.1f})")
+        import threading
+
+        def _stats_job() -> None:
+            stats_ds = rd.read_parquet(tokens_root, columns=["doc_len"])
+            agg = stats_ds.aggregate(Sum("doc_len", alias_name="total_len"),
+                                     Count(alias_name="n_docs"))
+            stats_result["n_docs"] = int(agg["n_docs"])
+            stats_result["total_len"] = int(agg["total_len"])
+
+        stats_thread = threading.Thread(target=_stats_job, daemon=True)
+        stats_thread.start()
+        # n_docs is known synchronously from row-group metadata (needed
+        # for the auto chunk_bits below)
+        n_docs_meta = sum(i.num_rows for i in items)
+    else:
+        n_docs_meta = manifest.stats["n_docs"]
 
     # ---- segments (the wide shuffle) ----
     seg_dir = os.path.join(index_dir, "segments")
@@ -174,7 +190,7 @@ def build_index(
         tmp_seg = os.path.join(index_dir, ".tmp_segments")
         shutil.rmtree(tmp_seg, ignore_errors=True)
         eff_chunk_bits = chunk_bits if chunk_bits is not None else \
-            max(10, int(stats["n_docs"]).bit_length() - 3)
+            max(10, int(n_docs_meta).bit_length() - 3)
         tok_cols = ["doc_id", "doc_len", "terms", "tfs"] + (["positions"] if with_positions else [])
         if shuffle_blocks is None:
             import ray
@@ -202,6 +218,13 @@ def build_index(
         n_rows = _count_rows(seg_dir)
         manifest.mark_segments(n_rows)
     _v(f"segments done ({n_rows} posting rows)")
+
+    if stats_thread is not None:
+        stats_thread.join()
+        manifest.set_stats(stats_result["n_docs"], stats_result["total_len"])
+    stats = manifest.stats
+    avgdl = stats["avg_doc_length"]
+    _v(f"stats done (n_docs={stats['n_docs']}, avgdl={avgdl:.1f})")
 
     # ---- vocab sidecar: (term_hash, term), the small side of the index.
     # Also the hash-collision check: two distinct terms sharing a 64-bit

@@ -60,6 +60,60 @@ def total_rows(items: list[RowGroupItem]) -> int:
     return sum(i.num_rows for i in items)
 
 
+def read_jsonl_docs(path: str | list[str], *, limit_per_file: int | None = None,
+                    content_fields: tuple[str, ...] = ("content", "content_clean", "text", "body")):
+    """JSONL corpus reader with the reference's tolerance semantics
+    (doc_reader.py:147-222): one JSON object per line, corrupt lines are
+    SKIPPED (not fatal), docs whose content (first present field of
+    ``content_fields``, the reference's field-fallback chain,
+    document_service.py:159-174) is empty are dropped, optional per-file
+    limit.  Returns a ``ray.data.Dataset`` of parsed rows with a ``text``
+    column holding the resolved content."""
+    import json
+
+    import ray.data as rd
+
+    files = list_input_files(path) if not isinstance(path, (list, tuple)) else sorted(path)
+    ds = rd.from_items([{"path": f} for f in files], override_num_blocks=max(1, len(files)))
+
+    def load_file(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for file_row in batch.to_pylist():
+            kept = 0
+            with open(file_row["path"], encoding="utf-8") as f:
+                for line in f:
+                    if limit_per_file is not None and kept >= limit_per_file:
+                        break
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        obj = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # per-line tolerance (doc_reader.py:208-220)
+                    text = next((obj[k] for k in content_fields
+                                 if isinstance(obj.get(k), str) and obj[k].strip()), None)
+                    if text is None:
+                        continue  # skip empty-content docs
+                    rows.append({
+                        "title": str(obj.get("title", "") or ""),
+                        "url": str(obj.get("url", "") or ""),
+                        "text": text,
+                    })
+                    kept += 1
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("title", pa.string()), ("url", pa.string()), ("text", pa.string())]))
+
+    return ds.map_batches(load_file, batch_size=1, batch_format="pyarrow")
+
+
+def read_jsonl_glob(path: str) -> list[str]:
+    """Deterministic sorted jsonl file list (mirrors doc_reader.py:255-257)."""
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.jsonl")))
+    return sorted(glob.glob(path))
+
+
 class _LoadRowGroups:
     """map_batches body: item rows -> the actual data with doc_id column."""
 

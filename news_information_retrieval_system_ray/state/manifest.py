@@ -82,9 +82,13 @@ class BuildManifest:
     def shard_done(self, shard_id: int) -> bool:
         return self.state["shards"].get(str(shard_id), {}).get("done", False)
 
-    def mark_shard(self, shard_id: int, *, rows: int, inputs: list[str]) -> None:
+    def mark_shard(self, shard_id: int, *, rows: int, inputs: list[str],
+                   save: bool = True) -> None:
+        """``save=False`` defers the disk write so a batch of promotions
+        does one atomic manifest write instead of one per shard."""
         self.state["shards"][str(shard_id)] = {"done": True, "rows": rows, "inputs": inputs}
-        self.save()
+        if save:
+            self.save()
 
     # --- global stats ---
     @property

@@ -1,0 +1,91 @@
+"""JSONL source tolerance (doc_reader.py:147-222 semantics), TextRank /
+frequency keyword kernels, lead-k summary."""
+
+import json
+
+import pytest
+
+from news_information_retrieval_system_ray.functions.keywords import (
+    frequency_keywords,
+    textrank_keywords,
+)
+from news_information_retrieval_system_ray.functions.snippets import lead_k_summary
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    f1 = tmp_path / "a.jsonl"
+    rows = [
+        {"title": "t1", "url": "u1", "content": "hello world"},
+        {"title": "t2", "url": "u2", "content": ""},              # empty -> dropped
+        {"title": "t3", "url": "u3", "body": "fallback body"},    # field fallback
+        {"title": "t4", "url": "u4"},                              # no content -> dropped
+    ]
+    with open(f1, "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in rows[:2]))
+        fh.write("\n{not valid json]]\n")                          # corrupt -> skipped
+        fh.write("\n".join(json.dumps(r) for r in rows[2:]) + "\n")
+    f2 = tmp_path / "b.jsonl"
+    with open(f2, "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"title": f"x{i}", "url": f"u{i}", "text": f"doc {i}"}) + "\n")
+    return str(tmp_path)
+
+
+def test_read_jsonl_tolerance_and_fallback(ray_session, jsonl_dir):
+    from news_information_retrieval_system_ray.sources.readers import read_jsonl_docs
+
+    rows = read_jsonl_docs(jsonl_dir + "/*.jsonl").take_all()
+    texts = sorted(r["text"] for r in rows)
+    assert "hello world" in texts and "fallback body" in texts
+    assert len(rows) == 7  # 2 good from a.jsonl + 5 from b.jsonl
+
+
+def test_read_jsonl_limit(ray_session, jsonl_dir):
+    from news_information_retrieval_system_ray.sources.readers import read_jsonl_docs
+
+    rows = read_jsonl_docs(jsonl_dir + "/b.jsonl", limit_per_file=2).take_all()
+    assert len(rows) == 2
+
+
+def test_textrank_central_term_wins():
+    # "hub" co-occurs with everything; isolated pairs score lower
+    toks = ["hub", "a", "hub", "b", "hub", "c", "hub", "d", "x", "y"]
+    top = textrank_keywords(toks, k=3)
+    assert top[0][0] == "hub"
+    assert all(s > 0 for _, s in top)
+
+
+def test_textrank_edges():
+    assert textrank_keywords([], k=3) == []
+    assert textrank_keywords(["solo"], k=3) == [("solo", 1.0)]
+    out = textrank_keywords(["a", "b"], k=5)
+    assert {t for t, _ in out} == {"a", "b"}
+
+
+def test_textrank_deterministic():
+    toks = list("abcabcabdbe")
+    assert textrank_keywords(toks, k=4) == textrank_keywords(toks, k=4)
+
+
+def test_frequency_keywords_tiebreak():
+    assert frequency_keywords(["b", "a", "b", "a", "c"], k=2) == [("a", 2), ("b", 2)]
+
+
+def test_lead_k_summary():
+    text = "第一句。第二句！第三句？"
+    assert lead_k_summary(text, 2) == "第一句。第二句"
+    assert lead_k_summary("", 2) == ""
+    assert lead_k_summary("no punctuation", 1) == "no punctuation"
+
+
+def test_standardize_date_formats():
+    from news_information_retrieval_system_ray.functions.dates import standardize_date
+
+    assert standardize_date("2025-11-03") == "2025-11-03"
+    assert standardize_date("2025/11/03") == "2025-11-03"
+    assert standardize_date("03/11/2025") == "2025-11-03"
+    assert standardize_date("2025年11月3日") == "2025-11-03"
+    assert standardize_date("2025-11-03T10:22:33") == "2025-11-03"
+    assert standardize_date("not a date") == ""
+    assert standardize_date("") == ""
