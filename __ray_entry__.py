@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "summarize_leadk": A.summarize_leadk,
         "boolean_and": A.boolean_and,
         "boolean_and_not": lambda sf: A.boolean_and_not(sf),
+        "boolean_parsed": A.boolean_parsed,
         "phrase_match": A.phrase_match,
         # facets / browse / aggregates
         "facet_source_counts": A.facet_source_counts,
@@ -283,6 +284,10 @@ def oracle_sql() -> dict[str, str]:
             exc AS (SELECT DISTINCT doc_id FROM tf
                     WHERE term IN ({", ".join(repr(t) for t in A.BOOL_NOT[1])}))
             SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM exc)""",
+        "boolean_parsed": _CTE + """
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('spark', 'vector')
+              AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')""",
         "phrase_match": _CTE + f"""
             SELECT doc_id FROM norm
             WHERE (' ' || t || ' ') LIKE '% {" ".join(A.PHRASE)} %'""",

@@ -104,6 +104,12 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
         lats.sort()
         p50 = lats[len(lats) // 2]
         p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+        naive_lats = []
+        for _qid, qtext in REFERENCE_QUERIES.items():
+            t1 = time.perf_counter()
+            searcher.search(qtext, k=10, method="naive")
+            naive_lats.append(time.perf_counter() - t1)
+        naive_lats.sort()
         return {
             "index_build_sec": round(build_s, 3),
             "docs_per_sec": round(res.n_docs / build_s, 1),
@@ -111,6 +117,7 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
             "query_batch_sec": round(query_s, 3),
             "query_p50_ms": round(p50 * 1e3, 2),
             "query_p99_ms": round(p99 * 1e3, 2),
+            "query_naive_p50_ms": round(naive_lats[len(naive_lats) // 2] * 1e3, 2),
             "n_results": n_results,
         }
     finally:
@@ -166,6 +173,7 @@ def main_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
         "docs_per_sec": head["docs_per_sec"],
         "query_p50_ms": head["query_p50_ms"],
         "query_p99_ms": head["query_p99_ms"],
+        "query_naive_p50_ms": head["query_naive_p50_ms"],
     }
     ray.shutdown()
     return out
@@ -181,6 +189,7 @@ def main_scaling(sf_dir: str) -> dict:
     """
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
     runs: dict[int, dict] = {}
+    ceil_samples: dict[int, float] = {}
     for _ in range(rounds):
         for n in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
@@ -202,8 +211,13 @@ def main_scaling(sf_dir: str) -> dict:
             r = json.loads(p.stdout.strip().splitlines()[-1])
             if n not in runs or r["docs_per_sec"] > runs[n]["docs_per_sec"]:
                 runs[n] = r
+            c = _host_compute_sample(n)
+            ceil_samples[n] = max(ceil_samples.get(n, 0.0), c)
     thr8, thr32 = runs[8]["docs_per_sec"], runs[32]["docs_per_sec"]
     eff = (thr32 / thr8) / (32 / 8)
+    # host ceiling: what the VM itself delivers for pure compute 8 -> 32
+    host_ceiling = (ceil_samples[32] / ceil_samples[8]) / (32 / 8) \
+        if ceil_samples.get(8) and ceil_samples.get(32) else None
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -218,7 +232,33 @@ def main_scaling(sf_dir: str) -> dict:
         "docs_per_sec_cpus8": thr8,
         "docs_per_sec_cpus32": thr32,
         "scaling_efficiency": round(eff, 3),
+        # pinned busy-loop iterations/s at each width: the VM's own
+        # compute-scaling ceiling, for reading the pipeline number fairly
+        "host_compute_scaling": round(host_ceiling, 3) if host_ceiling else None,
+        "efficiency_vs_host_ceiling": round(eff / host_ceiling, 3) if host_ceiling else None,
     }
+
+
+def _host_compute_sample(n: int) -> float:
+    """Pinned n-process busy-loop throughput (iterations, ~2s)."""
+    code = (
+        "import time, multiprocessing as mp, sys\n"
+        "def burn(_):\n"
+        "    t0 = time.time(); x = 0\n"
+        "    while time.time() - t0 < 2.0: x += 1\n"
+        "    return x\n"
+        "n = int(sys.argv[1])\n"
+        "with mp.Pool(n) as p:\n"
+        "    print(sum(p.map(burn, range(n))))\n"
+    )
+    cmd = [sys.executable, "-c", code, str(n)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=60)
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return 0.0
 
 
 if __name__ == "__main__":

@@ -629,6 +629,36 @@ def boolean_and_not(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+BOOL_EXPR = "(spark OR vector) AND NOT dup"
+_BOOL_EXPR_TERMS = ["spark", "vector", "dup"]
+
+
+def boolean_parsed(sf_dir: str, expr: str | None = None) -> pd.DataFrame:
+    """Full parsed boolean query (shunting-yard -> postfix -> stack eval,
+    boolean.py:132-260) over the exploded postings.  Term doc-sets are
+    distributed filters; the set algebra runs on the collected (small)
+    per-term id arrays; NOT complements against the doc universe."""
+    from ..functions.boolquery import search_boolean
+
+    expr = expr or BOOL_EXPR
+    tset = pa.array(sorted(set(_BOOL_EXPR_TERMS)))
+    rows = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=tset))
+                   .select(["term", "doc_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    postings = {t: np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+                for t, g in rows.groupby("term")}
+    universe = np.sort(pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+                       .column("doc_id").to_numpy())
+
+    def p(term: str) -> np.ndarray:
+        return postings.get(term, np.empty(0, dtype=np.int64))
+
+    hits = search_boolean(expr, p, universe)
+    return pd.DataFrame({"doc_id": np.sort(hits)})
+
+
 def phrase_match(sf_dir: str, phrase: list[str] | None = None) -> pd.DataFrame:
     """doc_ids where the phrase occurs at consecutive token positions
     (positional-index adjacency, positional_index.py:92-152)."""

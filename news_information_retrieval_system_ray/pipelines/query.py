@@ -113,6 +113,8 @@ class IndexSearcher:
             return []
         if method == "wand":
             return self._search_wand(q_tokens, k)
+        if method == "maxscore":
+            return self._search_maxscore(q_tokens, k)
         return self._search_naive(q_tokens, k)
 
     def _term_weights(self, q_tokens: list[str]) -> list[tuple[str, float]]:
@@ -133,6 +135,9 @@ class IndexSearcher:
         tw = self._term_weights(q_tokens)
         if not tw:
             return []
+        return self._score_exhaustive(tw, k)
+
+    def _score_exhaustive(self, tw: list[tuple[str, float]], k: int) -> list[tuple[int, float]]:
         all_ids, all_contrib = [], []
         for t, w in tw:
             ids, tfs, dls = unpack_postings(self._cache[t])
@@ -148,6 +153,36 @@ class IndexSearcher:
         uniq, scores = uniq[pos], scores[pos]
         order = topk_order(uniq, scores, k)
         return [(int(uniq[i]), float(scores[i])) for i in order]
+
+    def _search_maxscore(self, q_tokens: list[str], k: int) -> list[tuple[int, float]]:
+        """MaxScore essential/non-essential split (query_optimization.py:495-612).
+
+        Faithful to the reference: terms are ordered by upper bound
+        descending and split, but its implementation sets
+        ``max_non_essential_score = 0.0`` and scores EVERY candidate —
+        so results are exhaustive and identical to naive scoring.  The
+        UB ordering is reproduced; the scoring is delegated."""
+        tw = self._term_weights(q_tokens)
+        if not tw:
+            return []
+        # UB per term = weight * max block weight (the split criterion)
+        cursors = [(t, w, _Cursor(self._cache[t], w, self.avgdl, self.k1, self.b, self.delta).max_score)
+                   for t, w in tw]
+        cursors.sort(key=lambda x: -x[2])  # essential-first ordering
+        return self._score_exhaustive([(t, w) for t, w, _ in cursors], k)
+
+    def boolean_query(self, query: str, universe: np.ndarray | None = None) -> np.ndarray:
+        """Parsed boolean search: terms, AND/OR/NOT, parentheses
+        (shunting-yard + stack eval, boolean.py:132-260).  ``universe``
+        defaults to the dense 0..N-1 doc-id range (valid when the index
+        assigned ids; pass the actual id set otherwise).  NOT complements
+        against the universe — expensive at web scale, as in the
+        reference (inverted_index.py:422-449)."""
+        from ..functions.boolquery import search_boolean
+
+        if universe is None:
+            universe = np.arange(self.n_docs, dtype=np.int64)
+        return search_boolean(query, lambda t: self.postings(t)[0], universe)
 
     # ---------------------------------------------------------------- WAND
     def _search_wand(self, q_tokens: list[str], k: int) -> list[tuple[int, float]]:
@@ -281,6 +316,9 @@ class _Cursor:
     def _load_block(self, bi: int) -> None:
         self.bi = bi
         self._ids, self._tfs, self._dls = unpack_block(self.row, bi)
+        # vectorized per-block weights once per load — score_current must
+        # not allocate in the per-posting WAND loop
+        self._w = tf_weight(self._tfs, self._dls, self.avgdl, self.k1, self.b)
         self.ii = 0
 
     @property
@@ -288,9 +326,7 @@ class _Cursor:
         return int(self._ids[self.ii])
 
     def score_current(self) -> float:
-        w = tf_weight(self._tfs[self.ii : self.ii + 1], self._dls[self.ii : self.ii + 1],
-                      self.avgdl, self.k1, self.b)[0]
-        return float(self.weight * (w + self.delta))
+        return float(self.weight * (self._w[self.ii] + self.delta))
 
     def advance(self) -> None:
         self.ii += 1
