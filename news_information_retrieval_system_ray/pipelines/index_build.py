@@ -159,28 +159,18 @@ def build_index(
     _v(f"tokens stage done ({len(pending)} shards built, {resumed} resumed)")
 
     # ---- global stats (column-pruned read of the tokens table) ----
-    # Packing no longer needs avgdl (block metadata stores raw tf/dl
-    # extremes), so the stats aggregate runs in a background thread
-    # OVERLAPPED with the segments shuffle; joined before manifest write.
-    stats_result: dict = {}
-    stats_thread = None
+    # NOTE: packing no longer needs avgdl (block metadata stores raw
+    # tf/dl extremes), so this pass COULD overlap the segments shuffle —
+    # but concurrent read_parquet resolves from two driver threads race
+    # on Ray's fsspec-http probe import (aiohttp absent in this env,
+    # ImportError escapes Ray's ModuleNotFoundError catch), so it runs
+    # sequentially here.
     if manifest.stats is None:
-        import threading
-
-        def _stats_job() -> None:
-            stats_ds = rd.read_parquet(tokens_root, columns=["doc_len"])
-            agg = stats_ds.aggregate(Sum("doc_len", alias_name="total_len"),
-                                     Count(alias_name="n_docs"))
-            stats_result["n_docs"] = int(agg["n_docs"])
-            stats_result["total_len"] = int(agg["total_len"])
-
-        stats_thread = threading.Thread(target=_stats_job, daemon=True)
-        stats_thread.start()
-        # n_docs is known synchronously from row-group metadata (needed
-        # for the auto chunk_bits below)
-        n_docs_meta = sum(i.num_rows for i in items)
-    else:
-        n_docs_meta = manifest.stats["n_docs"]
+        stats_ds = rd.read_parquet(tokens_root, columns=["doc_len"])
+        agg = stats_ds.aggregate(Sum("doc_len", alias_name="total_len"),
+                                 Count(alias_name="n_docs"))
+        manifest.set_stats(int(agg["n_docs"]), int(agg["total_len"]))
+    n_docs_meta = manifest.stats["n_docs"]
 
     # ---- segments (the wide shuffle) ----
     seg_dir = os.path.join(index_dir, "segments")
@@ -191,6 +181,8 @@ def build_index(
         shutil.rmtree(tmp_seg, ignore_errors=True)
         eff_chunk_bits = chunk_bits if chunk_bits is not None else \
             max(10, int(n_docs_meta).bit_length() - 3)
+        manifest.state["eff_chunk_bits"] = eff_chunk_bits  # appends must reuse
+        manifest.save()
         tok_cols = ["doc_id", "doc_len", "terms", "tfs"] + (["positions"] if with_positions else [])
         if shuffle_blocks is None:
             import ray
@@ -219,9 +211,6 @@ def build_index(
         manifest.mark_segments(n_rows)
     _v(f"segments done ({n_rows} posting rows)")
 
-    if stats_thread is not None:
-        stats_thread.join()
-        manifest.set_stats(stats_result["n_docs"], stats_result["total_len"])
     stats = manifest.stats
     avgdl = stats["avg_doc_length"]
     _v(f"stats done (n_docs={stats['n_docs']}, avgdl={avgdl:.1f})")
@@ -270,6 +259,117 @@ def build_index(
         n_posting_rows=n_rows,
         resumed_shards=resumed,
     )
+
+
+def append_index(
+    index_dir: str,
+    new_input: str | list[str],
+    *,
+    tokenize_concurrency: int | None = None,
+) -> IndexBuildResult:
+    """Incrementally add documents to a COMPLETE index (the reference's
+    incremental builder semantics, incremental_builder.py:180-315: append
+    monotone doc_ids, postings stay sorted).
+
+    New files become new token shards (doc_ids continue from the current
+    count); their postings pack into ADDITIONAL segment files under
+    ``segments/append_*`` — valid because every chunk row is
+    self-contained and the query-side merge orders rows by (chunk, first
+    doc): appended ranges are strictly above all existing ids.  Stats and
+    manifest update in place; the original build config (engine, chunk
+    bits, block size) is reused from the manifest.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.manifest import read_json, write_json_atomic
+
+    mpath = os.path.join(index_dir, "manifest.json")
+    state = read_json(mpath)
+    if not state or state.get("stats") is None or not state.get("segments_done"):
+        raise ValueError(f"append requires a completed index at {index_dir}")
+    config = state["config"]
+    eff_chunk_bits = state.get("eff_chunk_bits") or config.get("chunk_bits") or 20
+    with_positions = config.get("with_positions", False)
+    use_html = config["text_source"] == "html"
+    id_col = config.get("id_col")
+
+    files = list_input_files(new_input)
+    known = set(state["files"])
+    files = [f for f in files if f not in known]
+    if not files:
+        return IndexBuildResult(index_dir, state["stats"]["n_docs"],
+                                state["stats"]["avg_doc_length"],
+                                state.get("segments_rows", 0), 0)
+
+    base = state["stats"]["n_docs"]
+    items = []
+    for it in plan_row_groups(files):
+        items.append(RowGroupItem(it.path, it.row_group, it.doc_base + base, it.num_rows))
+
+    read_cols = None
+    if use_html:
+        read_cols = ["url", "html"] + ([id_col] if id_col else [])
+    elif config["text_source"]:
+        read_cols = [config["text_source"]] + ([id_col] if id_col else [])
+
+    next_shard = max((int(k) for k in state["shards"]), default=-1) + 1
+    tokens_root = os.path.join(index_dir, "tokens")
+    items_w = [{**i.__dict__, "shard": next_shard} for i in items]
+    ds = read_with_doc_ids(None, read_cols, items=items_w, id_col=id_col)
+    ds = ds.map_batches(
+        ExtractNormalize(text_col=config["text_source"] if not use_html else "text",
+                         use_html=use_html),
+        batch_format="pyarrow",
+    )
+    tok_kwargs = dict(batch_format="pyarrow")
+    if tokenize_concurrency:
+        tok_kwargs["concurrency"] = tokenize_concurrency
+    ds = ds.map_batches(
+        TokenizeStage(engine=config["engine"], text_col="text_norm", pre_normalized=True,
+                      with_positions=with_positions),
+        **tok_kwargs,
+    )
+    tmp_root = os.path.join(tokens_root, ".tmp_append")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    ds.write_parquet(tmp_root, partition_cols=["shard"])
+    src = os.path.join(tmp_root, f"shard={next_shard}")
+    dst = os.path.join(tokens_root, f"shard={next_shard}")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.replace(src, dst)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    # pack ONLY the new shard into an additional segment directory
+    tok_cols = ["doc_id", "doc_len", "terms", "tfs"] + (["positions"] if with_positions else [])
+    exploded = rd.read_parquet(dst, columns=tok_cols).map_batches(
+        ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
+                      emit_term=False),
+        batch_format="pyarrow",
+    )
+    packer = PackGroups(block_size=config["block_size"], with_positions=with_positions)
+    packed = exploded.groupby(["term_hash", "chunk"]).map_groups(
+        lambda g: packer(g), batch_format="pyarrow")
+    tmp_seg = os.path.join(index_dir, ".tmp_append_seg")
+    shutil.rmtree(tmp_seg, ignore_errors=True)
+    packed.write_parquet(tmp_seg)
+    seg_dst = os.path.join(index_dir, "segments", f"append_{next_shard}")
+    shutil.rmtree(seg_dst, ignore_errors=True)
+    os.replace(tmp_seg, seg_dst)
+
+    agg = rd.read_parquet(dst, columns=["doc_len"]).aggregate(
+        Sum("doc_len", alias_name="t"), Count(alias_name="n"))
+    n_new, len_new = int(agg["n"]), int(agg["t"])
+    state["files"] = sorted(known | set(files))
+    state["shards"][str(next_shard)] = {"done": True, "rows": n_new, "inputs": files,
+                                        "appended": True}
+    st = state["stats"]
+    st["n_docs"] += n_new
+    st["total_len"] += len_new
+    st["avg_doc_length"] = st["total_len"] / max(1, st["n_docs"])
+    state["segments_rows"] = state.get("segments_rows", 0) + _count_rows(seg_dst)
+    write_json_atomic(mpath, state)
+    return IndexBuildResult(index_dir, st["n_docs"], st["avg_doc_length"],
+                            state["segments_rows"], 0)
 
 
 def _count_rows(parquet_dir: str) -> int:

@@ -85,7 +85,11 @@ class IndexSearcher:
             if not rows:
                 self._cache[t] = None
                 continue
-            rows.sort(key=lambda r: r["chunk"])
+            # order by doc-id range: chunk id, then first block's last doc
+            # (append builds can emit two rows for one chunk — base +
+            # appended docs — whose ranges are disjoint and increasing)
+            rows.sort(key=lambda r: (r["chunk"],
+                                     r["block_last_doc"][0] if r["block_last_doc"] else -1))
             self._cache[t] = merge_packed(rows)
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

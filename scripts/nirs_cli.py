@@ -1,0 +1,99 @@
+"""CLI for the Ray-Data IR engine (the reference's script surface:
+build_indexes.py / build_incremental_index.py / run_test_queries.py).
+
+  python scripts/nirs_cli.py build  --input DIR --index DIR [--engine E] [--html]
+  python scripts/nirs_cli.py append --input DIR --index DIR
+  python scripts/nirs_cli.py search --index DIR --query "..." [--method wand] [-k 10]
+  python scripts/nirs_cli.py bool   --index DIR --query "a AND (b OR c)"
+
+Owns its Ray session (guarded init; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(prog="nirs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--engine", default="cjk_bigram")
+    b.add_argument("--html", action="store_true", help="extract text from the html column")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--shards", type=int, default=16)
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+
+    a = sub.add_parser("append")
+    a.add_argument("--input", required=True)
+    a.add_argument("--index", required=True)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--method", default="wand", choices=["naive", "wand", "maxscore"])
+    s.add_argument("-k", type=int, default=10)
+
+    q = sub.add_parser("bool")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+
+    args = ap.parse_args()
+    if args.cmd == "build":
+        _ray_init()
+        from news_information_retrieval_system_ray.pipelines.index_build import build_index
+
+        r = build_index(args.input, args.index,
+                        text_source="html" if args.html else "text",
+                        id_col=args.id_col, engine=args.engine, n_shards=args.shards,
+                        with_positions=args.positions, resume=not args.no_resume,
+                        verbose=True)
+        print(json.dumps({"n_docs": r.n_docs, "avg_doc_length": round(r.avg_doc_length, 4),
+                          "posting_rows": r.n_posting_rows, "resumed_shards": r.resumed_shards}))
+    elif args.cmd == "append":
+        _ray_init()
+        from news_information_retrieval_system_ray.pipelines.index_build import append_index
+
+        r = append_index(args.index, args.input)
+        print(json.dumps({"n_docs": r.n_docs, "avg_doc_length": round(r.avg_doc_length, 4),
+                          "posting_rows": r.n_posting_rows}))
+    elif args.cmd == "search":
+        from news_information_retrieval_system_ray.pipelines.query import IndexSearcher
+
+        srch = IndexSearcher(args.index)
+        for rank, (doc, score) in enumerate(srch.search(args.query, k=args.k, method=args.method), 1):
+            print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 4)}))
+    elif args.cmd == "bool":
+        from news_information_retrieval_system_ray.pipelines.query import IndexSearcher
+
+        srch = IndexSearcher(args.index)
+        ids = srch.boolean_query(args.query)
+        print(json.dumps({"n": int(ids.size), "doc_ids": ids[:100].tolist()}))
+    return 0
+
+
+if __name__ == "__main__":
+    import ray
+
+    code = main()
+    if ray.is_initialized():
+        ray.shutdown()
+    raise SystemExit(code)
