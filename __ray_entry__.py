@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": A.boolean_and,
         "boolean_and_not": lambda sf: A.boolean_and_not(sf),
         "boolean_parsed": A.boolean_parsed,
+        "field_query": A.field_query,
         "phrase_match": A.phrase_match,
         # facets / browse / aggregates
         "facet_source_counts": A.facet_source_counts,
@@ -284,6 +285,11 @@ def oracle_sql() -> dict[str, str]:
             exc AS (SELECT DISTINCT doc_id FROM tf
                     WHERE term IN ({", ".join(repr(t) for t in A.BOOL_NOT[1])}))
             SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM exc)""",
+        "field_query": _CTE + f"""
+            SELECT d.doc_id FROM documents d
+            WHERE d.lang = '{A.FIELD_QUERY["lang"]}'
+              AND d.source = '{A.FIELD_QUERY["source"]}'
+              AND d.doc_id IN (SELECT doc_id FROM tf WHERE term = '{A.FIELD_QUERY["term"]}')""",
         "boolean_parsed": _CTE + """
             SELECT DISTINCT doc_id FROM tf
             WHERE term IN ('spark', 'vector')

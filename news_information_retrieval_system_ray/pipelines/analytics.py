@@ -659,6 +659,30 @@ def boolean_parsed(sf_dir: str, expr: str | None = None) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.sort(hits)})
 
 
+FIELD_QUERY = {"lang": "en", "source": "src3", "term": "spark"}
+
+
+def field_query(sf_dir: str) -> pd.DataFrame:
+    """Field EXACT-match query (field_indexer.py:63-96 EXACT_FIELDS
+    semantics): docs with lang=en AND source=src3 that contain the text
+    term 'spark'.  Field predicates push down to the documents read; the
+    term predicate is a broadcast semi-join of the (small) posting set."""
+    term_docs = boolean_and(sf_dir, [FIELD_QUERY["term"]])
+    tset = pa.array(sorted(term_docs["doc_id"].astype(np.int64)))
+    docs = _docs_ds(sf_dir, ["doc_id", "lang", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pa.compute.and_(
+            pa.compute.equal(t.column("lang"), FIELD_QUERY["lang"]),
+            pa.compute.equal(t.column("source"), FIELD_QUERY["source"]),
+        )
+        t = t.filter(m)
+        return t.filter(pa.compute.is_in(t.column("doc_id"), value_set=tset)).select(["doc_id"])
+
+    return docs.map_batches(f, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def phrase_match(sf_dir: str, phrase: list[str] | None = None) -> pd.DataFrame:
     """doc_ids where the phrase occurs at consecutive token positions
     (positional-index adjacency, positional_index.py:92-152)."""

@@ -110,9 +110,17 @@ class IndexSearcher:
     def _query_terms(self, query: str) -> list[str]:
         return self.tokenize(normalize_text(query))
 
-    def search(self, query: str, k: int = 10, method: str = "naive") -> list[tuple[int, float]]:
-        """Top-k (doc_id, BM25 score), canonical order."""
+    def search(self, query: str, k: int = 10, method: str = "naive",
+               expand_synonyms: bool = False) -> list[tuple[int, float]]:
+        """Top-k (doc_id, BM25 score), canonical order.
+
+        ``expand_synonyms`` applies the reference's query-side synonym
+        map (text_quality.py:90-177) before scoring."""
         q_tokens = self._query_terms(query)
+        if expand_synonyms:
+            from ..functions.synonyms import expand_terms
+
+            q_tokens = expand_terms(q_tokens)
         if not q_tokens:
             return []
         if method == "wand":
