@@ -204,6 +204,12 @@ class IndexSearcher:
         cursors = [_Cursor(self._cache[t], w, self.avgdl, self.k1, self.b, self.delta) for t, w in tw]
         cursors = [c for c in cursors if not c.exhausted]
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of size k
+        # adaptive block-max probing: on dense/homogeneous lists the
+        # shallow probe never skips and is pure overhead — disable it
+        # after a trial window with a sub-1% hit rate (exactness is
+        # unaffected; the probe is purely an optimization)
+        probes = skips = 0
+        probing = True
         while True:
             live = [c for c in cursors if not c.exhausted]
             if not live:
@@ -223,6 +229,30 @@ class IndexSearcher:
             if pivot_idx < 0:
                 break
             pivot_doc = live[pivot_idx].cur_doc
+            # Block-Max shallow probe (Ding & Suel 2011, public): global
+            # UBs chose the pivot; the CURRENT blocks' tighter bounds may
+            # still rule it out.  If so, skip past the smallest block end
+            # among the candidate cursors (the bound holds for every doc
+            # in that range), capped at the next cursor's doc.  Strict
+            # '<' keeps equal-score/tie-break candidates scored exactly.
+            if probing and len(heap) == k:
+                probes += 1
+                bsum = 0.0
+                skip_to = np.iinfo(np.int64).max
+                for c in live[: pivot_idx + 1]:
+                    ub, block_end = c.ub_for_doc(pivot_doc)
+                    bsum += ub
+                    skip_to = min(skip_to, block_end + 1)
+                if bsum < theta:
+                    if pivot_idx + 1 < len(live):
+                        skip_to = min(skip_to, live[pivot_idx + 1].cur_doc)
+                    if skip_to > pivot_doc:
+                        skips += 1
+                        for c in live[: pivot_idx + 1]:
+                            c.advance_to(skip_to)
+                        continue
+                if probes == 256 and skips * 100 < probes:
+                    probing = False
             if live[0].cur_doc == pivot_doc:
                 score = 0.0
                 for c in live:
@@ -316,7 +346,8 @@ class _Cursor:
         max_tf = np.asarray(row["block_max_tf"], dtype=np.float64)
         min_dl = np.asarray(row["block_min_dl"], dtype=np.float64)
         ubs = tf_weight(max_tf, min_dl, avgdl, k1, b) if max_tf.size else max_tf
-        self.max_score = float(weight * (ubs.max() + delta)) if ubs.size else 0.0
+        self._block_ubs = weight * (ubs + delta)  # per-block score bound
+        self.max_score = float(self._block_ubs.max()) if ubs.size else 0.0
         self.n_blocks = self.block_last.size
         self.bi = 0
         self._ids = self._tfs = self._dls = None
@@ -336,6 +367,22 @@ class _Cursor:
     @property
     def cur_doc(self) -> int:
         return int(self._ids[self.ii])
+
+    def block_containing(self, doc: int) -> int:
+        """Index of the block whose range covers ``doc`` (metadata only —
+        no decode); returns n_blocks if doc is past the last posting."""
+        if doc <= self.block_last[self.bi]:
+            return self.bi
+        return int(np.searchsorted(self.block_last, doc, side="left"))
+
+    def ub_for_doc(self, doc: int) -> tuple[float, int]:
+        """(score upper bound, block_end) for the block covering ``doc``
+        — the Block-Max-WAND shallow probe (bound valid for every doc up
+        to block_end)."""
+        b = self.block_containing(doc)
+        if b >= self.n_blocks:
+            return 0.0, np.iinfo(np.int64).max
+        return float(self._block_ubs[b]), int(self.block_last[b])
 
     def score_current(self) -> float:
         return float(self.weight * (self._w[self.ii] + self.delta))
