@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_top_terms": A.per_source_top_terms,
         "browse_sort": A.browse_sort,
         "events_windowed": A.events_windowed,
+        "events_sessionize": A.events_sessionize,
         "bigram_pmi": A.bigram_pmi,
         "facet_date_ranges": A.facet_date_ranges,
         # cleaning / dates / feedback
@@ -352,6 +353,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey,
                    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date, o_totalprice
             FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100""",
+        "events_sessionize": f"""
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {A.SESSION_GAP_SEC} * 1000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM d)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+            FROM s GROUP BY user_id, session_idx""",
         "events_windowed": """
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -1105,6 +1105,39 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
+SESSION_GAP_SEC = 1800
+
+
+def events_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (sessions split at >30 min of user
+    inactivity) — the stateful-streaming window pattern expressed as a
+    per-user groupby: shuffle keys on user_id, per-group work is a
+    vectorized diff/cumsum.  Emits (user_id, session_idx, n_events,
+    start_ts, duration_sec)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()  # exact Timedelta compare — no float seconds
+        sid = ((gaps > pd.Timedelta(seconds=SESSION_GAP_SEC)) | gaps.isna()).cumsum()
+        out = g.groupby(sid).agg(start=("ts", "min"), end=("ts", "max"),
+                                 n_events=("ts", "size")).reset_index(drop=True)
+        dur_us = (out["end"].to_numpy() - out["start"].to_numpy()) \
+            .astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": np.full(len(out), g["user_id"].iloc[0], dtype=np.int64),
+            "session_idx": np.arange(1, len(out) + 1, dtype=np.int64),
+            "n_events": out["n_events"].astype(np.int64),
+            "start_ts": out["start"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "duration_us": dur_us,
+        })
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ embeddings
 
 def _query_vectors(sf_dir: str, n: int = 5) -> tuple[np.ndarray, list[int]]:

@@ -138,13 +138,16 @@ class MinHashStage:
         self.shingle_n = shingle_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # signatures travel as fixed-width binary (num_perm * 8 bytes) —
+        # building/parsing 128-element Python int lists per row dominated
+        # this stage's profile
         sig_rows = []
         for t in batch.column(self.text_col).to_pylist():
             toks = self.tokenize(normalize_text(t or ""))
-            sig_rows.append(self.mh.signature(shingles(toks, self.shingle_n)))
+            sig_rows.append(self.mh.signature(shingles(toks, self.shingle_n)).tobytes())
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "sig": pa.array([s.tolist() for s in sig_rows], pa.list_(pa.uint64())),
+            "sig": pa.array(sig_rows, pa.binary()),
         })
 
 
@@ -168,19 +171,21 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        sig_mat = np.array(batch.column("sig").to_pylist(), dtype=np.uint64)
-        rows_doc, rows_key, rows_sig = [], [], []
-        for i in range(doc_ids.size):
+        sig_bytes = batch.column("sig").to_pylist()
+        n = doc_ids.size
+        keys = np.empty(n * n_bands, dtype=np.uint64)
+        p = 0
+        for i in range(n):
+            sb = sig_bytes[i]
             for bidx in range(n_bands):
-                band = sig_mat[i, bidx * r : (bidx + 1) * r]
-                key = int.from_bytes(hashlib.md5(bytes([bidx]) + band.tobytes()).digest()[:8], "big")
-                rows_doc.append(int(doc_ids[i]))
-                rows_key.append(key)
-                rows_sig.append(sig_mat[i].tolist())
+                band = sb[bidx * r * 8 : (bidx + 1) * r * 8]
+                keys[p] = int.from_bytes(
+                    hashlib.md5(bytes([bidx]) + band).digest()[:8], "big")
+                p += 1
         return pa.table({
-            "band_key": pa.array(np.array(rows_key, dtype=np.uint64)),
-            "doc_id": pa.array(np.array(rows_doc, dtype=np.int64)),
-            "sig": pa.array(rows_sig, pa.list_(pa.uint64())),
+            "band_key": pa.array(keys),
+            "doc_id": pa.array(np.repeat(doc_ids, n_bands).astype(np.int64)),
+            "sig": pa.array([sb for sb in sig_bytes for _ in range(n_bands)], pa.binary()),
         })
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -189,7 +194,7 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64),
                                  "est_jaccard": pd.Series(dtype=np.float64)})
-        sig_mat = np.array(group["sig"].tolist(), dtype=np.uint64)
+        sig_mat = np.stack([np.frombuffer(b, dtype=np.uint64) for b in group["sig"]])
         order = np.argsort(ids)
         ids, sig_mat = ids[order], sig_mat[order]
         a_out, b_out, j_out = [], [], []
@@ -204,9 +209,29 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
                 j_out.append(float(est[j]))
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out})
 
+    from ray.data.aggregate import Count
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
+    # nearly every bucket is a singleton (that is the point of LSH) —
+    # running map_groups over them pays Ray's per-group overhead for
+    # nothing.  A cheap count aggregate finds the multi-occupant buckets
+    # (O(near-dups), tiny) and only those flow into the pairwise verify.
+    counts = exploded.groupby("band_key").aggregate(Count(alias_name="n"))
+    multi = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("n"), 1)).select(["band_key"]),
+        batch_format="pyarrow",
+    ).take_all()
+    if not multi:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "est_jaccard": pd.Series(dtype=np.float64)})
+    mset = pa.array(np.array(sorted(r["band_key"] for r in multi), dtype=np.uint64))
+    cand = exploded.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("band_key"), value_set=mset)),
+        batch_format="pyarrow",
+    )
     pairs = (
-        sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby("band_key")
+        cand.groupby("band_key")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
