@@ -82,6 +82,10 @@ def build_index(
     build_vocab: bool = False,           # (term_hash, term) sidecar + 64-bit
                                          # collision check; costs a full pass
                                          # over the terms column, so opt-in
+    dedup_exact_first: bool = False,     # the reference's use_dedup flag
+                                         # (incremental_builder.py:147-158):
+                                         # exact content-hash dedup BEFORE
+                                         # tokenization, first-wins by doc_id
     verbose: bool = False,
 ) -> IndexBuildResult:
     import ray.data as rd
@@ -93,7 +97,7 @@ def build_index(
     config = {
         "text_source": text_source, "id_col": id_col, "engine": engine,
         "block_size": block_size, "chunk_bits": chunk_bits, "n_shards": n_shards,
-        "with_positions": with_positions,
+        "with_positions": with_positions, "dedup_exact_first": dedup_exact_first,
     }
     if not resume and os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
@@ -118,6 +122,54 @@ def build_index(
         read_cols = ["url", "html"] + ([id_col] if id_col else [])
     elif text_source:
         read_cols = [text_source] + ([id_col] if id_col else [])
+
+    if dedup_exact_first:
+        # exact dedup BEFORE tokenization (incremental_builder.py:147-158;
+        # the scalable form per SURVEY §7.5: hash-partition on the content
+        # hash, keep the smallest doc_id per group = first-wins by arrival
+        # order).  Survivors are re-written as the build corpus — the one
+        # shuffle moves each surviving row once.
+        dedup_dir = os.path.join(index_dir, "dedup_corpus")
+        if not (manifest.state.get("dedup_done") and os.path.isdir(dedup_dir)):
+            import hashlib as _hl
+
+            import pyarrow as _pa
+
+            items0 = plan_row_groups(files)
+            ds0 = read_with_doc_ids(None, read_cols, items=items0, id_col=id_col)
+            ds0 = ds0.map_batches(
+                ExtractNormalize(text_col=text_source if not use_html else "text",
+                                 use_html=use_html, keep_cols=("url", "doc_id")),
+                batch_format="pyarrow",
+            )
+
+            def add_hash(t: "_pa.Table") -> "_pa.Table":
+                hs = [_hl.md5((x or "").encode("utf-8")).hexdigest()
+                      for x in t.column("text").to_pylist()]
+                keep = [c for c in ("doc_id", "url", "text") if c in t.column_names]
+                return t.select(keep).append_column("content_hash", _pa.array(hs, _pa.string()))
+
+            def keep_first(g):
+                return g.sort_values("doc_id").head(1).drop(columns=["content_hash"])
+
+            tmp = os.path.join(index_dir, ".tmp_dedup")
+            shutil.rmtree(tmp, ignore_errors=True)
+            ds0.map_batches(add_hash, batch_format="pyarrow") \
+               .groupby("content_hash").map_groups(keep_first, batch_format="pandas") \
+               .write_parquet(tmp)
+            shutil.rmtree(dedup_dir, ignore_errors=True)
+            os.replace(tmp, dedup_dir)
+            manifest.state["dedup_done"] = True
+            manifest.save()
+        _v("exact dedup done")
+        # build proceeds from the deduped, already-extracted corpus
+        files = list_input_files(dedup_dir)
+        use_html = False
+        text_source = "text"
+        id_col = "doc_id"
+        read_cols = ["text", "doc_id"]
+        items = plan_row_groups(files)
+        shards = _shard_items(items, n_shards)
 
     # One streaming pipeline over ALL pending shards (a sequential
     # per-shard loop would serialize the cluster); the ``shard`` column

@@ -210,6 +210,7 @@ class IndexSearcher:
         # unaffected; the probe is purely an optimization)
         probes = skips = 0
         probing = True
+        theta_at_disable = float("-inf")
         while True:
             live = [c for c in cursors if not c.exhausted]
             if not live:
@@ -253,6 +254,12 @@ class IndexSearcher:
                         continue
                 if probes == 256 and skips * 100 < probes:
                     probing = False
+                    theta_at_disable = theta
+            elif not probing and len(heap) == k and theta > theta_at_disable * 1.05 + 1e-12:
+                # threshold rose materially since we gave up — bounds that
+                # were useless then may prune now; re-arm the trial window
+                probing = True
+                probes = skips = 0
             if live[0].cur_doc == pivot_doc:
                 score = 0.0
                 for c in live:
@@ -266,6 +273,11 @@ class IndexSearcher:
             else:
                 for c in live[:pivot_idx]:
                     c.advance_to(pivot_doc)
+        self.last_wand_stats = {
+            "probes": probes, "skips": skips,
+            "blocks_loaded": sum(c.n_blocks_loaded for c in cursors),
+            "blocks_total": sum(c.n_blocks for c in cursors),
+        }
         out = sorted(((s, -negid) for s, negid in heap), key=lambda x: (-x[0], x[1]))
         return [(int(d), float(s)) for s, d in out]
 
@@ -349,6 +361,7 @@ class _Cursor:
         self._block_ubs = weight * (ubs + delta)  # per-block score bound
         self.max_score = float(self._block_ubs.max()) if ubs.size else 0.0
         self.n_blocks = self.block_last.size
+        self.n_blocks_loaded = 0
         self.bi = 0
         self._ids = self._tfs = self._dls = None
         self.ii = 0
@@ -358,6 +371,7 @@ class _Cursor:
 
     def _load_block(self, bi: int) -> None:
         self.bi = bi
+        self.n_blocks_loaded += 1  # decode counter (skip-effectiveness tests)
         self._ids, self._tfs, self._dls = unpack_block(self.row, bi)
         # vectorized per-block weights once per load — score_current must
         # not allocate in the per-posting WAND loop
