@@ -154,3 +154,29 @@ def test_resume_skips_done_shards_and_is_identical(ray_session, corpus, tmp_path
     s2 = IndexSearcher(index_dir)
     assert s2.search(q, k=10) == first
     assert r2.n_docs == r1.n_docs
+
+
+def test_resume_rebuilds_only_missing_shard(ray_session, corpus, tmp_path_factory):
+    _, paths = corpus
+    index_dir = str(tmp_path_factory.mktemp("index_resume2"))
+    build_index(paths, index_dir, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=6, n_shards=3, resume=False)
+    s1 = IndexSearcher(index_dir)
+    first = s1.search("颱風災害", k=10)
+    # simulate a crash that lost one token shard mid-build
+    import json
+    import shutil as _sh
+    man_path = os.path.join(index_dir, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    man["shards"].pop("1")
+    man["segments_done"] = False
+    man["stats"] = None
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    _sh.rmtree(os.path.join(index_dir, "tokens", "shard=1"))
+    _sh.rmtree(os.path.join(index_dir, "segments"))
+    r2 = build_index(paths, index_dir, text_source="html", engine="cjk_bigram",
+                     block_size=16, chunk_bits=6, n_shards=3, resume=True)
+    assert r2.resumed_shards == 2  # only the lost shard was rebuilt
+    assert IndexSearcher(index_dir).search("颱風災害", k=10) == first
