@@ -110,6 +110,44 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
             searcher.search(qtext, k=10, method="naive")
             naive_lats.append(time.perf_counter() - t1)
         naive_lats.sort()
+
+        # query THROUGHPUT: one searcher actor per CPU, each hammering the
+        # reference query set — how a cluster actually serves queries
+        # (replicated index readers), and the query half of the north
+        # rule's indexing+query scaling criterion
+        @ray.remote(num_cpus=1)
+        class QueryWorker:
+            def __init__(self, index_dir: str):
+                from news_information_retrieval_system_ray.pipelines.query import (
+                    IndexSearcher,
+                )
+                from news_information_retrieval_system_ray.sources.pages import (
+                    REFERENCE_QUERIES as RQ,
+                )
+
+                self.s = IndexSearcher(index_dir)
+                self.queries = list(RQ.values())
+                for q in self.queries:  # warm term cache
+                    self.s.search(q, k=10, method="wand")
+
+            def run(self, seconds: float) -> int:
+                n = 0
+                t0 = time.perf_counter()
+                while time.perf_counter() - t0 < seconds:
+                    for q in self.queries:
+                        self.s.search(q, k=10, method="wand")
+                        n += 1
+                        if time.perf_counter() - t0 >= seconds:
+                            break
+                return n
+
+        qsecs = 3.0
+        workers = [QueryWorker.remote(idx_dir) for _ in range(num_cpus)]
+        counts = ray.get([w.run.remote(qsecs) for w in workers])
+        qps = sum(counts) / qsecs
+        for w in workers:
+            ray.kill(w)
+
         return {
             "index_build_sec": round(build_s, 3),
             "docs_per_sec": round(res.n_docs / build_s, 1),
@@ -118,6 +156,7 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
             "query_p50_ms": round(p50 * 1e3, 2),
             "query_p99_ms": round(p99 * 1e3, 2),
             "query_naive_p50_ms": round(naive_lats[len(naive_lats) // 2] * 1e3, 2),
+            "query_qps": round(qps, 1),
             "n_results": n_results,
         }
     finally:
@@ -174,6 +213,7 @@ def main_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
         "query_p50_ms": head["query_p50_ms"],
         "query_p99_ms": head["query_p99_ms"],
         "query_naive_p50_ms": head["query_naive_p50_ms"],
+        "query_qps": head["query_qps"],
     }
     ray.shutdown()
     return out
@@ -215,6 +255,8 @@ def main_scaling(sf_dir: str) -> dict:
             ceil_samples[n] = max(ceil_samples.get(n, 0.0), c)
     thr8, thr32 = runs[8]["docs_per_sec"], runs[32]["docs_per_sec"]
     eff = (thr32 / thr8) / (32 / 8)
+    qps8, qps32 = runs[8].get("query_qps"), runs[32].get("query_qps")
+    qeff = (qps32 / qps8) / (32 / 8) if qps8 and qps32 else None
     # host ceiling: what the VM itself delivers for pure compute 8 -> 32
     host_ceiling = (ceil_samples[32] / ceil_samples[8]) / (32 / 8) \
         if ceil_samples.get(8) and ceil_samples.get(32) else None
@@ -232,6 +274,9 @@ def main_scaling(sf_dir: str) -> dict:
         "docs_per_sec_cpus8": thr8,
         "docs_per_sec_cpus32": thr32,
         "scaling_efficiency": round(eff, 3),
+        "query_qps_cpus8": qps8,
+        "query_qps_cpus32": qps32,
+        "query_scaling_efficiency": round(qeff, 3) if qeff else None,
         # pinned busy-loop iterations/s at each width: the VM's own
         # compute-scaling ceiling, for reading the pipeline number fairly
         "host_compute_scaling": round(host_ceiling, 3) if host_ceiling else None,
