@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": A.ann_topk,
         "ann_lsh": A.ann_lsh,
         "embedding_nn_within_label": A.embedding_nn_within_label,
+        "embedding_kmeans": A.embedding_kmeans,
         # multimodal plumbing
         "media_features": A.media_features,
     }

@@ -1173,6 +1173,22 @@ def ann_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)
 
 
+def embedding_kmeans(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Distributed k-means over the embeddings table (doc-clustering,
+    doc_cluster.py capability): per-vector cluster id + squared distance.
+    Deterministic (seeded init, fixed iterations); rows-only check with
+    inertia-decrease asserted in unit tests."""
+    import ray.data as rd
+
+    from ..stages.ann import kmeans
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(ds.take_batch(1, batch_format="pandas")["embedding"].iloc[0])
+    _, assign = kmeans(ds, k=k, dim=dim, n_iter=8, seed=17)
+    assign["dist2"] = assign["dist2"].map(round4)
+    return assign
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: opaque binary payloads -> feature vectors via
     an actor-pool stage with small batches (decode stubbed — see

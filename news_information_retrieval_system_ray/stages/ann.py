@@ -83,6 +83,70 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     return out[["qid", "rank", "vec_id", "score"]]
 
 
+def kmeans(ds, *, k: int = 8, dim: int, n_iter: int = 10, seed: int = 17,
+           vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Lloyd's k-means (the reference's doc-clustering
+    capability, /root/reference/src/ir/cluster/doc_cluster.py, re-expressed
+    Ray-Data-first): each iteration is one map_batches pass emitting
+    per-batch partial sums (sum vector + count per centroid); the driver
+    reduces partials and updates centroids (k x dim — tiny).  Returns
+    (centroids, assignments DataFrame).  Deterministic: seeded init from
+    the first batch's vectors, fixed iteration count."""
+    import ray
+
+    first = ds.take_batch(max(k * 4, 64), batch_format="pandas")
+    init = np.array(first[vec_col].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = init[rng.choice(init.shape[0], size=k, replace=False)]
+
+    for _ in range(n_iter):
+        cref = ray.put(centroids)
+
+        class Partial:
+            def __init__(self):
+                self.c = ray.get(cref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+                d2 = ((m[:, None, :] - self.c[None, :, :]) ** 2).sum(axis=2)
+                lab = d2.argmin(axis=1)
+                sums = np.zeros_like(self.c)
+                np.add.at(sums, lab, m)
+                counts = np.bincount(lab, minlength=self.c.shape[0])
+                return pa.table({
+                    "cid": pa.array(np.arange(self.c.shape[0]), pa.int64()),
+                    "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "n": pa.array(counts.astype(np.int64)),
+                })
+
+        parts = ds.map_batches(Partial, batch_format="pyarrow", concurrency=2).to_pandas()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for cid, vs, n in zip(parts["cid"], parts["vsum"], parts["n"]):
+            sums[cid] += np.asarray(vs)
+            counts[cid] += n
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    cref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+            d2 = ((m[:, None, :] - self.c[None, :, :]) ** 2).sum(axis=2)
+            return pa.table({
+                id_col: t.column(id_col).cast(pa.int64()),
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+                "dist2": pa.array(d2.min(axis=1)),
+            })
+
+    assign = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2).to_pandas()
+    return centroids, assign.sort_values(id_col).reset_index(drop=True)
+
+
 class LshSignStage:
     """Multi-table random-hyperplane LSH (deterministic seed).
 

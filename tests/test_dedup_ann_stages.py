@@ -143,3 +143,30 @@ def test_lang_id_heuristic():
     })
     out = LangIdStage()(batch).to_pylist()
     assert [r["pred_lang"] for r in out] == ["zh", "en", "de"]
+
+
+def test_kmeans_converges_and_is_deterministic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.stages.ann import kmeans
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 8)) * 5
+    vecs = np.concatenate([centers[i] + rng.standard_normal((50, 8)) * 0.3 for i in range(4)])
+    ids = np.arange(len(vecs))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    }))
+    c1, a1 = kmeans(ds, k=4, dim=8, n_iter=8, seed=9)
+    c2, a2 = kmeans(ds, k=4, dim=8, n_iter=8, seed=9)
+    assert (a1["cluster"].to_numpy() == a2["cluster"].to_numpy()).all()
+    # well-separated blobs -> each true blob maps to exactly one cluster
+    labels = a1["cluster"].to_numpy()
+    for blob in range(4):
+        assert len(set(labels[blob * 50:(blob + 1) * 50])) == 1
+    assert len(set(labels[::50])) == 4
+    # inertia far below the random-assignment level
+    assert a1["dist2"].mean() < 1.0
