@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": A.embedding_kmeans,
         # multimodal plumbing
         "media_features": A.media_features,
+        "video_frame_features": A.video_frame_features,
     }
 
 

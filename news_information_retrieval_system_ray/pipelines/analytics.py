@@ -1204,6 +1204,27 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     return out[["media_id", "feat_norm"]].sort_values("media_id").reset_index(drop=True)
 
 
+def video_frame_features(sf_dir: str) -> pd.DataFrame:
+    """Frame-sampling plumbing: fake video rows -> every-10th-frame
+    feature rows via an actor-pool stage with small batches (decode
+    stubbed; rows-only check, determinism unit-tested)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import FrameSampleStage, make_fake_media_table
+
+    t = make_fake_media_table(n=32, seed=11)
+    t = t.set_column(t.schema.get_field_index("kind"), "kind",
+                     pa.array(["video"] * t.num_rows))
+    t = t.set_column(t.schema.get_field_index("duration_ms"), "duration_ms",
+                     pa.array([4000 + 250 * i for i in range(t.num_rows)], pa.int32()))
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(FrameSampleStage(every_n=10), batch_format="pyarrow",
+                         batch_size=8, concurrency=2).to_pandas()
+    out["feat_norm"] = out["feature"].map(lambda f: round4(float(np.linalg.norm(f))))
+    return out[["media_id", "frame_idx", "feat_norm"]] \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def embedding_nn_within_label(sf_dir: str) -> pd.DataFrame:
     """Nearest neighbor per vector within its label group (the
     embedding-cosine near-dup operator with label blocking; emits the

@@ -94,6 +94,41 @@ class ImageResizeStage:
         return out
 
 
+class FrameSampleStage:
+    """Video payload -> every-Nth-frame rows (flat_map shape: one input
+    row explodes to ``n_frames`` output rows with frame_idx + per-frame
+    feature).  Decode is stubbed like MediaFeatureStage (ffmpeg absent);
+    frame count derives from duration_ms at a nominal fps, features are
+    content-hash-seeded per (payload, frame_idx) — deterministic.
+    """
+
+    def __init__(self, every_n: int = 10, fps: float = 25.0, out_dim: int = 16,
+                 max_frames: int = 32):
+        self.every_n = every_n
+        self.fps = fps
+        self.out_dim = out_dim
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, feats = [], [], []
+        payloads = batch.column("payload").to_pylist()
+        durations = batch.column("duration_ms").to_pylist()
+        media_ids = batch.column("media_id").to_pylist()
+        for mid, payload, dur in zip(media_ids, payloads, durations):
+            n_frames = max(1, int((dur or 0) / 1000.0 * self.fps))
+            sampled = range(0, min(n_frames, self.max_frames * self.every_n), self.every_n)
+            for fi in sampled:
+                ids.append(mid)
+                idxs.append(fi)
+                feats.append(_fake_decode((payload or b"") + fi.to_bytes(4, "big"),
+                                          self.out_dim).tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+        })
+
+
 def make_fake_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic fake media table for plumbing tests."""
     rng = np.random.default_rng(seed)

@@ -170,3 +170,28 @@ def test_kmeans_converges_and_is_deterministic(ray_session):
     assert len(set(labels[::50])) == 4
     # inertia far below the random-assignment level
     assert a1["dist2"].mean() < 1.0
+
+
+def test_frame_sample_stage_deterministic(ray_session):
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.stages.multimodal import (
+        FrameSampleStage,
+        make_fake_media_table,
+    )
+
+    t = make_fake_media_table(n=4, seed=2)
+    import pyarrow as pa
+    t = t.set_column(t.schema.get_field_index("duration_ms"), "duration_ms",
+                     pa.array([2000, 0, 1000, 4000], pa.int32()))
+    out = rd.from_arrow(t).map_batches(FrameSampleStage(every_n=10, fps=25.0),
+                                       batch_format="pyarrow").to_pandas()
+    # 2000ms @25fps = 50 frames -> idx 0,10,20,30,40; 0ms -> 1 frame (idx 0)
+    per = out.groupby("media_id")["frame_idx"].apply(list).to_dict()
+    assert per[0] == [0, 10, 20, 30, 40]
+    assert per[1] == [0]
+    assert per[2] == [0, 10, 20]
+    assert per[3] == [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+    out2 = rd.from_arrow(t).map_batches(FrameSampleStage(every_n=10, fps=25.0),
+                                        batch_format="pyarrow").to_pandas()
+    assert (out["feature"].map(tuple) == out2["feature"].map(tuple)).all()
