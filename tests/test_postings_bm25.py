@@ -91,3 +91,33 @@ def test_pack_roundtrip_property(idset, tfbase):
     tfs = [((i * tfbase) % 11) + 1 for i in range(len(ids))]
     dls = [((i * 13) % 90) + 1 for i in range(len(ids))]
     _rt(ids, tfs, dls, block_size=32)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=1 << 30), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_merge_packed_arbitrary_splits_property(ids_set, n_chunks, block_size):
+    """Pack(whole) == merge(Pack(chunk_i)) for ANY split into consecutive
+    doc-id ranges — the invariant behind skew chunk-splitting (SURVEY
+    §7.5) and incremental append."""
+    ids = np.array(sorted(ids_set), dtype=np.int64)
+    tfs = (ids % 7) + 1
+    dls = (ids % 90) + 10
+    whole = pack_postings(ids, tfs, dls, block_size=block_size)
+    bounds = np.linspace(0, ids.size, n_chunks + 1).astype(int)
+    chunks = [pack_postings(ids[a:b], tfs[a:b], dls[a:b], block_size=block_size)
+              for a, b in zip(bounds, bounds[1:]) if b > a]
+    merged = merge_packed(chunks)
+    wi, wt, wl = unpack_postings(whole)
+    mi, mt, ml = unpack_postings(merged)
+    assert list(mi) == list(wi)
+    assert list(mt) == list(wt)
+    assert list(ml) == list(wl)
+    assert merged["df"] == whole["df"] and merged["cf"] == whole["cf"]
+    # block metadata stays consistent for WAND: bounds must cover actuals
+    assert max(merged["block_max_tf"]) == int(tfs.max())
+    assert min(merged["block_min_dl"]) == int(dls.min())
+    assert merged["block_last_doc"][-1] == int(ids[-1])
