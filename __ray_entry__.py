@@ -364,8 +364,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (SELECT user_id, ts,
-                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+                         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
                   FROM d)
             SELECT user_id, session_idx, count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,

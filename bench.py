@@ -92,24 +92,29 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
                               n_shards=4 * num_cpus, resume=False)
             build_s = min(build_s, time.perf_counter() - t0)
 
-        searcher = IndexSearcher(idx_dir)
-        lats = []
-        t0 = time.perf_counter()
-        n_results = 0
-        for _qid, qtext in REFERENCE_QUERIES.items():
-            t1 = time.perf_counter()
-            n_results += len(searcher.search(qtext, k=10, method="wand"))
-            lats.append(time.perf_counter() - t1)
-        query_s = time.perf_counter() - t0
-        lats.sort()
+        # per-method latency: each method gets its OWN fresh searcher
+        # (no cross-method cache free-riding), one untimed warm pass
+        # (steady-state serving: hot terms are decoded/cached), then the
+        # timed pass.  cold_sec = the first (cache-filling) pass.
+        def measure(method: str) -> tuple[list[float], float, int]:
+            s = IndexSearcher(idx_dir)
+            t0 = time.perf_counter()
+            n_res = 0
+            for qtext in REFERENCE_QUERIES.values():
+                n_res += len(s.search(qtext, k=10, method=method))
+            cold_sec = time.perf_counter() - t0
+            lats_ = []
+            for qtext in REFERENCE_QUERIES.values():
+                t1 = time.perf_counter()
+                s.search(qtext, k=10, method=method)
+                lats_.append(time.perf_counter() - t1)
+            lats_.sort()
+            return lats_, cold_sec, n_res
+
+        lats, query_s, n_results = measure("wand")
         p50 = lats[len(lats) // 2]
         p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
-        naive_lats = []
-        for _qid, qtext in REFERENCE_QUERIES.items():
-            t1 = time.perf_counter()
-            searcher.search(qtext, k=10, method="naive")
-            naive_lats.append(time.perf_counter() - t1)
-        naive_lats.sort()
+        naive_lats, naive_cold_s, _ = measure("naive")
 
         # query THROUGHPUT: one searcher actor per CPU, each hammering the
         # reference query set — how a cluster actually serves queries
@@ -153,6 +158,7 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
             "docs_per_sec": round(res.n_docs / build_s, 1),
             "n_docs": res.n_docs,
             "query_batch_sec": round(query_s, 3),
+            "query_naive_batch_sec": round(naive_cold_s, 3),
             "query_p50_ms": round(p50 * 1e3, 2),
             "query_p99_ms": round(p99 * 1e3, 2),
             "query_naive_p50_ms": round(naive_lats[len(naive_lats) // 2] * 1e3, 2),

@@ -26,13 +26,63 @@ import numpy as np
 
 from .codecs import vbyte_decode, vbyte_encode, vbyte_lengths
 
-BLOCK_SIZE = 128
+BLOCK_SIZE = 32
+
+# Number of Pareto cover pairs per block (tighter WAND bounds, below).
+BOUND_PAIRS = 4
+_DL_PAD = (1 << 31) - 1  # "no posting" dl sentinel (weight contribution ~0)
 
 PACKED_FIELDS = (
     "df", "cf", "docs_bytes", "tfs_bytes", "dls_bytes",
     "block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
     "block_len", "block_last_doc", "block_max_tf", "block_min_dl",
+    "block_bound_tf", "block_bound_dl",
 )
+
+
+def _pareto_bound_pairs(tfs: np.ndarray, dls: np.ndarray, starts: np.ndarray,
+                        block_size: int, s_pairs: int = BOUND_PAIRS
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block (tf, dl) cover pairs for tight block-max bounds.
+
+    The classic single pair (max_tf, min_dl) combines extremes of two
+    DIFFERENT postings and is far looser than the block's true best
+    score.  Instead store up to ``s_pairs`` pairs covering the block's
+    Pareto front in (tf desc, dl asc): every posting is dominated
+    (tf' >= tf, dl' <= dl) by some stored pair, so
+    ``max_j w(tf_j, dl_j)`` upper-bounds any monotone BM25-style weight
+    for ANY (k1, b, avgdl) — the bound stays parameter-free like the
+    reference's score(max_tf, min_doc_len) bound
+    (query_optimization.py:164-189) but is near-exact (random-order
+    blocks have expected front size ~ln(block_size) <= s_pairs).
+    Fully vectorized across blocks: pad to a (n_blocks, block_size)
+    matrix, per-row sort by a composite (-tf, dl) int64 key, segmented
+    running-min for the front, then scatter max/min into front chunks.
+    Returns flattened (n_blocks * s_pairs) arrays padded with
+    (tf=0, dl=_DL_PAD) — zero-weight, harmless in the max.
+    """
+    n = tfs.size
+    nb = starts.size
+    pad = nb * block_size - n
+    tfp = np.concatenate([tfs, np.zeros(pad, np.int64)]).reshape(nb, block_size)
+    dlp = np.concatenate([dls, np.full(pad, _DL_PAD, np.int64)]).reshape(nb, block_size)
+    key = (-tfp << 32) + dlp  # tf desc primary, dl asc secondary (tf,dl < 2^31)
+    o = np.argsort(key, axis=1, kind="stable")
+    tfs_s = np.take_along_axis(tfp, o, 1)
+    dls_s = np.take_along_axis(dlp, o, 1)
+    cm = np.minimum.accumulate(dls_s, axis=1)
+    prev = np.concatenate([np.full((nb, 1), np.int64(1) << 40), cm[:, :-1]], axis=1)
+    front = dls_s < prev  # strictly-improving dl along descending tf
+    k_front = front.sum(axis=1)  # >=1 (first sorted element is always front)
+    rank = np.cumsum(front, axis=1) - 1
+    rows, cols = np.nonzero(front)
+    chunk = (rank[rows, cols] * s_pairs) // k_front[rows]
+    idx = rows * s_pairs + chunk
+    btf = np.zeros(nb * s_pairs, dtype=np.int64)
+    bdl = np.full(nb * s_pairs, _DL_PAD, dtype=np.int64)
+    np.maximum.at(btf, idx, tfs_s[rows, cols])
+    np.minimum.at(bdl, idx, dls_s[rows, cols])
+    return btf, bdl
 
 
 def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
@@ -55,6 +105,7 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
             "df": 0, "cf": 0, "docs_bytes": b"", "tfs_bytes": b"", "dls_bytes": b"",
             "block_doc_nbytes": [], "block_tf_nbytes": [], "block_dl_nbytes": [],
             "block_len": [], "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
+            "block_bound_tf": [], "block_bound_dl": [],
         }
     starts = np.arange(0, n, block_size, dtype=np.int64)
     ends = np.minimum(starts + block_size, n)
@@ -65,6 +116,7 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     deltas[starts] = doc_ids[starts].astype(np.uint64)  # absolute at block start
     tfs_u = tfs.astype(np.uint64)
     dls_u = dls.astype(np.uint64)
+    btf, bdl = _pareto_bound_pairs(tfs, dls, starts, block_size)
     return {
         "df": n,
         "cf": int(tfs.sum()),
@@ -78,6 +130,8 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         "block_last_doc": doc_ids[ends - 1].tolist(),
         "block_max_tf": np.maximum.reduceat(tfs, starts).tolist(),
         "block_min_dl": np.minimum.reduceat(dls, starts).tolist(),
+        "block_bound_tf": btf.tolist(),
+        "block_bound_dl": bdl.tolist(),
     }
 
 
@@ -99,7 +153,8 @@ def merge_packed(chunks: list[dict]) -> dict:
         "dls_bytes": b"".join(c["dls_bytes"] for c in chunks),
     }
     for f in ("block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
-              "block_len", "block_last_doc", "block_max_tf", "block_min_dl"):
+              "block_len", "block_last_doc", "block_max_tf", "block_min_dl",
+              "block_bound_tf", "block_bound_dl"):
         acc: list = []
         for c in chunks:
             acc.extend(c[f])
@@ -114,30 +169,25 @@ def merge_packed(chunks: list[dict]) -> dict:
 
 
 def unpack_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a packed posting row -> (doc_ids int64, tfs int64, dls int64)."""
-    n_blocks = len(row["block_len"])
-    doc_out = np.empty(int(row["df"]), dtype=np.int64)
-    tf_out = np.empty(int(row["df"]), dtype=np.int64)
-    dl_out = np.empty(int(row["df"]), dtype=np.int64)
-    d_off = t_off = l_off = 0
-    p = 0
-    docs_b = row["docs_bytes"]
-    tfs_b = row["tfs_bytes"]
-    dls_b = row["dls_bytes"]
-    for i in range(n_blocks):
-        dn = int(row["block_doc_nbytes"][i])
-        tn = int(row["block_tf_nbytes"][i])
-        ln = int(row["block_dl_nbytes"][i])
-        m = int(row["block_len"][i])
-        deltas = vbyte_decode(docs_b[d_off : d_off + dn])
-        doc_out[p : p + m] = np.cumsum(deltas.astype(np.int64))
-        tf_out[p : p + m] = vbyte_decode(tfs_b[t_off : t_off + tn]).astype(np.int64)
-        dl_out[p : p + m] = vbyte_decode(dls_b[l_off : l_off + ln]).astype(np.int64)
-        d_off += dn
-        t_off += tn
-        l_off += ln
-        p += m
-    return doc_out, tf_out, dl_out
+    """Decode a packed posting row -> (doc_ids int64, tfs int64, dls int64).
+
+    One-shot vectorized decode: the concatenated VByte streams are
+    self-delimiting, so each of docs/tfs/dls decodes in a single call;
+    per-block absolute resets in the delta stream are undone with a
+    segmented cumsum (global cumsum minus the pre-block base, broadcast
+    by ``np.repeat``) — no per-block Python loop."""
+    block_len = np.asarray(row["block_len"], dtype=np.int64)
+    if block_len.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    deltas = vbyte_decode(row["docs_bytes"]).astype(np.int64)
+    tfs = vbyte_decode(row["tfs_bytes"]).astype(np.int64)
+    dls = vbyte_decode(row["dls_bytes"]).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(block_len)[:-1]))
+    tot = np.cumsum(deltas)
+    base = tot[starts] - deltas[starts]  # delta sum preceding each block
+    ids = tot - np.repeat(base, block_len)
+    return ids, tfs, dls
 
 
 def unpack_block(row: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

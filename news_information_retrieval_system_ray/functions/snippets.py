@@ -46,14 +46,35 @@ def make_snippet(text: str, query_terms: list[str], max_len: int = SNIPPET_LEN) 
 
 
 def highlight(text: str, query_terms: list[str]) -> str:
-    """HTML-escape then <mark>-wrap query-term occurrences (case-insensitive)."""
+    """HTML-escape then <mark>-wrap query-term occurrences (case-insensitive).
+
+    A single combined alternation (longest-first) substitutes every term in
+    one pass, so a later term can never match inside a previously inserted
+    ``<mark>`` tag or escaped entity (e.g. terms like 'mar' or 'amp').
+    """
     out = html.escape(text, quote=False)
-    for t in sorted({t for t in query_terms if t}, key=len, reverse=True):
-        out = re.sub(
-            f"({re.escape(html.escape(t, quote=False))})",
-            r"<mark>\1</mark>", out, flags=re.IGNORECASE,
-        )
-    return out
+    terms = sorted({t for t in query_terms if t}, key=len, reverse=True)
+    if not terms:
+        return out
+    escaped = [html.escape(t, quote=False) for t in terms]
+    # Terms whose escaped form contains an entity (e.g. '&' -> '&amp;') must
+    # outrank the generic entity-skip branch; everything else comes after it.
+    entity_like = [e for t, e in zip(terms, escaped) if e != t]
+    plain = [e for t, e in zip(terms, escaped) if e == t]
+    branches = []
+    if entity_like:
+        branches.append("(?P<ent_term>" + "|".join(map(re.escape, entity_like)) + ")")
+    branches.append(r"(?P<entity>&#?\w+;)")  # skip escaped entities untouched
+    if plain:
+        branches.append("(?P<term>" + "|".join(map(re.escape, plain)) + ")")
+    pat = re.compile("|".join(branches), flags=re.IGNORECASE)
+
+    def _sub(m: re.Match) -> str:
+        if m.lastgroup == "entity":  # bare entity, not a query term
+            return m.group(0)
+        return f"<mark>{m.group(0)}</mark>"
+
+    return pat.sub(_sub, out)
 
 
 def lead_k_summary(text: str, k: int = 2) -> str:

@@ -630,7 +630,6 @@ def boolean_and_not(sf_dir: str) -> pd.DataFrame:
 
 
 BOOL_EXPR = "(spark OR vector) AND NOT dup"
-_BOOL_EXPR_TERMS = ["spark", "vector", "dup"]
 
 
 def boolean_parsed(sf_dir: str, expr: str | None = None) -> pd.DataFrame:
@@ -638,10 +637,11 @@ def boolean_parsed(sf_dir: str, expr: str | None = None) -> pd.DataFrame:
     boolean.py:132-260) over the exploded postings.  Term doc-sets are
     distributed filters; the set algebra runs on the collected (small)
     per-term id arrays; NOT complements against the doc universe."""
-    from ..functions.boolquery import search_boolean
+    from ..functions.boolquery import parse_boolean, search_boolean
 
     expr = expr or BOOL_EXPR
-    tset = pa.array(sorted(set(_BOOL_EXPR_TERMS)))
+    expr_terms = [t for t in parse_boolean(expr) if t not in ("AND", "OR", "NOT")]
+    tset = pa.array(sorted(set(expr_terms)))
     rows = _exploded_ds(sf_dir).map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=tset))
                    .select(["term", "doc_id"]),

@@ -63,7 +63,7 @@ def build_index(
     text_source: str = "text",          # "html" -> extract; "text"/other -> use column as-is
     id_col: str | None = None,           # existing id column; None -> deterministic assignment
     engine: str = "cjk_bigram",
-    block_size: int = 128,
+    block_size: int = 32,
     chunk_bits: int | None = None,       # None -> auto: ~8 chunks over the
                                          # corpus so stopword-class terms
                                          # split at ANY corpus size (SURVEY §7.5)

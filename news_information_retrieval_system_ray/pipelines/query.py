@@ -7,11 +7,12 @@ Reproduces the reference's query semantics (pinned for parity):
   contribute multiply — /root/reference/src/ir/retrieval/bm25.py:228-232),
   only docs with score > 0, canonical order (-score, doc_id asc)
   (SURVEY §7.6.2 spec-tightening of the reference's unspecified ties).
-- WAND top-k (query_optimization.py:191-346): bounded min-heap of size
-  k, threshold = heap min, pivot by cumulative upper bounds, galloping
-  advance — here the advance skips whole compressed blocks via
-  ``block_last_doc`` and scores decode one block at a time
-  (block-max metadata from the build).
+- WAND top-k (query_optimization.py:191-346): same contract (exact,
+  rank-identical to naive) — here realized as an impact-ordered
+  block-range search over block-max metadata (see ``_search_wand``):
+  doc-id ranges are pruned wholesale when their metadata upper bound
+  falls below the running k-th best score, and pruned ranges of long
+  lists are never decoded.
 - boolean AND/OR/NOT as sorted-postings merges
   (inverted_index.py:331-449) via numpy set ops.
 - phrase matching via the positional index (positional_index.py:92-152):
@@ -24,7 +25,6 @@ slices load lazily per term (Parquet predicate pushdown on the sorted
 
 from __future__ import annotations
 
-import heapq
 import os
 
 import numpy as np
@@ -34,7 +34,7 @@ from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import tf_weight, topk_order
 from ..functions.codecs import vbyte_decode
 from ..functions.hashing import token_hash64
-from ..functions.postings import merge_packed, unpack_block, unpack_postings
+from ..functions.postings import merge_packed, unpack_postings
 from ..functions.tokenize import get_tokenizer
 from ..functions.textnorm import normalize_text
 from ..state.manifest import read_json
@@ -43,6 +43,7 @@ _PACKED_COLS = [
     "term_hash", "chunk", "df", "cf", "docs_bytes", "tfs_bytes", "dls_bytes",
     "block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
     "block_len", "block_last_doc", "block_max_tf", "block_min_dl",
+    "block_bound_tf", "block_bound_dl",
 ]
 
 
@@ -61,6 +62,12 @@ class IndexSearcher:
         self.tokenize = get_tokenizer(self.config["engine"])
         self._seg = pads.dataset(os.path.join(index_dir, "segments"))
         self._cache: dict[str, dict | None] = {}
+        # decoded-postings cache (query-independent: ids + base BM25
+        # weights), bounded by total postings so a long-lived searcher
+        # actor serving a hot query stream doesn't grow unboundedly
+        self._tp: dict[str, _TermPostings | None] = {}
+        self._tp_postings = 0
+        self.max_cached_postings = 20_000_000
 
     # ------------------------------------------------------------------ IO
     def _fetch_terms(self, terms: list[str]) -> None:
@@ -94,12 +101,27 @@ class IndexSearcher:
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(doc_ids, tfs, dls) for one term; empty arrays if absent."""
-        self._fetch_terms([term])
-        row = self._cache[term]
-        if row is None:
+        tp = self._term(term)
+        if tp is None:
             e = np.empty(0, dtype=np.int64)
             return e, e.copy(), e.copy()
-        return unpack_postings(row)
+        ids, tfs, dls, _ = tp.full()
+        return ids, tfs, dls
+
+    def _term(self, term: str) -> "_TermPostings | None":
+        """Cached query-independent decoded state for one term."""
+        tp = self._tp.get(term)
+        if tp is None and term not in self._tp:
+            self._fetch_terms([term])
+            row = self._cache[term]
+            tp = None if row is None else _TermPostings(row, self.avgdl, self.k1, self.b)
+            if tp is not None:
+                if self._tp_postings + tp.df > self.max_cached_postings and self._tp:
+                    self._tp.clear()
+                    self._tp_postings = 0
+                self._tp_postings += tp.df
+            self._tp[term] = tp
+        return tp
 
     def df(self, term: str) -> int:
         self._fetch_terms([term])
@@ -137,10 +159,10 @@ class IndexSearcher:
         self._fetch_terms(list(qtf))
         out = []
         for t, n in qtf.items():
-            row = self._cache[t]
-            if row is None:
+            tp = self._term(t)
+            if tp is None:
                 continue
-            out.append((t, n * float(bm25_idf(row["df"], self.n_docs))))
+            out.append((t, n * float(bm25_idf(tp.df, self.n_docs))))
         return out
 
     def _search_naive(self, q_tokens: list[str], k: int) -> list[tuple[int, float]]:
@@ -152,15 +174,14 @@ class IndexSearcher:
     def _score_exhaustive(self, tw: list[tuple[str, float]], k: int) -> list[tuple[int, float]]:
         all_ids, all_contrib = [], []
         for t, w in tw:
-            ids, tfs, dls = unpack_postings(self._cache[t])
-            contrib = w * (tf_weight(tfs, dls, self.avgdl, self.k1, self.b) + self.delta)
+            tp = self._term(t)
+            ids, _, _, base_w = tp.full()
             all_ids.append(ids)
-            all_contrib.append(contrib)
+            all_contrib.append(w * (base_w + self.delta))
         ids = np.concatenate(all_ids)
         contrib = np.concatenate(all_contrib)
         uniq, inv = np.unique(ids, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, contrib)
+        scores = np.bincount(inv, weights=contrib, minlength=uniq.size)
         pos = scores > 0.0  # reference keeps score>0 only (bm25.py:304)
         uniq, scores = uniq[pos], scores[pos]
         order = topk_order(uniq, scores, k)
@@ -178,8 +199,7 @@ class IndexSearcher:
         if not tw:
             return []
         # UB per term = weight * max block weight (the split criterion)
-        cursors = [(t, w, _Cursor(self._cache[t], w, self.avgdl, self.k1, self.b, self.delta).max_score)
-                   for t, w in tw]
+        cursors = [(t, w, w * (self._term(t).max_base_ub + self.delta)) for t, w in tw]
         cursors.sort(key=lambda x: -x[2])  # essential-first ordering
         return self._score_exhaustive([(t, w) for t, w, _ in cursors], k)
 
@@ -197,89 +217,168 @@ class IndexSearcher:
         return search_boolean(query, lambda t: self.postings(t)[0], universe)
 
     # ---------------------------------------------------------------- WAND
+    _WAND_DENSE_LIMIT = 512  # processed ranges before the bulk bailout
+
     def _search_wand(self, q_tokens: list[str], k: int) -> list[tuple[int, float]]:
+        """Block-Max WAND as an impact-ordered block-range search (block-max
+        metadata after Ding & Suel 2011; processing order after impact-ordered
+        / score-at-a-time engines — both public).
+
+        Doc-id space is partitioned into ranges by the union of every
+        term's block boundaries, so each term contributes exactly one
+        block per range and a range's score upper bound is a vectorized,
+        metadata-only sum.  Because ranges partition docs, a doc's whole
+        score lives in one range — ranges can be processed in ANY order,
+        and a range whose UB is strictly below the running k-th best
+        score can never contribute a result (strict ``<`` also makes the
+        prune robust to float rounding in the bound).
+
+        The loop processes ranges in descending-UB chunks (16 doubling
+        to 256), scoring each chunk with one vectorized multi-range
+        gather and raising theta (= k-th best processed score) after
+        every chunk.  Each chunk first trims its tail at the theta cut
+        (desc order -> one searchsorted); when the cut lands at the
+        chunk head the whole remaining tail is pruned and never decoded.
+        If no pruning has fired after enough processed ranges (bounds
+        uninformative — dense/homogeneous lists), the remaining ranges
+        are scored in one bulk vectorized pass, so WAND degrades to
+        ~exhaustive cost instead of losing to it.  The per-block bound
+        is the max over the block's Pareto cover pairs
+        (postings._pareto_bound_pairs) — near-exact, hence the prune
+        actually fires where the classic (max_tf, min_dl) pair bound
+        cannot."""
         tw = self._term_weights(q_tokens)
         if not tw:
             return []
-        cursors = [_Cursor(self._cache[t], w, self.avgdl, self.k1, self.b, self.delta) for t, w in tw]
-        cursors = [c for c in cursors if not c.exhausted]
-        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of size k
-        # adaptive block-max probing: on dense/homogeneous lists the
-        # shallow probe never skips and is pure overhead — disable it
-        # after a trial window with a sub-1% hit rate (exactness is
-        # unaffected; the probe is purely an optimization)
-        probes = skips = 0
-        probing = True
-        theta_at_disable = float("-inf")
-        while True:
-            live = [c for c in cursors if not c.exhausted]
-            if not live:
-                break
-            live.sort(key=lambda c: c.cur_doc)
-            # heap not full -> no pruning yet (theta = -inf); ub >= theta is
-            # non-strict so equal-score/smaller-doc_id candidates still get
-            # scored (the heap tie-break decides), keeping WAND == naive.
-            theta = heap[0][0] if len(heap) == k else float("-inf")
-            ub = 0.0
-            pivot_idx = -1
-            for i, c in enumerate(live):
-                ub += c.max_score
-                if ub >= theta:
-                    pivot_idx = i
-                    break
-            if pivot_idx < 0:
-                break
-            pivot_doc = live[pivot_idx].cur_doc
-            # Block-Max shallow probe (Ding & Suel 2011, public): global
-            # UBs chose the pivot; the CURRENT blocks' tighter bounds may
-            # still rule it out.  If so, skip past the smallest block end
-            # among the candidate cursors (the bound holds for every doc
-            # in that range), capped at the next cursor's doc.  Strict
-            # '<' keeps equal-score/tie-break candidates scored exactly.
-            if probing and len(heap) == k:
-                probes += 1
-                bsum = 0.0
-                skip_to = np.iinfo(np.int64).max
-                for c in live[: pivot_idx + 1]:
-                    ub, block_end = c.ub_for_doc(pivot_doc)
-                    bsum += ub
-                    skip_to = min(skip_to, block_end + 1)
-                if bsum < theta:
-                    if pivot_idx + 1 < len(live):
-                        skip_to = min(skip_to, live[pivot_idx + 1].cur_doc)
-                    if skip_to > pivot_doc:
-                        skips += 1
-                        for c in live[: pivot_idx + 1]:
-                            c.advance_to(skip_to)
+        lists = [(self._term(t), w) for t, w in tw]
+        lists = [(tp, w) for tp, w in lists if tp.n_blocks > 0]
+        if not lists:
+            self.last_wand_stats = {"probes": 0, "skips": 0,
+                                    "blocks_loaded": 0, "blocks_total": 0}
+            return []
+        loaded0 = sum(tp.n_blocks_loaded for tp, _ in lists)
+        # global block boundaries -> ranges (ends[i-1], ends[i]]
+        ends = np.unique(np.concatenate([tp.block_last for tp, _ in lists]))
+        n_ranges = ends.size
+        # per-range candidate block + UB per term: metadata-only, vectorized
+        blk = np.empty((len(lists), n_ranges), dtype=np.int64)
+        ub = np.zeros(n_ranges, dtype=np.float64)
+        for ci, (tp, w) in enumerate(lists):
+            b = np.searchsorted(tp.block_last, ends, side="left")
+            valid = b < tp.n_blocks
+            blk[ci] = np.where(valid, b, -1)
+            ub[valid] += w * (tp.block_base_ub[b[valid]] + self.delta)
+
+        bnd_cache: dict[int, np.ndarray] = {}  # term -> posting offsets per range end
+
+        def score_ranges(cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """Aggregate (doc_ids, scores) over a set of ranges in one pass.
+
+            Fully-decoded terms use a vectorized multi-slice gather (range
+            -> contiguous posting run via precomputed offsets; runs glued
+            with the repeat/cumsum trick).  Cold terms decode only the
+            blocks the candidate ranges touch (lazy, cached)."""
+            parts_i: list[np.ndarray] = []
+            parts_w: list[np.ndarray] = []
+            for ci, (tp, w) in enumerate(lists):
+                # lazy per-block decode costs ~fixed numpy overhead per
+                # block; it only beats the one-shot full decode on LONG
+                # lists where a small fraction of blocks is touched
+                if (tp.has_full() or tp.df < 500_000
+                        or cand.size * 4 >= tp.n_blocks):
+                    ids_f, _, _, base_w = tp.full()
+                    bnd = bnd_cache.get(ci)
+                    if bnd is None:
+                        bnd = np.searchsorted(ids_f, ends, side="right")
+                        bnd_cache[ci] = bnd
+                    hi = bnd[cand]
+                    lo = np.where(cand > 0, bnd[cand - 1], 0)
+                    ln = hi - lo
+                    tot = int(ln.sum())
+                    if tot == 0:
                         continue
-                if probes == 256 and skips * 100 < probes:
-                    probing = False
-                    theta_at_disable = theta
-            elif not probing and len(heap) == k and theta > theta_at_disable * 1.05 + 1e-12:
-                # threshold rose materially since we gave up — bounds that
-                # were useless then may prune now; re-arm the trial window
-                probing = True
-                probes = skips = 0
-            if live[0].cur_doc == pivot_doc:
-                score = 0.0
-                for c in live:
-                    if c.cur_doc == pivot_doc:
-                        score += c.score_current()
-                        c.advance()
-                if score > 0.0 and (len(heap) < k or (score, -pivot_doc) > heap[0]):
-                    heapq.heappush(heap, (score, -pivot_doc))
-                    if len(heap) > k:
-                        heapq.heappop(heap)
+                    idx = np.arange(tot, dtype=np.int64) + np.repeat(
+                        lo - np.concatenate(([0], np.cumsum(ln)[:-1])), ln)
+                    parts_i.append(ids_f[idx])
+                    parts_w.append(w * (base_w[idx] + self.delta))
+                else:
+                    for i in cand:
+                        b = int(blk[ci, i])
+                        if b < 0:
+                            continue
+                        ids, base_w = tp.block(b)
+                        lo_doc = int(ends[i - 1]) if i > 0 else -1
+                        lo = int(np.searchsorted(ids, lo_doc, side="right"))
+                        hi = int(np.searchsorted(ids, int(ends[i]), side="right"))
+                        if lo < hi:
+                            parts_i.append(ids[lo:hi])
+                            parts_w.append(w * (base_w[lo:hi] + self.delta))
+            if not parts_i:
+                return (np.empty(0, dtype=np.int64), np.empty(0))
+            if len(parts_i) == 1:
+                return parts_i[0], parts_w[0]
+            uniq, inv = np.unique(np.concatenate(parts_i), return_inverse=True)
+            return uniq, np.bincount(inv, weights=np.concatenate(parts_w),
+                                     minlength=uniq.size)
+
+        order = np.argsort(-ub, kind="stable")  # impact (desc-UB) order
+        # running candidate buffer, compressed to the score->=cut set after
+        # each chunk (keeps exact ties); theta = k-th best processed score
+        buf_ids = np.empty(0, dtype=np.int64)
+        buf_sc = np.empty(0, dtype=np.float64)
+        theta = float("-inf")
+        probes = skips = 0
+        pos = 0
+        chunk = 16
+        while pos < n_ranges:
+            cand = order[pos: pos + chunk]
+            if theta > float("-inf"):
+                # desc order: one cut prunes the chunk tail — and if the
+                # first element is below theta, the entire remainder is
+                probes += cand.size
+                keep = int(np.searchsorted(-ub[cand], -theta, side="right"))
+                if keep == 0:
+                    skips += n_ranges - pos
+                    pos = n_ranges
+                    break
+                skips += cand.size - keep
+                pos += cand.size
+                cand = cand[:keep]
             else:
-                for c in live[:pivot_idx]:
-                    c.advance_to(pivot_doc)
+                pos += cand.size
+            u, s = score_ranges(cand)
+            if u.size:
+                buf_ids = np.concatenate([buf_ids, u])
+                buf_sc = np.concatenate([buf_sc, s])
+                if buf_sc.size >= k:
+                    cut = float(np.partition(buf_sc, buf_sc.size - k)[buf_sc.size - k])
+                    theta = cut
+                    if buf_sc.size > 4 * k + 64:
+                        m = buf_sc >= cut
+                        buf_ids, buf_sc = buf_ids[m], buf_sc[m]
+            chunk = min(chunk * 2, 256)
+            dense = (skips == 0 and pos >= 128) or pos - skips >= self._WAND_DENSE_LIMIT
+            if dense and pos < n_ranges:
+                # bounds are not pruning (dense/homogeneous lists) — score
+                # every unprocessed range in one vectorized pass so WAND
+                # degrades to ~exhaustive cost, not worse
+                u, s = score_ranges(order[pos:])
+                if u.size:
+                    buf_ids = np.concatenate([buf_ids, u])
+                    buf_sc = np.concatenate([buf_sc, s])
+                pos = n_ranges
+                break
         self.last_wand_stats = {
             "probes": probes, "skips": skips,
-            "blocks_loaded": sum(c.n_blocks_loaded for c in cursors),
-            "blocks_total": sum(c.n_blocks for c in cursors),
+            "blocks_loaded": sum(tp.n_blocks_loaded for tp, _ in lists) - loaded0,
+            "blocks_total": sum(tp.n_blocks for tp, _ in lists),
         }
-        out = sorted(((s, -negid) for s, negid in heap), key=lambda x: (-x[0], x[1]))
-        return [(int(d), float(s)) for s, d in out]
+        if not buf_ids.size:
+            return []
+        pos_m = buf_sc > 0.0
+        buf_ids, buf_sc = buf_ids[pos_m], buf_sc[pos_m]
+        out = topk_order(buf_ids, buf_sc, k)
+        return [(int(buf_ids[i]), float(buf_sc[i])) for i in out]
 
     # ------------------------------------------------------------- boolean
     def boolean_and(self, terms: list[str]) -> np.ndarray:
@@ -345,84 +444,87 @@ class IndexSearcher:
         return np.array(hits, dtype=np.int64)
 
 
-class _Cursor:
-    """Per-term posting cursor with block skipping (WAND path)."""
+class _TermPostings:
+    """Query-independent decoded state for one term, cached per searcher.
 
-    def __init__(self, row: dict, weight: float, avgdl: float, k1: float, b: float, delta: float):
+    Shallow state is pure metadata built without touching the compressed
+    bytes: ``block_last`` + per-block base score bounds
+    ``tf_weight(max_tf, min_dl)`` — the reference's score(max_tf,
+    min_doc_len) bound (query_optimization.py:164-189), held per block.
+    Deep state decodes lazily: single blocks on demand (WAND selective
+    path, cached) or the whole list one-shot (exhaustive path).  Base
+    BM25 weights ``tf_weight(tf, dl)`` exclude the query-dependent
+    ``qtf*idf`` factor and additive delta, so decode work is shared
+    across every query that touches the term.  Byte offsets per block
+    are precomputed cumulative sums (O(block) decode)."""
+
+    def __init__(self, row: dict, avgdl: float, k1: float, b: float):
         self.row = row
-        self.weight = weight
-        self.avgdl, self.k1, self.b, self.delta = avgdl, k1, b, delta
+        self.df = int(row["df"])
         self.block_last = np.asarray(row["block_last_doc"], dtype=np.int64)
-        # UB = weight(max_tf, min_dl) — the reference's score(max_tf,
-        # min_doc_len) bound (query_optimization.py:164-189), per block
-        max_tf = np.asarray(row["block_max_tf"], dtype=np.float64)
-        min_dl = np.asarray(row["block_min_dl"], dtype=np.float64)
-        ubs = tf_weight(max_tf, min_dl, avgdl, k1, b) if max_tf.size else max_tf
-        self._block_ubs = weight * (ubs + delta)  # per-block score bound
-        self.max_score = float(self._block_ubs.max()) if ubs.size else 0.0
         self.n_blocks = self.block_last.size
+        # per-block bound = max over the Pareto cover pairs (near-exact,
+        # parameter-free; see postings._pareto_bound_pairs).  Falls back
+        # to the classic (max_tf, min_dl) single pair for old segments.
+        b_tf = np.asarray(row.get("block_bound_tf") or row["block_max_tf"],
+                          dtype=np.float64)
+        b_dl = np.asarray(row.get("block_bound_dl") or row["block_min_dl"],
+                          dtype=np.float64)
+        if b_tf.size:
+            pair_w = np.where(b_tf > 0, tf_weight(b_tf, b_dl, avgdl, k1, b), 0.0)
+            self.block_base_ub = pair_w.reshape(self.n_blocks, -1).max(axis=1)
+            self.max_base_ub = float(self.block_base_ub.max())
+        else:
+            self.block_base_ub = b_tf
+            self.max_base_ub = 0.0
         self.n_blocks_loaded = 0
-        self.bi = 0
-        self._ids = self._tfs = self._dls = None
-        self.ii = 0
-        self.exhausted = self.n_blocks == 0
-        if not self.exhausted:
-            self._load_block(0)
+        self._avgdl, self._k1, self._b = avgdl, k1, b
+        self._len_off = np.concatenate(
+            ([0], np.cumsum(np.asarray(row["block_len"], dtype=np.int64))))
+        self._doc_off = np.concatenate(
+            ([0], np.cumsum(np.asarray(row["block_doc_nbytes"], dtype=np.int64))))
+        self._tf_off = np.concatenate(
+            ([0], np.cumsum(np.asarray(row["block_tf_nbytes"], dtype=np.int64))))
+        self._dl_off = np.concatenate(
+            ([0], np.cumsum(np.asarray(row["block_dl_nbytes"], dtype=np.int64))))
+        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._full: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None = None
 
-    def _load_block(self, bi: int) -> None:
-        self.bi = bi
+    def has_full(self) -> bool:
+        return self._full is not None
+
+    def full(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, dls, base_weights) — whole list, one-shot decode."""
+        if self._full is None:
+            ids, tfs, dls = unpack_postings(self.row)
+            base_w = tf_weight(tfs.astype(np.float64), dls.astype(np.float64),
+                               self._avgdl, self._k1, self._b)
+            self.n_blocks_loaded = self.n_blocks
+            self._full = (ids, tfs, dls, base_w)
+            self._blocks.clear()  # block views now slice from the full arrays
+        return self._full
+
+    def block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, base_weights) for block ``bi`` only (lazy, cached)."""
+        if self._full is not None:
+            lo, hi = int(self._len_off[bi]), int(self._len_off[bi + 1])
+            return self._full[0][lo:hi], self._full[3][lo:hi]
+        hit = self._blocks.get(bi)
+        if hit is not None:
+            return hit
+        if len(self._blocks) >= max(16, self.n_blocks // 8):
+            # enough scattered decodes — the one-shot full decode is far
+            # cheaper per posting than many small per-block decodes
+            self.full()
+            lo, hi = int(self._len_off[bi]), int(self._len_off[bi + 1])
+            return self._full[0][lo:hi], self._full[3][lo:hi]
         self.n_blocks_loaded += 1  # decode counter (skip-effectiveness tests)
-        self._ids, self._tfs, self._dls = unpack_block(self.row, bi)
-        # vectorized per-block weights once per load — score_current must
-        # not allocate in the per-posting WAND loop
-        self._w = tf_weight(self._tfs, self._dls, self.avgdl, self.k1, self.b)
-        self.ii = 0
-
-    @property
-    def cur_doc(self) -> int:
-        return int(self._ids[self.ii])
-
-    def block_containing(self, doc: int) -> int:
-        """Index of the block whose range covers ``doc`` (metadata only —
-        no decode); returns n_blocks if doc is past the last posting."""
-        if doc <= self.block_last[self.bi]:
-            return self.bi
-        return int(np.searchsorted(self.block_last, doc, side="left"))
-
-    def ub_for_doc(self, doc: int) -> tuple[float, int]:
-        """(score upper bound, block_end) for the block covering ``doc``
-        — the Block-Max-WAND shallow probe (bound valid for every doc up
-        to block_end)."""
-        b = self.block_containing(doc)
-        if b >= self.n_blocks:
-            return 0.0, np.iinfo(np.int64).max
-        return float(self._block_ubs[b]), int(self.block_last[b])
-
-    def score_current(self) -> float:
-        return float(self.weight * (self._w[self.ii] + self.delta))
-
-    def advance(self) -> None:
-        self.ii += 1
-        if self.ii >= self._ids.size:
-            if self.bi + 1 < self.n_blocks:
-                self._load_block(self.bi + 1)
-            else:
-                self.exhausted = True
-
-    def advance_to(self, target: int) -> None:
-        """Gallop to the first posting >= target, skipping whole blocks."""
-        if self.exhausted:
-            return
-        if self.block_last[self.bi] < target:
-            nb = int(np.searchsorted(self.block_last, target, side="left"))
-            if nb >= self.n_blocks:
-                self.exhausted = True
-                return
-            self._load_block(nb)
-        self.ii = int(np.searchsorted(self._ids[self.ii:], target, side="left")) + self.ii
-        if self.ii >= self._ids.size:
-            # target fell in a gap at block end
-            if self.bi + 1 < self.n_blocks:
-                self._load_block(self.bi + 1)
-            else:
-                self.exhausted = True
+        row = self.row
+        deltas = vbyte_decode(row["docs_bytes"][self._doc_off[bi]: self._doc_off[bi + 1]])
+        ids = np.cumsum(deltas.astype(np.int64))
+        tfs = vbyte_decode(row["tfs_bytes"][self._tf_off[bi]: self._tf_off[bi + 1]])
+        dls = vbyte_decode(row["dls_bytes"][self._dl_off[bi]: self._dl_off[bi + 1]])
+        base_w = tf_weight(tfs.astype(np.float64), dls.astype(np.float64),
+                           self._avgdl, self._k1, self._b)
+        self._blocks[bi] = (ids, base_w)
+        return ids, base_w

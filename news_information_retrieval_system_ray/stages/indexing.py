@@ -83,7 +83,7 @@ class PackGroups:
     at query-load time, so packing needs NO global stats.
     """
 
-    def __init__(self, block_size: int = 128, with_positions: bool = False):
+    def __init__(self, block_size: int = 32, with_positions: bool = False):
         self.block_size = block_size
         self.with_positions = with_positions
 
@@ -153,6 +153,8 @@ class PackGroups:
             ("block_last_doc", pa.list_(pa.int64())),
             ("block_max_tf", pa.list_(pa.int32())),
             ("block_min_dl", pa.list_(pa.int32())),
+            ("block_bound_tf", pa.list_(pa.int32())),
+            ("block_bound_dl", pa.list_(pa.int32())),
         ]
         if self.with_positions:
             fields += [("positions_bytes", pa.binary()), ("pos_nbytes", pa.list_(pa.int32()))]
