@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_wand_topk": A.bm25_wand_topk,
         "tfidf_topk": A.tfidf_topk,
         "lm_dirichlet_topk": A.lm_dirichlet_topk,
+        "lm_jm_topk": A.lm_jm_topk,
         "bim_topk": A.bim_topk,
         "hybrid_rrf": A.hybrid_rrf,
         "fuzzy_match": A.fuzzy_match,
@@ -193,6 +194,26 @@ def oracle_sql() -> dict[str, str]:
             contrib AS (
               SELECT c.qid, c.doc_id,
                      ln((coalesce(tf.tf, 0) + {A.MU} * cfs.cf / tot.t) / (dln.dl + {A.MU})) AS s
+              FROM cands c
+              JOIN qterms q ON q.qid = c.qid
+              JOIN cfs ON cfs.term = q.term
+              LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = q.term
+              JOIN dln ON dln.doc_id = c.doc_id
+              CROSS JOIN tot),
+            scores AS (SELECT qid, doc_id, sum(s) AS score FROM contrib GROUP BY qid, doc_id),
+            ranked AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                       FROM scores)
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
+        "lm_jm_topk": _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+            tot AS (SELECT sum(tf)::DOUBLE AS t FROM tf),
+            cands AS (SELECT DISTINCT q.qid, tf.doc_id FROM tf JOIN qterms q USING (term)),
+            contrib AS (
+              SELECT c.qid, c.doc_id,
+                     ln({A.LAMBDA_JM} * coalesce(tf.tf, 0) / dln.dl
+                        + (1 - {A.LAMBDA_JM}) * cfs.cf / tot.t) AS s
               FROM cands c
               JOIN qterms q ON q.qid = c.qid
               JOIN cfs ON cfs.term = q.term

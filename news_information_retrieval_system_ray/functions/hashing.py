@@ -43,6 +43,17 @@ def token_hash64(token: str) -> int:
     return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
 
 
+@lru_cache(maxsize=1 << 20)
+def token_hash64_alt(token: str) -> int:
+    """Independent second 64-bit hash (LAST 8 bytes of the same MD5).
+
+    Used by the build's collision check: two distinct terms colliding on
+    ``token_hash64`` AND on this alt hash has probability ~2^-128 per
+    pair — the check compares int64s only, so no term strings ever enter
+    the check shuffle."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[8:16], "big")
+
+
 def _token_hashes(tokens: list[str]) -> np.ndarray:
     return np.fromiter((token_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
 

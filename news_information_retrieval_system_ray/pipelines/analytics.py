@@ -63,17 +63,19 @@ def _docs_ds(sf_dir: str, columns: list[str] | None = None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _tokens_ds(sf_dir: str, with_positions: bool = False):
-    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+def _tokens_ds(sf_dir: str, with_positions: bool = False,
+               carry_cols: tuple[str, ...] = ()):
+    ds = _docs_ds(sf_dir, ["doc_id", "text", *carry_cols])
     return ds.map_batches(
         TokenizeStage(engine="whitespace", text_col="text", pre_normalized=False,
-                      with_positions=with_positions),
+                      with_positions=with_positions, carry_cols=carry_cols),
         batch_format="pyarrow",
     )
 
 
-def _exploded_ds(sf_dir: str):
-    return _tokens_ds(sf_dir).map_batches(ExplodeTokens(chunk_bits=40), batch_format="pyarrow")
+def _exploded_ds(sf_dir: str, carry_cols: tuple[str, ...] = ()):
+    return _tokens_ds(sf_dir, carry_cols=carry_cols).map_batches(
+        ExplodeTokens(chunk_bits=40, carry_cols=carry_cols), batch_format="pyarrow")
 
 
 def _corpus_stats(sf_dir: str) -> tuple[int, float]:
@@ -281,6 +283,70 @@ def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
 
 
+LAMBDA_JM = 0.7           # Jelinek-Mercer interpolation (language_model_retrieval.py:90)
+
+
+def lm_jm_topk(sf_dir: str, k: int = 10, lam: float = LAMBDA_JM) -> pd.DataFrame:
+    """Jelinek-Mercer-smoothed query-likelihood top-k
+    (language_model_retrieval.py:233-248, λ=0.7 default :90).
+
+    score(q,d) = sum_t log(λ*tf/dl + (1-λ)*P(t|C)).  Distributed form
+    mirrors ``lm_dirichlet_topk``: present-(qid,term,doc) rows emit
+    ``a = log(λ*tf/dl + (1-λ)*Pc) - log((1-λ)*Pc)``; per-(qid,doc)
+    score = ``sum(a) + C_q`` with the per-query constant
+    ``C_q = sum_t log((1-λ)*Pc_t)`` — only present rows ever shuffle
+    (no per-doc dl correction term, unlike Dirichlet).
+    Candidates (reference semantics) are docs containing >= 1 query term.
+    """
+    from ray.data.aggregate import Sum
+
+    ex = _exploded_ds(sf_dir).materialize()
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    cf_rows = ex.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
+        batch_format="pyarrow",
+    ).groupby("term").aggregate(Sum("tf", alias_name="cf")).take_all()
+    cf = {r["term"]: int(r["cf"]) for r in cf_rows}
+    total = int(ex.aggregate(Sum("tf", alias_name="t"))["t"])
+    live = {qid: [t for t in ts if cf.get(t)] for qid, ts in FIXED_QUERIES.items()}
+    bg = {t: (1.0 - lam) * cf[t] / total for t in cf}  # (1-λ)·P(t|C)
+    cq = {qid: sum(math.log(bg[t]) for t in ts) for qid, ts in live.items()}
+    term_to_qids = {t: [qid for qid, ts in live.items() if t in ts] for t in qterms}
+
+    def present(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms)))
+        terms = t.column("term").to_pylist()
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out_q, out_d, out_a = [], [], []
+        for i, term in enumerate(terms):
+            a = math.log(lam * tf[i] / dl[i] + bg[term]) - math.log(bg[term])
+            for qid in term_to_qids[term]:
+                out_q.append(qid)
+                out_d.append(int(doc[i]))
+                out_a.append(a)
+        return pa.table({
+            "qid": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "a": pa.array(out_a, pa.float64()),
+        })
+
+    agg = ex.map_batches(present, batch_format="pyarrow") \
+            .groupby(["qid", "doc_id"]) \
+            .aggregate(Sum("a", alias_name="sum_a"))
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = df["sum_a"].to_numpy() + df["qid"].map(cq).to_numpy(dtype=np.float64)
+        return df[["qid", "doc_id", "score"]]
+
+    scores = agg.map_batches(score_rows, batch_format="pandas")
+    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
+
+
 def lm_dirichlet_topk(sf_dir: str, k: int = 10, mu: float = MU) -> pd.DataFrame:
     """Dirichlet-smoothed query-likelihood top-k (language_model_retrieval.py:250-268,
     app mu=2000 index_service.py:383-388).
@@ -469,25 +535,21 @@ def facet_filtered_search(sf_dir: str, k: int = 10, lang: str = FACET_LANG) -> p
     """BM25 with a facet filter: score at full retrieval depth, intersect
     with the allowed doc set, THEN truncate to top-k — the reference's
     filter-then-truncate semantics (search_service.py:108,413-432).  The
-    lang->doc mask joins as a broadcast map inside map_batches."""
-    import ray
+    The lang->doc mask is a distributed LEFT SEMI hash join of the
+    scored rows against the allowed doc ids (no driver-built broadcast
+    set — both sides hash-partition on doc_id)."""
+    import ray.data as rd
 
     n_docs, avgdl = _corpus_stats(sf_dir)
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-    allowed = {d for d, l in zip(docs.column("doc_id").to_pylist(),
-                                 docs.column("lang").to_pylist()) if l == lang}
-    allowed_ref = ray.put(allowed)
+    allowed = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        .map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("lang"), lang)).select(["doc_id"]),
+            batch_format="pyarrow")
+        .repartition(2)  # merge empty zero-schema blocks (join quirk)
+    )
     scores = _bm25_scores(sf_dir, n_docs, avgdl)
-
-    class FilterAllowed:
-        def __init__(self):
-            self.allowed = ray.get(allowed_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([d in self.allowed for d in t.column("doc_id").to_pylist()])
-            return t.filter(mask)
-
-    filt = scores.map_batches(FilterAllowed, batch_format="pyarrow", concurrency=2)
+    filt = scores.join(allowed, "left_semi", num_partitions=8, on=("doc_id",))
     out = filt.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
@@ -953,24 +1015,14 @@ def top_terms(sf_dir: str, n: int = 20) -> pd.DataFrame:
 def per_source_top_terms(sf_dir: str, n: int = 3) -> pd.DataFrame:
     """Top-n terms by cf within each source (facet × term aggregate).
 
-    source joins onto the exploded tokens via a broadcast doc->source
-    map (small side broadcast; at scale: bucketed hash join on doc_id).
+    ``source`` is carried through the tokenize/explode stages on each
+    row (TokenizeStage/ExplodeTokens carry_cols), so NO doc_id->source
+    join or driver-built broadcast map exists — the facet aggregate is
+    a plain groupby over the already-faceted rows.
     """
-    import ray
     from ray.data.aggregate import Sum
 
-    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-    smap_ref = ray.put(dict(zip(src.column("doc_id").to_pylist(), src.column("source").to_pylist())))
-
-    class AddSource:
-        def __init__(self):
-            self.smap = ray.get(smap_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            srcs = [self.smap[d] for d in t.column("doc_id").to_pylist()]
-            return t.append_column("source", pa.array(srcs, pa.string()))
-
-    ex = _exploded_ds(sf_dir).map_batches(AddSource, batch_format="pyarrow", concurrency=2)
+    ex = _exploded_ds(sf_dir, carry_cols=("source",))
     agg = ex.groupby(["source", "term"]).aggregate(Sum("tf", alias_name="cf")).to_pandas()
     agg = agg.sort_values(["source", "cf", "term"], ascending=[True, False, True])
     agg["rank"] = agg.groupby("source").cumcount() + 1

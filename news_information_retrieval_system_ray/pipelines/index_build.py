@@ -56,6 +56,108 @@ def _shard_items(items: list[RowGroupItem], n_shards: int) -> list[list[RowGroup
     return [items[i : i + per] for i in range(0, n, per)]
 
 
+
+def vocab_uniq_terms(t):
+    """Batch of tokens rows (``terms`` list column) -> unique
+    (term_hash, term) pairs.  The hash is the int64 BIT-CAST of the
+    uint64 token hash: Ray's hash-shuffle aggregate corrupts uint64
+    keys > 2^63 (silently falls back to a pickled-object column);
+    consumers bit-cast back via ``.view(np.uint64)``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import token_hash64
+
+    flat = pc.list_flatten(t.column("terms"))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    u = pc.unique(flat)
+    hashes = np.fromiter((token_hash64(x) for x in u.to_pylist()),
+                         dtype=np.uint64, count=len(u)).view(np.int64)
+    return pa.table({"term_hash": pa.array(hashes), "term": u})
+
+
+def vocab_check_and_project(t):
+    """Aggregated (term_hash, t_min, t_max) -> (term_hash, term) vocab
+    rows; raises on a 64-bit collision (min != max within a hash group).
+    Ray's Min/Max on strings yields a pickled-object extension column,
+    so coerce back to native arrow strings first."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tmin = pa.array(t.column("t_min").to_pylist(), pa.string())
+    tmax = pa.array(t.column("t_max").to_pylist(), pa.string())
+    bad = pc.invert(pc.equal(tmin, tmax))
+    if pc.any(bad).as_py():
+        i = pc.index(bad, True).as_py()
+        raise ValueError(
+            "64-bit term-hash collision: "
+            f"{tmin[i].as_py()!r} vs {tmax[i].as_py()!r}")
+    return pa.table({"term_hash": t.column("term_hash"), "term": tmin})
+
+
+def _vocab_aggregate(pairs_ds):
+    """(term_hash, term) rows -> checked vocab dataset (one row per hash)."""
+    from ray.data.aggregate import Max, Min
+
+    return pairs_ds.groupby("term_hash") \
+        .aggregate(Min("term", alias_name="t_min"), Max("term", alias_name="t_max")) \
+        .map_batches(vocab_check_and_project, batch_format="pyarrow")
+
+
+def hashcheck_pairs(t):
+    """Batch of tokens rows -> unique (term_hash, alt) int64 pairs.
+
+    The cheap default-on collision detector: both 64-bit hashes come
+    from one MD5 (first/last 8 bytes), so two distinct terms sharing
+    ``term_hash`` but differing in ``alt`` prove a collision, and a
+    dual collision is ~2^-128 per pair.  No term STRINGS enter the
+    check shuffle (the string vocab sidecar stays opt-in via
+    ``build_vocab``).  int64 bit-cast as in ``vocab_uniq_terms``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import token_hash64, token_hash64_alt
+
+    flat = pc.list_flatten(t.column("terms"))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    u = pc.unique(flat).to_pylist()
+    h1 = np.fromiter((token_hash64(x) for x in u),
+                     dtype=np.uint64, count=len(u)).view(np.int64)
+    h2 = np.fromiter((token_hash64_alt(x) for x in u),
+                     dtype=np.uint64, count=len(u)).view(np.int64)
+    return pa.table({"term_hash": pa.array(h1), "alt": pa.array(h2)})
+
+
+def hashcheck_verify(t):
+    """Aggregated (term_hash, a_min, a_max) -> same pairs back; raises on
+    a 64-bit collision (alt hashes differ within a term_hash group)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bad = pc.invert(pc.equal(t.column("a_min"), t.column("a_max")))
+    if pc.any(bad).as_py():
+        i = pc.index(bad, True).as_py()
+        raise ValueError(
+            "64-bit term-hash collision detected (two distinct terms share "
+            f"term_hash={t.column('term_hash')[i].as_py()}); rebuild with a "
+            "wider key or inspect with build_vocab=True")
+    return pa.table({"term_hash": t.column("term_hash"),
+                     "alt": t.column("a_min")})
+
+
+def _hashcheck_aggregate(pairs_ds):
+    """(term_hash, alt) rows -> verified one-row-per-hash dataset."""
+    from ray.data.aggregate import Max, Min
+
+    return pairs_ds.groupby("term_hash") \
+        .aggregate(Min("alt", alias_name="a_min"), Max("alt", alias_name="a_max")) \
+        .map_batches(hashcheck_verify, batch_format="pyarrow")
+
+
 def build_index(
     input_path: str | list[str],
     index_dir: str,
@@ -79,9 +181,15 @@ def build_index(
                                              # upstream loader's task granularity
     tokenize_concurrency: int | None = None,
     resume: bool = True,
-    build_vocab: bool = False,           # (term_hash, term) sidecar + 64-bit
-                                         # collision check; costs a full pass
-                                         # over the terms column, so opt-in
+    build_vocab: bool = False,           # (term_hash, term) STRING sidecar
+                                         # (term recovery / debugging); the
+                                         # default collision safety is the
+                                         # cheaper collision_check below
+    collision_check: bool = True,        # default-on 64-bit collision
+                                         # detector: dual-hash (term_hash,
+                                         # alt) int-only aggregate — a silent
+                                         # collision would merge two terms'
+                                         # posting lists (ADVICE r01)
     dedup_exact_first: bool = False,     # the reference's use_dedup flag
                                          # (incremental_builder.py:147-158):
                                          # exact content-hash dedup BEFORE
@@ -135,6 +243,8 @@ def build_index(
 
             import pyarrow as _pa
 
+            from ..stages.dedup import exact_dup_partial
+
             items0 = plan_row_groups(files)
             ds0 = read_with_doc_ids(None, read_cols, items=items0, id_col=id_col)
             ds0 = ds0.map_batches(
@@ -149,16 +259,44 @@ def build_index(
                 keep = [c for c in ("doc_id", "url", "text") if c in t.column_names]
                 return t.select(keep).append_column("content_hash", _pa.array(hs, _pa.string()))
 
-            def keep_first(g):
-                return g.sort_values("doc_id").head(1).drop(columns=["content_hash"])
+            # Scalable first-wins dedup (stages/dedup.py pattern — no
+            # per-group pandas invocation): (1) hash the corpus once to
+            # parquet, (2) per-batch partial (hash -> min doc_id) then a
+            # tiny Min-aggregate groupby (only pre-aggregated rows
+            # shuffle), (3) LEFT SEMI hash-join of rows against keeper
+            # (hash, doc_id) pairs — distributed, no driver broadcast.
+            from ray.data.aggregate import Min
 
+            tmp_hashed = os.path.join(index_dir, ".tmp_hashed")
+            shutil.rmtree(tmp_hashed, ignore_errors=True)
+            ds0.map_batches(add_hash, batch_format="pyarrow").write_parquet(tmp_hashed)
+
+            import ray.data as _rd
+
+            hashed = _rd.read_parquet(tmp_hashed)
+            keepers = (
+                _rd.read_parquet(tmp_hashed, columns=["content_hash", "doc_id"])
+                .map_batches(lambda b: exact_dup_partial(b), batch_format="pyarrow")
+                .map_batches(lambda b: b.select(["content_hash", "keeper_doc_id"]),
+                             batch_format="pyarrow")
+                .groupby("content_hash")
+                .aggregate(Min("keeper_doc_id", alias_name="keeper_doc_id"))
+                # merge away the aggregate's empty zero-schema partitions —
+                # they crash the downstream hash join (acero FieldRef)
+                .repartition(max(2, min(8, n_shards // 8)))
+            )
+            survivors = hashed.join(
+                keepers, "left_semi",
+                num_partitions=max(8, n_shards // 8),
+                on=("content_hash", "doc_id"),
+                right_on=("content_hash", "keeper_doc_id"),
+            ).drop_columns(["content_hash"])
             tmp = os.path.join(index_dir, ".tmp_dedup")
             shutil.rmtree(tmp, ignore_errors=True)
-            ds0.map_batches(add_hash, batch_format="pyarrow") \
-               .groupby("content_hash").map_groups(keep_first, batch_format="pandas") \
-               .write_parquet(tmp)
+            survivors.write_parquet(tmp)
             shutil.rmtree(dedup_dir, ignore_errors=True)
             os.replace(tmp, dedup_dir)
+            shutil.rmtree(tmp_hashed, ignore_errors=True)
             manifest.state["dedup_done"] = True
             manifest.save()
         _v("exact dedup done")
@@ -272,36 +410,30 @@ def build_index(
     # hash would silently merge posting lists in the hash-only shuffle.
     vocab_dir = os.path.join(index_dir, "vocab")
     if build_vocab and not manifest.state.get("vocab_done"):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from ..functions.hashing import token_hash64
-
-        def uniq_terms(t: "pa.Table") -> "pa.Table":
-            flat = pc.list_flatten(t.column("terms"))
-            if isinstance(flat, pa.ChunkedArray):
-                flat = flat.combine_chunks()
-            u = pc.unique(flat)
-            hashes = np.fromiter((token_hash64(x) for x in u.to_pylist()),
-                                 dtype=np.uint64, count=len(u))
-            return pa.table({"term_hash": pa.array(hashes), "term": u})
-
-        def first_term(g):  # pandas group -> collision check + first
-            if g["term"].nunique() > 1:
-                raise ValueError(
-                    f"64-bit term-hash collision: {sorted(set(g['term']))[:2]}")
-            return g.iloc[:1][["term_hash", "term"]]
-
         tmp_vocab = os.path.join(index_dir, ".tmp_vocab")
         shutil.rmtree(tmp_vocab, ignore_errors=True)
-        rd.read_parquet(tokens_root, columns=["terms"]) \
-          .map_batches(uniq_terms, batch_format="pyarrow") \
-          .groupby("term_hash").map_groups(first_term, batch_format="pandas") \
-          .write_parquet(tmp_vocab)
+        pairs = rd.read_parquet(tokens_root, columns=["terms"]) \
+                  .map_batches(vocab_uniq_terms, batch_format="pyarrow")
+        _vocab_aggregate(pairs).write_parquet(tmp_vocab)
         os.replace(tmp_vocab, vocab_dir)
         manifest.state["vocab_done"] = True
         manifest.save()
+        _v("vocab sidecar done")
+
+    # ---- default-on collision check: int-only dual-hash aggregate over
+    # per-batch-unique terms; pairs persist so appends re-check against
+    # the whole history without re-reading old shards' strings.
+    hashcheck_dir = os.path.join(index_dir, "hashcheck")
+    if collision_check and not manifest.state.get("hashcheck_done"):
+        tmp_hc = os.path.join(index_dir, ".tmp_hashcheck")
+        shutil.rmtree(tmp_hc, ignore_errors=True)
+        pairs = rd.read_parquet(tokens_root, columns=["terms"]) \
+                  .map_batches(hashcheck_pairs, batch_format="pyarrow")
+        _hashcheck_aggregate(pairs).write_parquet(tmp_hc)
+        os.replace(tmp_hc, hashcheck_dir)
+        manifest.state["hashcheck_done"] = True
+        manifest.save()
+        _v("collision check done")
         _v("vocab sidecar done")
 
     return IndexBuildResult(
@@ -407,6 +539,31 @@ def append_index(
     seg_dst = os.path.join(index_dir, "segments", f"append_{next_shard}")
     shutil.rmtree(seg_dst, ignore_errors=True)
     os.replace(tmp_seg, seg_dst)
+
+    # vocab sidecar + collision check over old vocab UNION new terms —
+    # appended docs must not silently collide with existing hashes either
+    vocab_dir = os.path.join(index_dir, "vocab")
+    if os.path.isdir(vocab_dir):
+        new_terms = rd.read_parquet(dst, columns=["terms"]) \
+                      .map_batches(vocab_uniq_terms, batch_format="pyarrow")
+        merged = _vocab_aggregate(rd.read_parquet(vocab_dir).union(new_terms))
+        tmp_vocab = os.path.join(index_dir, ".tmp_append_vocab")
+        shutil.rmtree(tmp_vocab, ignore_errors=True)
+        merged.write_parquet(tmp_vocab)
+        shutil.rmtree(vocab_dir, ignore_errors=True)
+        os.replace(tmp_vocab, vocab_dir)
+
+    hashcheck_dir = os.path.join(index_dir, "hashcheck")
+    if os.path.isdir(hashcheck_dir):
+        new_pairs = rd.read_parquet(dst, columns=["terms"]) \
+                      .map_batches(hashcheck_pairs, batch_format="pyarrow")
+        merged_hc = _hashcheck_aggregate(
+            rd.read_parquet(hashcheck_dir).union(new_pairs))
+        tmp_hc = os.path.join(index_dir, ".tmp_append_hashcheck")
+        shutil.rmtree(tmp_hc, ignore_errors=True)
+        merged_hc.write_parquet(tmp_hc)
+        shutil.rmtree(hashcheck_dir, ignore_errors=True)
+        os.replace(tmp_hc, hashcheck_dir)
 
     agg = rd.read_parquet(dst, columns=["doc_len"]).aggregate(
         Sum("doc_len", alias_name="t"), Count(alias_name="n"))

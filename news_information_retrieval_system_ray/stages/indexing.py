@@ -36,13 +36,14 @@ class ExplodeTokens:
     """
 
     def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, with_positions: bool = False,
-                 emit_term: bool = True):
+                 emit_term: bool = True, carry_cols: tuple[str, ...] = ()):
         self.chunk_bits = chunk_bits
         self.with_positions = with_positions
         # emit_term=False drops the term STRING from the shuffle (30%+ of
         # row bytes at web scale) — postings key on the 64-bit hash alone;
         # term strings live in the small vocab sidecar (index_build).
         self.emit_term = emit_term
+        self.carry_cols = tuple(carry_cols)  # per-doc facet columns, repeated
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms = batch.column("terms")
@@ -72,6 +73,8 @@ class ExplodeTokens:
             cols["term"] = flat_terms
         if self.with_positions:
             cols["positions"] = pc.list_flatten(batch.column("positions"))
+        for c in self.carry_cols:
+            cols[c] = batch.column(c).take(pa.array(np.repeat(np.arange(len(batch)), lens)))
         return pa.table(cols)
 
 

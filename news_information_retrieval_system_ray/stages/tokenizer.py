@@ -31,11 +31,16 @@ class TokenizeStage:
     """text_norm (or text) -> (doc_id, doc_len, terms, tfs[, positions])."""
 
     def __init__(self, engine: str = DEFAULT_ENGINE, text_col: str = "text_norm",
-                 pre_normalized: bool = True, with_positions: bool = False):
+                 pre_normalized: bool = True, with_positions: bool = False,
+                 carry_cols: tuple[str, ...] = ()):
         self.tokenize = get_tokenizer(engine)  # once per actor
         self.text_col = text_col
         self.pre_normalized = pre_normalized
         self.with_positions = with_positions
+        # facet columns (e.g. source/lang) carried through so downstream
+        # facet aggregates need no doc_id->facet join (SURVEY broadcast-
+        # join avoidance: the facet rides the row instead of shuffling)
+        self.carry_cols = tuple(carry_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
@@ -71,4 +76,6 @@ class TokenizeStage:
             cols["positions"] = pa.array(pos_col, pa.list_(pa.list_(pa.int32())))
         if "shard" in batch.column_names:  # resume-unit tag (partitioned write)
             cols["shard"] = batch.column("shard")
+        for c in self.carry_cols:
+            cols[c] = batch.column(c)
         return pa.table(cols)
