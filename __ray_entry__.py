@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": A.search_snippets,
         "textrank_keywords": A.textrank_keywords,
         "summarize_leadk": A.summarize_leadk,
+        "summarize_key_sentences": A.summarize_key_sentences,
+        "summarize_query_focused": A.summarize_query_focused,
+        "summarize_multidoc": A.summarize_multidoc,
         "boolean_and": A.boolean_and,
         "boolean_and_not": lambda sf: A.boolean_and_not(sf),
         "boolean_parsed": A.boolean_parsed,
@@ -108,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": A.events_windowed,
         "events_sessionize": A.events_sessionize,
         "bigram_pmi": A.bigram_pmi,
+        "bigram_collocations": A.bigram_collocations,
+        "rake_keywords": A.rake_keywords,
+        "csoundex_expand": A.csoundex_expand,
         "facet_date_ranges": A.facet_date_ranges,
         # cleaning / dates / feedback
         "clean_corpus": A.clean_corpus,
@@ -368,6 +374,71 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
                        FROM scored)
             SELECT rank, w1, w2, n_ab, pmi FROM ranked WHERE rank <= 20""",
+        "csoundex_expand": _CTE + f""",
+            vocab AS (SELECT DISTINCT term FROM tf
+                      WHERE regexp_matches(term, '^[a-z]+$')),
+            sims AS (SELECT term,
+                            len(list_filter(
+                                range(least(length(term), length('{A.CSOUNDEX_QUERY}'))),
+                                i -> substr(term, i::INT + 1, 1)
+                                     = substr('{A.CSOUNDEX_QUERY}', i::INT + 1, 1)
+                            ))::DOUBLE
+                            / greatest(length(term), length('{A.CSOUNDEX_QUERY}')) AS s
+                     FROM vocab),
+            ranked AS (SELECT term, round(s, 4) AS sim,
+                              row_number() OVER (ORDER BY s DESC, term) AS rank
+                       FROM sims WHERE s >= 0.72)
+            SELECT rank, term, sim FROM ranked WHERE rank <= 8""",
+        "bigram_collocations": _CTE + """,
+            arr AS (SELECT doc_id,
+                           list_filter(string_split(t, ' '),
+                                       x -> regexp_matches(x, '[a-z0-9_]')) AS a
+                    FROM norm),
+            tokpos AS (SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i
+                       FROM arr),
+            prs AS (SELECT p1.w AS w1, p2.w AS w2
+                    FROM tokpos p1 JOIN tokpos p2
+                         ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1),
+            big AS (SELECT w1, w2, count(*) AS n_ab FROM prs GROUP BY w1, w2),
+            npairs AS (SELECT count(*)::DOUBLE AS np FROM prs),
+            uni AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+            ntok AS (SELECT sum(tf)::DOUBLE AS nt FROM tf),
+            cont AS (SELECT b.w1, b.w2, b.n_ab,
+                            b.n_ab::DOUBLE AS n11,
+                            greatest(0, u1.cf - b.n_ab) AS n12,
+                            greatest(0, u2.cf - b.n_ab) AS n21,
+                            greatest(0, npairs.np - u1.cf - u2.cf + b.n_ab) AS n22,
+                            b.n_ab / npairs.np AS p_ab,
+                            u1.cf / ntok.nt AS p_a, u2.cf / ntok.nt AS p_b,
+                            npairs.np AS np, u1.cf AS cfa, u2.cf AS cfb
+                     FROM big b
+                     JOIN uni u1 ON u1.term = b.w1
+                     JOIN uni u2 ON u2.term = b.w2
+                     CROSS JOIN npairs CROSS JOIN ntok
+                     WHERE b.n_ab >= 5),
+            marg AS (SELECT *, n11 + n12 AS r1, n21 + n22 AS r2,
+                            n11 + n21 AS c1, n12 + n22 AS c2,
+                            n11 + n12 + n21 + n22 AS nn
+                     FROM cont),
+            ex AS (SELECT *, r1 * c1 / nn AS e11, r1 * c2 / nn AS e12,
+                          r2 * c1 / nn AS e21, r2 * c2 / nn AS e22
+                   FROM marg),
+            scored AS (SELECT w1, w2, n_ab,
+                round(2 * ((CASE WHEN n11 > 0 AND e11 > 0 THEN n11 * ln(n11 / e11) ELSE 0 END)
+                         + (CASE WHEN n12 > 0 AND e12 > 0 THEN n12 * ln(n12 / e12) ELSE 0 END)
+                         + (CASE WHEN n21 > 0 AND e21 > 0 THEN n21 * ln(n21 / e21) ELSE 0 END)
+                         + (CASE WHEN n22 > 0 AND e22 > 0 THEN n22 * ln(n22 / e22) ELSE 0 END)), 4) AS llr,
+                round((CASE WHEN e11 > 0 THEN (n11 - e11) * (n11 - e11) / e11 ELSE 0 END)
+                    + (CASE WHEN e12 > 0 THEN (n12 - e12) * (n12 - e12) / e12 ELSE 0 END)
+                    + (CASE WHEN e21 > 0 THEN (n21 - e21) * (n21 - e21) / e21 ELSE 0 END)
+                    + (CASE WHEN e22 > 0 THEN (n22 - e22) * (n22 - e22) / e22 ELSE 0 END), 4) AS chi2,
+                round((p_ab - p_a * p_b) / sqrt(p_ab / np), 4) AS t_score,
+                round(2 * n11 / (cfa + cfb), 4) AS dice
+                FROM ex),
+            ranked AS (SELECT *, row_number() OVER (ORDER BY llr DESC, w1, w2) AS rank
+                       FROM scored)
+            SELECT rank, w1, w2, n_ab, llr, chi2, t_score, dice
+            FROM ranked WHERE rank <= 20""",
         "facet_date_ranges": """
             SELECT strftime(o_orderdate, '%Y-%m') AS month,
                    count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue

@@ -56,3 +56,55 @@ def frequency_keywords(tokens: list[str], k: int = 5) -> list[tuple[str, int]]:
 
     c = Counter(tokens)
     return sorted(c.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def rake_phrases(tokens: list[str], stops: frozenset[str],
+                 max_len: int = 4) -> list[tuple[str, ...]]:
+    """Candidate phrases: maximal stopword-delimited token runs, capped
+    at ``max_len`` words (RAKE, Rose et al. 2010; the reference wraps
+    rake-nltk with the same phrase construction,
+    /root/reference/src/ir/keyextract/rake_extractor.py:84-246)."""
+    phrases: list[tuple[str, ...]] = []
+    cur: list[str] = []
+    for t in tokens:
+        if t in stops:
+            if cur:
+                phrases.append(tuple(cur))
+                cur = []
+        else:
+            cur.append(t)
+            if len(cur) == max_len:
+                phrases.append(tuple(cur))
+                cur = []
+    if cur:
+        phrases.append(tuple(cur))
+    return phrases
+
+
+def rake_keywords(tokens: list[str], stops: frozenset[str], k: int = 5,
+                  max_len: int = 4) -> list[tuple[str, float]]:
+    """Top-k (phrase, score) by RAKE degree/frequency scoring.
+
+    Word scores follow rake-nltk's co-occurrence-graph formulation (the
+    engine the reference delegates to): within each candidate phrase,
+    every word pair (including self-pairs) co-occurs once, so
+    ``deg(w) = sum of len(phrase) over phrase occurrences containing w``
+    (counted with multiplicity); ``score(w) = deg(w) / freq(w)``;
+    phrase score = sum of member word scores; ties by phrase asc."""
+    phrases = rake_phrases(tokens, stops, max_len)
+    if not phrases:
+        return []
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for ph in phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ph)
+    wscore = {w: deg[w] / freq[w] for w in freq}
+    seen: dict[str, float] = {}
+    for ph in phrases:
+        text = " ".join(ph)
+        if text not in seen:
+            seen[text] = sum(wscore[w] for w in ph)
+    ranked = sorted(seen.items(), key=lambda x: (-x[1], x[0]))
+    return [(p, float(s)) for p, s in ranked[:k]]

@@ -644,6 +644,40 @@ def textrank_keywords(sf_dir: str, k: int = 5) -> pd.DataFrame:
                .sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def rake_keywords(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-doc RAKE keyphrases (rake_extractor.py:84-246 — stopword-
+    delimited phrases, degree/frequency word scores) as a map_batches
+    stage over tokenized docs (rows-only; kernel unit-tested against
+    hand-computed goldens)."""
+    from ..functions.keywords import rake_keywords as rk
+    from ..functions.stopwords import load_stopwords
+
+    stops = load_stopwords("en")
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def kw(t: pa.Table) -> pa.Table:
+        doc_out, rank_out, phrase_out, score_out = [], [], [], []
+        for row in t.to_pylist():
+            seq: list[tuple[int, str]] = []
+            for term, poss in zip(row["terms"], row["positions"]):
+                seq.extend((p, term) for p in poss)
+            seq.sort()
+            for rank, (phrase, score) in enumerate(rk([w for _, w in seq], stops, k=k), 1):
+                doc_out.append(row["doc_id"])
+                rank_out.append(rank)
+                phrase_out.append(phrase)
+                score_out.append(round4(score))
+        return pa.table({
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "phrase": pa.array(phrase_out, pa.string()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+    return toks.map_batches(kw, batch_format="pyarrow").to_pandas() \
+               .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def summarize_leadk(sf_dir: str, k: int = 2) -> pd.DataFrame:
     """Lead-k-sentence summaries per doc (static.py lead mode; rows-only)."""
     from ..functions.snippets import lead_k_summary
@@ -658,6 +692,113 @@ def summarize_leadk(sf_dir: str, k: int = 2) -> pd.DataFrame:
 
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(s, batch_format="pyarrow") \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def summarize_key_sentences(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Per-doc TF-IDF key-sentence summaries (static.py:334-407:
+    sentence-as-document IDF, length-normalized scores, position bias;
+    rows-only, kernel unit-tested against goldens)."""
+    from ..functions.summarize import key_sentence_summary
+
+    def s(t: pa.Table) -> pa.Table:
+        outs = [" ".join(key_sentence_summary(x or "", k))
+                for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "summary": pa.array(outs, pa.string()),
+            "summary_len": pa.array([len(x) for x in outs], pa.int64()),
+        })
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(s, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SUMMARY_QUERY = "slow query scan"
+
+
+def summarize_query_focused(sf_dir: str, k: int = 2,
+                            query: str = SUMMARY_QUERY) -> pd.DataFrame:
+    """Per-doc query-focused summaries (static.py:413-503: overlap /
+    sqrt(|q|*|s|) over token sets; rows-only)."""
+    from ..functions.summarize import query_focused_summary
+
+    def s(t: pa.Table) -> pa.Table:
+        outs = [" ".join(query_focused_summary(x or "", query, k))
+                for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "summary": pa.array(outs, pa.string()),
+            "summary_len": pa.array([len(x) for x in outs], pa.int64()),
+        })
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(s, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+CSOUNDEX_QUERY = "spark"
+
+
+def csoundex_expand(sf_dir: str, query_term: str = CSOUNDEX_QUERY,
+                    threshold: float = 0.72, k: int = 8) -> pd.DataFrame:
+    """CSoundex phonetic query expansion over the corpus vocabulary —
+    one of the reference's ten ranking models (search_service.py:397-411:
+    find_similar threshold 0.72, top-8; csoundex.py:306-533 encoding).
+
+    The vocabulary side runs distributed: each term batch encodes +
+    scores against the (tiny, broadcast-by-closure) query term inside
+    map_batches; only (term, sim) survivors leave the tasks.  On this
+    English test vocabulary the per-char code is the uppercase letter,
+    so similarity reduces to positional character match / max length —
+    which is what the DuckDB oracle mirrors (the CJK branch is covered
+    by unit parity tests on the vendored pinyin lexicon)."""
+    from ..functions.csoundex import similarity
+
+    terms = term_stats(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        out_t, out_s = [], []
+        for term in t.column("term").to_pylist():
+            if not term.isalpha():
+                continue
+            s = similarity(query_term, term, "fuzzy")
+            if s >= threshold:
+                out_t.append(term)
+                out_s.append(round4(s))
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    hits = terms.map_batches(score, batch_format="pyarrow").to_pandas()
+    hits = hits.sort_values(["sim", "term"], ascending=[False, True]).head(k)
+    hits["rank"] = np.arange(1, len(hits) + 1, dtype=np.int64)
+    return hits.reset_index(drop=True)[["rank", "term", "sim"]]
+
+
+def summarize_multidoc(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-source multi-document summaries (static.py:507-571: global
+    TF-IDF + greedy Jaccard-diversity selection).  Each source group is
+    small (facet cardinality), so the per-group kernel runs inside
+    ``groupby(source).map_groups`` — the shuffle co-locates a source's
+    docs; rows-only."""
+    import ray.data as rd
+
+    from ..functions.summarize import multi_doc_summary
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        picks = multi_doc_summary(list(g["text"]), k=k)
+        src = g["source"].iloc[0]
+        return pd.DataFrame({
+            "source": [src] * len(picks),
+            "rank": np.arange(1, len(picks) + 1, dtype=np.int64),
+            "doc_id": [int(g["doc_id"].iloc[di]) for di, _ in picks],
+            "sentence": [s_ for _, s_ in picks],
+        })
+
+    out = ds.groupby("source").map_groups(per_source, batch_format="pandas").to_pandas()
+    return out.sort_values(["source", "rank"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------------ boolean / phrase
@@ -1043,16 +1184,13 @@ def browse_sort(sf_dir: str, n: int = 100) -> pd.DataFrame:
     return top[["o_orderkey", "o_custkey", "o_date", "o_totalprice"]]
 
 
-def bigram_pmi(sf_dir: str, n: int = 20, min_count: int = 5) -> pd.DataFrame:
-    """Top-n adjacent-bigram collocations by PMI (collocation.py:137-448
-    PMI scoring over bigram/unigram frequencies):
-
-    ``PMI(a,b) = ln( (n_ab/N_pairs) / ((cf_a/N_tok) * (cf_b/N_tok)) )``
+def _bigram_counts(sf_dir: str) -> tuple[pd.DataFrame, dict, int, int]:
+    """Shared bigram/unigram statistics for the collocation measures:
+    (pair_counts df[w1,w2,n_ab], unigram cf dict, N_pairs, N_tokens).
 
     Bigrams are adjacent pairs in the FILTERED token sequence; pair
     counting is a map_batches explode + groupby (pre-aggregated per
-    batch); unigram cfs reuse term_stats.  min_count prunes the tail
-    before ranking."""
+    batch); unigram cfs reuse term_stats."""
     from ray.data.aggregate import Sum
 
     toks = _tokens_ds(sf_dir, with_positions=True)
@@ -1088,6 +1226,17 @@ def bigram_pmi(sf_dir: str, n: int = 20, min_count: int = 5) -> pd.DataFrame:
     ts = term_stats(sf_dir).to_pandas()
     cf = dict(zip(ts["term"], ts["cf"]))
     n_tok = int(ts["cf"].sum())
+    return pair_counts, cf, n_pairs, n_tok
+
+
+def bigram_pmi(sf_dir: str, n: int = 20, min_count: int = 5) -> pd.DataFrame:
+    """Top-n adjacent-bigram collocations by PMI (collocation.py:330-360
+    PMI scoring over bigram/unigram frequencies):
+
+    ``PMI(a,b) = ln( (n_ab/N_pairs) / ((cf_a/N_tok) * (cf_b/N_tok)) )``
+
+    min_count prunes the tail before ranking."""
+    pair_counts, cf, n_pairs, n_tok = _bigram_counts(sf_dir)
     pc_ = pair_counts[pair_counts["n_ab"] >= min_count].copy()
     pc_["pmi"] = [
         round4(math.log((nab / n_pairs) / ((cf[a] / n_tok) * (cf[b] / n_tok))))
@@ -1096,6 +1245,61 @@ def bigram_pmi(sf_dir: str, n: int = 20, min_count: int = 5) -> pd.DataFrame:
     pc_ = pc_.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True]).head(n)
     pc_["rank"] = np.arange(1, len(pc_) + 1, dtype=np.int64)
     return pc_.reset_index(drop=True)[["rank", "w1", "w2", "n_ab", "pmi"]]
+
+
+def bigram_collocations(sf_dir: str, n: int = 20, min_count: int = 5) -> pd.DataFrame:
+    """Top-n adjacent bigrams by LLR, with the reference's full measure
+    battery per pair (collocation.py:262-448): LLR, chi-square, t-score
+    and Dice.
+
+    Contingency table exactly as the reference builds it
+    (collocation.py:179-215 — unigram counts as marginal proxies,
+    N = total bigrams, cells clamped at 0, marginals RE-derived from
+    the clamped cells):
+
+    - n11 = n_ab, n12 = max(0, cf_a - n11), n21 = max(0, cf_b - n11),
+      n22 = max(0, N_pairs - cf_a - cf_b + n11)
+    - LLR  = 2 * sum O_ij * ln(O_ij / E_ij)   (cells with O>0, E>0)
+    - chi2 = sum (O_ij - E_ij)^2 / E_ij       (cells with E>0)
+    - t    = (p_ab - p_a*p_b) / sqrt(p_ab / N_pairs)
+    - dice = 2*n_ab / (cf_a + cf_b)
+    """
+    pair_counts, cf, n_pairs, n_tok = _bigram_counts(sf_dir)
+    d = pair_counts[pair_counts["n_ab"] >= min_count].copy()
+    cfa = d["w1"].map(cf).to_numpy(dtype=np.float64)
+    cfb = d["w2"].map(cf).to_numpy(dtype=np.float64)
+    n11 = d["n_ab"].to_numpy(dtype=np.float64)
+    n12 = np.maximum(0.0, cfa - n11)
+    n21 = np.maximum(0.0, cfb - n11)
+    n22 = np.maximum(0.0, n_pairs - cfa - cfb + n11)
+    r1, r2 = n11 + n12, n21 + n22
+    c1, c2 = n11 + n21, n12 + n22
+    nn = r1 + r2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        e11, e12 = r1 * c1 / nn, r1 * c2 / nn
+        e21, e22 = r2 * c1 / nn, r2 * c2 / nn
+
+        def cell_llr(o, e):
+            return np.where((o > 0) & (e > 0), o * np.log(np.where(o > 0, o, 1.0) / np.where(e > 0, e, 1.0)), 0.0)
+
+        llr = 2.0 * (cell_llr(n11, e11) + cell_llr(n12, e12)
+                     + cell_llr(n21, e21) + cell_llr(n22, e22))
+
+        def cell_chi(o, e):
+            return np.where(e > 0, (o - e) ** 2 / np.where(e > 0, e, 1.0), 0.0)
+
+        chi2 = cell_chi(n11, e11) + cell_chi(n12, e12) + cell_chi(n21, e21) + cell_chi(n22, e22)
+    p_ab = n11 / n_pairs
+    p_a, p_b = cfa / n_tok, cfb / n_tok
+    t_sc = (p_ab - p_a * p_b) / np.sqrt(p_ab / n_pairs)
+    dice = 2.0 * n11 / (cfa + cfb)
+    d["llr"] = [round4(x) for x in llr]
+    d["chi2"] = [round4(x) for x in chi2]
+    d["t_score"] = [round4(x) for x in t_sc]
+    d["dice"] = [round4(x) for x in dice]
+    d = d.sort_values(["llr", "w1", "w2"], ascending=[False, True, True]).head(n)
+    d["rank"] = np.arange(1, len(d) + 1, dtype=np.int64)
+    return d.reset_index(drop=True)[["rank", "w1", "w2", "n_ab", "llr", "chi2", "t_score", "dice"]]
 
 
 def facet_date_ranges(sf_dir: str) -> pd.DataFrame:

@@ -171,6 +171,10 @@ def build_index(
                                          # split at ANY corpus size (SURVEY §7.5)
     n_shards: int = 4,
     with_positions: bool = False,
+    stopword_lang: str | None = None,    # index-time stopword filter
+                                         # ('zh' -> vendored TC set, 'en');
+                                         # also applied query-side by the
+                                         # searcher (stopwords.py:101-137)
     shuffle_blocks: int | None = None,       # blocks into the term shuffle;
                                              # None -> cluster CPU count (too
                                              # many tiny blocks inflate the
@@ -206,6 +210,7 @@ def build_index(
         "text_source": text_source, "id_col": id_col, "engine": engine,
         "block_size": block_size, "chunk_bits": chunk_bits, "n_shards": n_shards,
         "with_positions": with_positions, "dedup_exact_first": dedup_exact_first,
+        "stopword_lang": stopword_lang,
     }
     if not resume and os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
@@ -333,7 +338,7 @@ def build_index(
             tok_kwargs["concurrency"] = tokenize_concurrency
         ds = ds.map_batches(
             TokenizeStage(engine=engine, text_col="text_norm", pre_normalized=True,
-                          with_positions=with_positions),
+                          with_positions=with_positions, stopword_lang=stopword_lang),
             **tok_kwargs,
         )
         ds.write_parquet(tmp_root, partition_cols=["shard"])
@@ -511,7 +516,8 @@ def append_index(
         tok_kwargs["concurrency"] = tokenize_concurrency
     ds = ds.map_batches(
         TokenizeStage(engine=config["engine"], text_col="text_norm", pre_normalized=True,
-                      with_positions=with_positions),
+                      with_positions=with_positions,
+                      stopword_lang=config.get("stopword_lang")),
         **tok_kwargs,
     )
     tmp_root = os.path.join(tokens_root, ".tmp_append")

@@ -60,6 +60,14 @@ class IndexSearcher:
         self.k1, self.b, self.delta = k1, b, delta
         self.with_positions = self.config.get("with_positions", False)
         self.tokenize = get_tokenizer(self.config["engine"])
+        # query-side stopword filter mirrors the index-time one so query
+        # tokens align with what was indexed (stopwords.py:101-137)
+        if self.config.get("stopword_lang"):
+            from ..functions.stopwords import load_stopwords
+
+            self._stops: frozenset[str] = load_stopwords(self.config["stopword_lang"])
+        else:
+            self._stops = frozenset()
         self._seg = pads.dataset(os.path.join(index_dir, "segments"))
         self._cache: dict[str, dict | None] = {}
         # decoded-postings cache (query-independent: ids + base BM25
@@ -130,7 +138,10 @@ class IndexSearcher:
 
     # ------------------------------------------------------------- scoring
     def _query_terms(self, query: str) -> list[str]:
-        return self.tokenize(normalize_text(query))
+        toks = self.tokenize(normalize_text(query))
+        if self._stops:
+            toks = [t for t in toks if t not in self._stops]
+        return toks
 
     def search(self, query: str, k: int = 10, method: str = "naive",
                expand_synonyms: bool = False) -> list[tuple[int, float]]:

@@ -32,7 +32,7 @@ class TokenizeStage:
 
     def __init__(self, engine: str = DEFAULT_ENGINE, text_col: str = "text_norm",
                  pre_normalized: bool = True, with_positions: bool = False,
-                 carry_cols: tuple[str, ...] = ()):
+                 carry_cols: tuple[str, ...] = (), stopword_lang: str | None = None):
         self.tokenize = get_tokenizer(engine)  # once per actor
         self.text_col = text_col
         self.pre_normalized = pre_normalized
@@ -41,6 +41,14 @@ class TokenizeStage:
         # facet aggregates need no doc_id->facet join (SURVEY broadcast-
         # join avoidance: the facet rides the row instead of shuffling)
         self.carry_cols = tuple(carry_cols)
+        # index-time stopword filtering (reference stopwords.py:101-137,
+        # file-driven set, O(1) membership) — loaded once per actor
+        if stopword_lang:
+            from ..functions.stopwords import load_stopwords
+
+            self.stops: frozenset[str] = load_stopwords(stopword_lang)
+        else:
+            self.stops = frozenset()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
@@ -51,6 +59,8 @@ class TokenizeStage:
         pos_col: list[list[list[int]]] = []
         for i, text in enumerate(texts):
             toks = self.tokenize(text if self.pre_normalized else normalize_text(text or ""))
+            if self.stops:
+                toks = [t for t in toks if t not in self.stops]
             doc_lens[i] = max(1, len(toks))  # app clamp (index_service.py:285)
             if self.with_positions:
                 pos_map: dict[str, list[int]] = {}
