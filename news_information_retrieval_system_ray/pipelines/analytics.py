@@ -63,27 +63,58 @@ def _docs_ds(sf_dir: str, columns: list[str] | None = None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+# Memoized materialized intermediates shared across the query battery.
+# Every analytics query re-derives the tokenized/exploded corpus; at
+# correctness-harness scale these tables are tiny (<< object store), and
+# the driver/bench call dozens of queries in one session — materializing
+# once cuts the battery wall-time ~3x.  Keyed per (sf_dir, variant);
+# bounded by eviction so long sessions over many sf_dirs don't pin
+# unbounded object-store memory.
+_MEMO: dict = {}
+_MEMO_MAX = 12
+
+
+def _memo(key, build):
+    hit = _MEMO.get(key)
+    if hit is None:
+        if len(_MEMO) >= _MEMO_MAX:
+            _MEMO.clear()
+        hit = _MEMO[key] = build()
+    return hit
+
+
 def _tokens_ds(sf_dir: str, with_positions: bool = False,
                carry_cols: tuple[str, ...] = ()):
-    ds = _docs_ds(sf_dir, ["doc_id", "text", *carry_cols])
-    return ds.map_batches(
-        TokenizeStage(engine="whitespace", text_col="text", pre_normalized=False,
-                      with_positions=with_positions, carry_cols=carry_cols),
-        batch_format="pyarrow",
-    )
+    def build():
+        ds = _docs_ds(sf_dir, ["doc_id", "text", *carry_cols])
+        return ds.map_batches(
+            TokenizeStage(engine="whitespace", text_col="text", pre_normalized=False,
+                          with_positions=with_positions, carry_cols=carry_cols),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return _memo(("tokens", sf_dir, with_positions, carry_cols), build)
 
 
 def _exploded_ds(sf_dir: str, carry_cols: tuple[str, ...] = ()):
-    return _tokens_ds(sf_dir, carry_cols=carry_cols).map_batches(
-        ExplodeTokens(chunk_bits=40, carry_cols=carry_cols), batch_format="pyarrow")
+    def build():
+        return _tokens_ds(sf_dir, carry_cols=carry_cols).map_batches(
+            ExplodeTokens(chunk_bits=40, carry_cols=carry_cols),
+            batch_format="pyarrow").materialize()
+
+    return _memo(("exploded", sf_dir, carry_cols), build)
 
 
 def _corpus_stats(sf_dir: str) -> tuple[int, float]:
-    from ray.data.aggregate import Count, Sum
+    def build():
+        from ray.data.aggregate import Count, Sum
 
-    agg = _tokens_ds(sf_dir).aggregate(Sum("doc_len", alias_name="total"), Count(alias_name="n"))
-    n = int(agg["n"])
-    return n, float(agg["total"]) / max(1, n)
+        agg = _tokens_ds(sf_dir).aggregate(Sum("doc_len", alias_name="total"),
+                                           Count(alias_name="n"))
+        n = int(agg["n"])
+        return n, float(agg["total"]) / max(1, n)
+
+    return _memo(("corpus_stats", sf_dir), build)
 
 
 # ------------------------------------------------------------------ basics
@@ -991,7 +1022,9 @@ def rocchio_topk(sf_dir: str, k: int = 10, alpha: float = 1.0, beta: float = 0.7
         nrm = math.sqrt(sum(v * v for v in ws.values())) or 1.0
         doc_vecs[int(d)] = {t: v / nrm for t, v in ws.items()}
 
-    rows = []
+    # expanded vectors for ALL queries, then ONE distributed scoring job
+    # (the per-query-job loop re-ran the full pass per query)
+    qvecs: dict[str, dict[str, float]] = {}
     for qid, terms in FIXED_QUERIES.items():
         qw = {t: (1.0 + math.log10(1)) * idf(t) for t in terms if df_map.get(t)}
         nrm = math.sqrt(sum(v * v for v in qw.values())) or 1.0
@@ -1000,31 +1033,44 @@ def rocchio_topk(sf_dir: str, k: int = 10, alpha: float = 1.0, beta: float = 0.7
         for d in fb:
             for t, v in doc_vecs.get(int(d), {}).items():
                 qvec[t] = qvec.get(t, 0.0) + beta * v / max(1, len(fb))
-        # distributed rerank: score all docs against expanded vector
-        qterms = pa.array(sorted(qvec))
-        wmap = dict(qvec)
+        qvecs[qid] = qvec
+    term_to_qw: dict[str, list[tuple[str, float]]] = {}
+    for qid, qvec in qvecs.items():
+        for t, w in qvec.items():
+            term_to_qw.setdefault(t, []).append((qid, idf(t) * w))
+    all_qterms = pa.array(sorted(term_to_qw))
 
-        def score(tb: pa.Table, wmap=wmap, qterms=qterms, qid=qid) -> pa.Table:
-            tb = tb.filter(pa.compute.is_in(tb.column("term"), value_set=qterms))
-            if tb.num_rows == 0:
-                return pa.table({"qid": pa.array([], pa.string()),
-                                 "doc_id": pa.array([], pa.int64()),
-                                 "c": pa.array([], pa.float64())})
-            tfv = tb.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-            terms_l = tb.column("term").to_pylist()
-            contrib = (1.0 + np.log10(tfv)) * np.array([idf(t) * wmap[t] for t in terms_l])
-            return pa.table({
-                "qid": pa.array([qid] * tb.num_rows, pa.string()),
-                "doc_id": tb.column("doc_id").cast(pa.int64()),
-                "c": pa.array(contrib, pa.float64()),
-            })
+    def score(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(pa.compute.is_in(tb.column("term"), value_set=all_qterms))
+        if tb.num_rows == 0:
+            return pa.table({"qid": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.float64())})
+        tfv = tb.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        terms_l = tb.column("term").to_pylist()
+        docs = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        tfw = 1.0 + np.log10(tfv)
+        out_q, out_d, out_c = [], [], []
+        for i, t in enumerate(terms_l):
+            for qid, w in term_to_qw[t]:
+                out_q.append(qid)
+                out_d.append(int(docs[i]))
+                out_c.append(tfw[i] * w)
+        return pa.table({
+            "qid": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "c": pa.array(out_c, pa.float64()),
+        })
 
-        from ray.data.aggregate import Sum
+    from ray.data.aggregate import Sum
 
-        sc = ex.map_batches(score, batch_format="pyarrow") \
-               .groupby(["qid", "doc_id"]).aggregate(Sum("c", alias_name="score")).to_pandas()
-        sc = sc.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(sc.iterrows(), 1):
+    sc = ex.map_batches(score, batch_format="pyarrow") \
+           .groupby(["qid", "doc_id"]).aggregate(Sum("c", alias_name="score")).to_pandas()
+    rows = []
+    for qid in FIXED_QUERIES:
+        g = sc[sc["qid"] == qid].sort_values(
+            ["score", "doc_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
             rows.append((qid, rank, int(r["doc_id"]), round4(float(r["score"]))))
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 

@@ -24,6 +24,27 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def vecs_from_column(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) float64 matrix, zero-copy-ish:
+    flatten the child values buffer and reshape (embeddings are
+    fixed-dimension, so the list lengths are uniform) — no Python-object
+    round-trip through ``to_pylist``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return col.values.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False).reshape(n, d)
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    assert flat.size % n == 0, "ragged embedding column"
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
+
+
 class BruteForceTopK:
     """map_batches body: per-batch cosine top-k against broadcast queries."""
 
@@ -38,7 +59,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        mat = np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        mat = vecs_from_column(batch.column(self.vec_col))
         mat = _normalize_rows(mat)
         sims = self.q @ mat.T  # (nq, batch)
         k = min(self.k, ids.size)
@@ -102,24 +123,23 @@ def kmeans(ds, *, k: int = 8, dim: int, n_iter: int = 10, seed: int = 17,
     for _ in range(n_iter):
         cref = ray.put(centroids)
 
-        class Partial:
-            def __init__(self):
-                self.c = ray.get(cref)
+        def partial(t: pa.Table) -> pa.Table:
+            # plain function (task pool, elastic): the centroid matrix is
+            # k x dim — the per-batch ray.get hits the local object store
+            c = ray.get(cref)
+            m = vecs_from_column(t.column(vec_col))
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, lab, m)
+            counts = np.bincount(lab, minlength=c.shape[0])
+            return pa.table({
+                "cid": pa.array(np.arange(c.shape[0]), pa.int64()),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "n": pa.array(counts.astype(np.int64)),
+            })
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
-                d2 = ((m[:, None, :] - self.c[None, :, :]) ** 2).sum(axis=2)
-                lab = d2.argmin(axis=1)
-                sums = np.zeros_like(self.c)
-                np.add.at(sums, lab, m)
-                counts = np.bincount(lab, minlength=self.c.shape[0])
-                return pa.table({
-                    "cid": pa.array(np.arange(self.c.shape[0]), pa.int64()),
-                    "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
-                    "n": pa.array(counts.astype(np.int64)),
-                })
-
-        parts = ds.map_batches(Partial, batch_format="pyarrow", concurrency=2).to_pandas()
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         sums = np.zeros_like(centroids)
         counts = np.zeros(k, dtype=np.int64)
         for cid, vs, n in zip(parts["cid"], parts["vsum"], parts["n"]):
@@ -130,20 +150,17 @@ def kmeans(ds, *, k: int = 8, dim: int, n_iter: int = 10, seed: int = 17,
 
     cref = ray.put(centroids)
 
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(cref)
+    def assign_fn(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = vecs_from_column(t.column(vec_col))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+            "dist2": pa.array(d2.min(axis=1)),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
-            d2 = ((m[:, None, :] - self.c[None, :, :]) ** 2).sum(axis=2)
-            return pa.table({
-                id_col: t.column(id_col).cast(pa.int64()),
-                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
-                "dist2": pa.array(d2.min(axis=1)),
-            })
-
-    assign = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2).to_pandas()
+    assign = ds.map_batches(assign_fn, batch_format="pyarrow").to_pandas()
     return centroids, assign.sort_values(id_col).reset_index(drop=True)
 
 
@@ -173,7 +190,7 @@ class LshSignStage:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        mat = vecs_from_column(batch.column(self.vec_col))
         return batch.append_column(
             "buckets", pa.array(self.buckets_of(mat).tolist(), pa.list_(pa.int64())))
 

@@ -117,11 +117,26 @@ def simhash_pairs(ds, engine: str = DEFAULT_ENGINE, text_col: str = "text",
                 h_out.append(int(hams[j]))
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": h_out})
 
-    frames = []
-    for band in range(4):
-        pairs = sigs.groupby(f"band_{band}").map_groups(bucket_pairs, batch_format="pandas")
-        frames.append(pairs.to_pandas())
-    allp = pd.concat(frames, ignore_index=True)
+    # ONE exploded (band_id, band_key) shuffle instead of 4 serial
+    # groupby jobs: each doc emits 4 rows (one per band); buckets are
+    # keyed by the (band_id, key) pair so a single groupby covers all
+    # bands in one all-to-all exchange.
+    def explode_bands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = t.column("simhash").to_numpy(zero_copy_only=False)
+        bands = np.stack([t.column(f"band_{i}").to_numpy(zero_copy_only=False)
+                          for i in range(4)], axis=1)  # (n, 4)
+        return pa.table({
+            "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "band_key": pa.array(bands.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(doc, 4)),
+            "simhash": pa.array(np.repeat(sh, 4)),
+        })
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    allp = exploded.groupby(["band_id", "band_key"]) \
+                   .map_groups(bucket_pairs, batch_format="pandas").to_pandas()
     if allp.empty:
         return allp
     return allp.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -170,22 +185,35 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     r = num_perm // n_bands
 
     def explode_bands(batch: pa.Table) -> pa.Table:
+        # vectorized FNV-style band mixing over the (n, n_bands, r)
+        # signature cube — the per-(row, band) md5 loop dominated this
+        # stage's profile; only key EQUALITY matters, so any good 64-bit
+        # mix is equivalent (uint64 ops wrap modulo 2^64 in NumPy)
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        sig_bytes = batch.column("sig").to_pylist()
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sig_bytes = sig_col.to_pylist()
         n = doc_ids.size
-        keys = np.empty(n * n_bands, dtype=np.uint64)
-        p = 0
-        for i in range(n):
-            sb = sig_bytes[i]
-            for bidx in range(n_bands):
-                band = sb[bidx * r * 8 : (bidx + 1) * r * 8]
-                keys[p] = int.from_bytes(
-                    hashlib.md5(bytes([bidx]) + band).digest()[:8], "big")
-                p += 1
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.binary())})
+        mat = np.frombuffer(b"".join(sig_bytes), dtype=np.uint64).reshape(n, num_perm)
+        cube = mat.reshape(n, n_bands, r)
+        prime = np.uint64(0x100000001B3)
+        key = (np.uint64(0xCBF29CE484222325)
+               ^ (np.arange(n_bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)))[None, :]
+        key = np.broadcast_to(key, (n, n_bands)).copy()
+        for j in range(r):
+            key = (key ^ cube[:, :, j]) * prime
+        rep = np.repeat(np.arange(n, dtype=np.int64), n_bands)
         return pa.table({
-            "band_key": pa.array(keys),
+            # int64 bit-cast: Ray hash-shuffle aggregates mishandle
+            # uint64 keys > 2^63 (see index_build.vocab_uniq_terms)
+            "band_key": pa.array(key.reshape(-1).view(np.int64)),
             "doc_id": pa.array(np.repeat(doc_ids, n_bands).astype(np.int64)),
-            "sig": pa.array([sb for sb in sig_bytes for _ in range(n_bands)], pa.binary()),
+            "sig": sig_col.take(pa.array(rep)),
         })
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -225,7 +253,7 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
         return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                              "doc_b": pd.Series(dtype=np.int64),
                              "est_jaccard": pd.Series(dtype=np.float64)})
-    mset = pa.array(np.array(sorted(r["band_key"] for r in multi), dtype=np.uint64))
+    mset = pa.array(np.array(sorted(r["band_key"] for r in multi), dtype=np.int64))
     cand = exploded.map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("band_key"), value_set=mset)),
         batch_format="pyarrow",
