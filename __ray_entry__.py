@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_jm_topk": A.lm_jm_topk,
         "bim_topk": A.bim_topk,
         "hybrid_rrf": A.hybrid_rrf,
+        "field_boost_topk": A.field_boost_topk,
         "fuzzy_match": A.fuzzy_match,
         "wildcard_match": A.wildcard_match,
         "facet_filtered_search": A.facet_filtered_search,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": A.boolean_and,
         "boolean_and_not": lambda sf: A.boolean_and_not(sf),
         "boolean_parsed": A.boolean_parsed,
+        "date_range_query": A.date_range_query,
         "field_query": A.field_query,
         "phrase_match": A.phrase_match,
         # facets / browse / aggregates
@@ -112,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": A.events_sessionize,
         "bigram_pmi": A.bigram_pmi,
         "bigram_collocations": A.bigram_collocations,
+        "ngram_lm_perplexity": A.ngram_lm_perplexity,
         "rake_keywords": A.rake_keywords,
         "csoundex_expand": A.csoundex_expand,
         "facet_date_ranges": A.facet_date_ranges,
@@ -159,7 +162,52 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
                        FROM scores)
             SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10"""
+    field_boost_sql = _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT q.qid, tf.doc_id,
+                     ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                     * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+              FROM tf
+              JOIN qterms q USING (term)
+              JOIN dfs USING (term)
+              JOIN dln ON tf.doc_id = dln.doc_id
+              CROSS JOIN stats),
+            scores AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
+            fields AS (SELECT doc_id, source, lang,
+                              list_slice(string_split(t, ' '), 1, 5) AS title5,
+                              string_split(t, ' ') AS alltoks
+                       FROM norm),
+            boosts AS (SELECT q.qid, f.doc_id,
+                round(least(1.5,
+                  0.45 * least(count(DISTINCT q.term)
+                               FILTER (list_contains(f.title5, q.term)), 3)
+                + 0.25 * least(count(DISTINCT q.term)
+                               FILTER (q.term = f.source), 3)
+                + 0.18 * least(count(DISTINCT q.term)
+                               FILTER (q.term = f.lang), 3)
+                + 0.06 * least(count(DISTINCT q.term)
+                               FILTER (list_contains(f.alltoks, q.term)), 3)), 6) AS boost
+                FROM fields f CROSS JOIN qterms q
+                GROUP BY q.qid, f.doc_id),
+            adjusted AS (SELECT s.qid, s.doc_id,
+                                s.score + coalesce(b.boost, 0) AS adj
+                         FROM scores s LEFT JOIN boosts b
+                              ON s.qid = b.qid AND s.doc_id = b.doc_id),
+            ranked AS (SELECT qid, doc_id, adj,
+                              row_number() OVER (PARTITION BY qid ORDER BY adj DESC, doc_id) AS rank
+                       FROM adjusted)
+            SELECT qid, rank, doc_id, round(adj, 4) AS score FROM ranked WHERE rank <= 10"""
     return {
+        "field_boost_topk": field_boost_sql,
+        "date_range_query": """
+            SELECT o_orderkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <= TIMESTAMP '1997-12-31'
+              AND o_orderstatus = 'F'
+              AND NOT o_orderpriority = '1-URGENT'
+            ORDER BY o_orderkey""",
         "doc_stats": _CTE + "SELECT doc_id, dl AS doc_len FROM dln",
         "term_stats": _CTE + """
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term""",

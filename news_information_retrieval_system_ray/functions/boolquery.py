@@ -19,8 +19,9 @@ import re
 
 import numpy as np
 
-_TOKEN = re.compile(r"\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+")
+_TOKEN = re.compile(r"\w+:\[[^\]]*\]|\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+")
 _PREC = {"NOT": 3, "AND": 2, "OR": 1}
+_RANGE = re.compile(r"^(\w+):\[\s*(.+?)\s+TO\s+(.+?)\s*\]$", re.IGNORECASE)
 
 
 def parse_boolean(query: str) -> list[str]:
@@ -43,7 +44,9 @@ def parse_boolean(query: str) -> list[str]:
                 out.append(ops.pop())
             ops.append(tok)
         else:
-            out.append(tok.lower())
+            # plain terms normalize to lowercase; field / range predicates
+            # (containing ':') keep their value case (query_parser.py:439-461)
+            out.append(tok if ":" in tok else tok.lower())
     while ops:
         op = ops.pop()
         if op == "(":
@@ -52,8 +55,18 @@ def parse_boolean(query: str) -> list[str]:
     return out
 
 
-def evaluate_boolean(postfix: list[str], postings_of, universe: np.ndarray) -> np.ndarray:
-    """Stack-evaluate a postfix boolean expression -> sorted doc_id array."""
+def evaluate_boolean(postfix: list[str], postings_of, universe: np.ndarray,
+                     field_docs=None, range_docs=None) -> np.ndarray:
+    """Stack-evaluate a postfix boolean expression -> sorted doc_id array.
+
+    Operand callbacks (each returns a sorted unique int64 id array):
+
+    - ``postings_of(term)`` — plain text term.
+    - ``field_docs(field, value)`` — ``field:value`` EXACT predicate
+      (query_parser.py field queries).
+    - ``range_docs(field, start, end)`` — ``field:[start TO end]``
+      inclusive range predicate (boolean.py date ranges / query_parser
+      RANGE nodes)."""
     stack: list[np.ndarray] = []
     for tok in postfix:
         if tok == "NOT":
@@ -69,11 +82,25 @@ def evaluate_boolean(postfix: list[str], postings_of, universe: np.ndarray) -> n
             else:
                 stack.append(np.union1d(a, b))
         else:
-            stack.append(np.asarray(postings_of(tok), dtype=np.int64))
+            m = _RANGE.match(tok)
+            if m:
+                if range_docs is None:
+                    raise ValueError(f"range predicate {tok!r} needs range_docs")
+                stack.append(np.asarray(
+                    range_docs(m.group(1), m.group(2), m.group(3)), dtype=np.int64))
+            elif ":" in tok:
+                if field_docs is None:
+                    raise ValueError(f"field predicate {tok!r} needs field_docs")
+                field, value = tok.split(":", 1)
+                stack.append(np.asarray(field_docs(field, value), dtype=np.int64))
+            else:
+                stack.append(np.asarray(postings_of(tok), dtype=np.int64))
     if len(stack) != 1:
         raise ValueError("malformed boolean expression")
     return stack[0]
 
 
-def search_boolean(query: str, postings_of, universe: np.ndarray) -> np.ndarray:
-    return evaluate_boolean(parse_boolean(query), postings_of, universe)
+def search_boolean(query: str, postings_of, universe: np.ndarray,
+                   field_docs=None, range_docs=None) -> np.ndarray:
+    return evaluate_boolean(parse_boolean(query), postings_of, universe,
+                            field_docs=field_docs, range_docs=range_docs)

@@ -766,6 +766,65 @@ def summarize_query_focused(sf_dir: str, k: int = 2,
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+FIELD_WEIGHTS = {"title": 0.45, "tags": 0.25, "category": 0.18, "content": 0.06}
+
+
+def field_boost_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """BM25 + field-aware boost rerank (search_service.py:434-481:
+    title .45 / tags .25 / category .18 / content .06 per distinct
+    matched query term, each field capped at 3 hits, total boost capped
+    at 1.5 and rounded to 6 places; reranked = score + boost).
+
+    The oracle tables have no title/tags columns, so fields derive
+    DETERMINISTICALLY from the documents row (mirrored in the SQL
+    oracle): title = first 5 normalized whitespace tokens, tags =
+    {source}, category = {lang}, content = all normalized tokens.
+    Boosts are computed per doc batch distributed; the rerank itself
+    runs on the (small) retrieved candidate list, as the reference
+    reranks its ranked list."""
+    from ..functions.textnorm import normalize_text
+
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    scores = _bm25_scores(sf_dir, n_docs, avgdl).to_pandas()
+    qsets = {qid: list(dict.fromkeys(ts)) for qid, ts in FIXED_QUERIES.items()}
+
+    def boost_batch(t: pa.Table) -> pa.Table:
+        out_q, out_d, out_b = [], [], []
+        for row in t.to_pylist():
+            toks = normalize_text(row["text"] or "").split()
+            title5 = set(toks[:5])
+            allset = set(toks)
+            for qid, terms in qsets.items():
+                c_title = sum(1 for x in terms if x in title5)
+                c_tags = sum(1 for x in terms if x == row["source"])
+                c_cat = sum(1 for x in terms if x == row["lang"])
+                c_cont = sum(1 for x in terms if x in allset)
+                b = (FIELD_WEIGHTS["title"] * min(c_title, 3)
+                     + FIELD_WEIGHTS["tags"] * min(c_tags, 3)
+                     + FIELD_WEIGHTS["category"] * min(c_cat, 3)
+                     + FIELD_WEIGHTS["content"] * min(c_cont, 3))
+                out_q.append(qid)
+                out_d.append(row["doc_id"])
+                out_b.append(round(min(b, 1.5), 6))
+        return pa.table({
+            "qid": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "boost": pa.array(out_b, pa.float64()),
+        })
+
+    boosts = _docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]) \
+        .map_batches(boost_batch, batch_format="pyarrow").to_pandas()
+    merged = scores.merge(boosts, on=["qid", "doc_id"], how="left")
+    merged["adj"] = merged["score"] + merged["boost"].fillna(0.0)
+    rows = []
+    for qid in FIXED_QUERIES:
+        g = merged[merged["qid"] == qid].sort_values(
+            ["adj", "doc_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            rows.append((qid, rank, int(r["doc_id"]), round4(float(r["adj"]))))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
 CSOUNDEX_QUERY = "spark"
 
 
@@ -874,7 +933,8 @@ def boolean_parsed(sf_dir: str, expr: str | None = None) -> pd.DataFrame:
     from ..functions.boolquery import parse_boolean, search_boolean
 
     expr = expr or BOOL_EXPR
-    expr_terms = [t for t in parse_boolean(expr) if t not in ("AND", "OR", "NOT")]
+    expr_terms = [t for t in parse_boolean(expr)
+                  if t not in ("AND", "OR", "NOT") and ":" not in t]
     tset = pa.array(sorted(set(expr_terms)))
     rows = _exploded_ds(sf_dir).map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=tset))
@@ -891,6 +951,47 @@ def boolean_parsed(sf_dir: str, expr: str | None = None) -> pd.DataFrame:
 
     hits = search_boolean(expr, p, universe)
     return pd.DataFrame({"doc_id": np.sort(hits)})
+
+
+DATE_RANGE_EXPR = ("o_orderdate:[1996-01-01 TO 1997-12-31] "
+                   "AND o_orderstatus:F AND NOT o_orderpriority:1-URGENT")
+
+
+def date_range_query(sf_dir: str, expr: str = DATE_RANGE_EXPR) -> pd.DataFrame:
+    """Boolean query AST with date-range + field predicates
+    (query_parser.py RANGE nodes / boolean.py:19-29 ``date:[start TO
+    end]`` syntax) evaluated over the orders table.
+
+    Each predicate resolves to a sorted orderkey id-set via a
+    column-pruned, filter-pushdown distributed read; the set algebra
+    runs on the collected id arrays (same shape as boolean_parsed).
+    Inclusive date bounds, as the reference's range semantics."""
+    import pyarrow.dataset as pads
+
+    from ..functions.boolquery import search_boolean
+
+    dset = pads.dataset(f"{sf_dir}/orders.parquet")
+
+    def ids_where(flt) -> np.ndarray:
+        t = dset.to_table(columns=["o_orderkey"], filter=flt)
+        return np.unique(t.column("o_orderkey").to_numpy(zero_copy_only=False))
+
+    def field_docs(field: str, value: str) -> np.ndarray:
+        return ids_where(pads.field(field) == value)
+
+    def range_docs(field: str, start: str, end: str) -> np.ndarray:
+        import datetime as _dt
+
+        lo = _dt.datetime.fromisoformat(start)
+        hi = _dt.datetime.fromisoformat(end)
+        return ids_where((pads.field(field) >= lo) & (pads.field(field) <= hi))
+
+    universe = np.unique(
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .column("o_orderkey").to_numpy())
+    hits = search_boolean(expr, lambda t: np.empty(0, dtype=np.int64), universe,
+                          field_docs=field_docs, range_docs=range_docs)
+    return pd.DataFrame({"o_orderkey": np.sort(hits)})
 
 
 FIELD_QUERY = {"lang": "en", "source": "src3", "term": "spark"}
@@ -1346,6 +1447,41 @@ def bigram_collocations(sf_dir: str, n: int = 20, min_count: int = 5) -> pd.Data
     d = d.sort_values(["llr", "w1", "w2"], ascending=[False, True, True]).head(n)
     d["rank"] = np.arange(1, len(d) + 1, dtype=np.int64)
     return d.reset_index(drop=True)[["rank", "w1", "w2", "n_ab", "llr", "chi2", "t_score", "dice"]]
+
+
+NGRAM_TEST_TEXTS = {
+    "t1": "the fast query scan",
+    "t2": "slow window merge batch",
+    "t3": "data stream group sort join",
+}
+
+
+def ngram_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Bigram LM perplexity of fixed test texts under each smoothing
+    (ngram.py:43-421: MLE / Laplace / JM λ=0.7 / Dirichlet μ=2000).
+
+    The training counts are DISTRIBUTED aggregates: bigram counts come
+    from the positional pair shuffle (shared with the collocation
+    queries), context counts fold out of them (sum over w2 per w1),
+    unigram cf from term_stats — the driver only holds the vocab-sized
+    count tables and runs the cheap per-text scoring loop.
+    Rows-only (kernel parity unit-tested against in-memory training)."""
+    from ..functions.ngram_lm import NGramLM
+    from ..functions.tokenize import get_tokenizer
+
+    pair_counts, cf, n_pairs, n_tok = _bigram_counts(sf_dir)
+    ngrams = {(a, b): int(n) for a, b, n in
+              zip(pair_counts["w1"], pair_counts["w2"], pair_counts["n_ab"])}
+    ctx = pair_counts.groupby("w1")["n_ab"].sum()
+    contexts = {(w,): int(n) for w, n in ctx.items()}
+    tok = get_tokenizer("whitespace")
+    rows = []
+    for smoothing in ("mle", "laplace", "jm", "dirichlet"):
+        m = NGramLM.from_counts(2, ngrams, contexts, cf, smoothing=smoothing)
+        for tid, text in NGRAM_TEST_TEXTS.items():
+            ppl = m.perplexity(tok(text))
+            rows.append((smoothing, tid, round4(ppl) if math.isfinite(ppl) else -1.0))
+    return pd.DataFrame(rows, columns=["smoothing", "text_id", "perplexity"])
 
 
 def facet_date_ranges(sf_dir: str) -> pd.DataFrame:

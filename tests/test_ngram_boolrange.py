@@ -1,0 +1,112 @@
+"""N-gram LM smoothing/perplexity parity (ngram.py:43-421) and boolean
+parser field/range predicate extensions (query_parser.py RANGE nodes)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from news_information_retrieval_system_ray.functions.boolquery import (
+    parse_boolean,
+    search_boolean,
+)
+from news_information_retrieval_system_ray.functions.ngram_lm import (
+    NGramLM,
+    default_tokenizer,
+)
+
+DOCS = [["the", "cat", "sat"], ["the", "dog", "ran"], ["the", "cat", "ran"]]
+
+
+def test_default_tokenizer():
+    assert default_tokenizer("Hello 世界ok Test42!") == ["hello", "世界", "ok", "test42"]
+
+
+def test_mle_bigram_probability():
+    m = NGramLM(n=2, smoothing="mle").train(DOCS)
+    # count(the, cat)=2, count context (the)=3
+    assert m.probability(("the",), "cat") == pytest.approx(2 / 3)
+    assert m.probability(("cat",), "sat") == pytest.approx(1 / 2)
+    assert m.probability(("cat",), "flew") == 0.0
+
+
+def test_laplace_bigram():
+    m = NGramLM(n=2, smoothing="laplace").train(DOCS)
+    # V = 5 (the, cat, sat, dog, ran)
+    assert m.probability(("the",), "cat") == pytest.approx((2 + 1) / (3 + 5))
+    assert m.probability(("cat",), "flew") == pytest.approx(1 / (2 + 5))
+
+
+def test_jm_and_dirichlet():
+    m = NGramLM(n=2, smoothing="jm").train(DOCS)
+    # P(cat|the): ML 2/3; Pc(cat) = 2/9
+    assert m.probability(("the",), "cat") == pytest.approx(0.7 * 2 / 3 + 0.3 * 2 / 9)
+    d = NGramLM(n=2, smoothing="dirichlet").train(DOCS)
+    # (2 + 2000 * 2/9) / (3 + 2000)
+    assert d.probability(("the",), "cat") == pytest.approx(
+        (2 + 2000 * 2 / 9) / (3 + 2000))
+
+
+def test_from_counts_matches_train():
+    trained = NGramLM(n=2, smoothing="laplace").train(DOCS)
+    uni = {}
+    for doc in DOCS:
+        for w in doc:
+            uni[w] = uni.get(w, 0) + 1
+    loaded = NGramLM.from_counts(2, trained.ngram_counts, trained.context_counts,
+                                 uni, smoothing="laplace")
+    for ctx, w in [(("the",), "cat"), (("cat",), "sat"), (("dog",), "ran")]:
+        assert loaded.probability(ctx, w) == pytest.approx(trained.probability(ctx, w))
+    toks = ["the", "cat", "ran"]
+    assert loaded.perplexity(toks) == pytest.approx(trained.perplexity(toks))
+
+
+def test_perplexity_formula():
+    m = NGramLM(n=1, smoothing="laplace").train(DOCS)
+    toks = ["the", "cat"]
+    # unigram: P(the) = (3+1)/(9+5), P(cat) = (2+1)/(9+5)
+    p1, p2 = 4 / 14, 3 / 14
+    expect = 2 ** (-(math.log2(p1) + math.log2(p2)) / 2)
+    assert m.perplexity(toks) == pytest.approx(expect)
+    assert m.perplexity([]) == float("inf")
+
+
+def test_sentence_probability_start_pad():
+    m = NGramLM(n=2, smoothing="laplace").train(DOCS)
+    # first event is P(the | <START>): unseen context -> (0+1)/(0+V)
+    p = m.sentence_probability(["the"])
+    assert p == pytest.approx(1 / 5)
+
+
+# ------------------------------------------------------- parser extensions
+
+def test_parse_keeps_predicates_whole():
+    toks = parse_boolean("date:[2025-01-01 TO 2025-02-01] AND status:F")
+    assert toks == ["date:[2025-01-01 TO 2025-02-01]", "status:F", "AND"]
+
+
+def test_search_with_field_and_range():
+    universe = np.arange(10, dtype=np.int64)
+    postings = {"cat": np.array([1, 2, 3], dtype=np.int64)}
+
+    def field_docs(field, value):
+        assert (field, value) == ("status", "F")
+        return np.array([2, 3, 4], dtype=np.int64)
+
+    def range_docs(field, start, end):
+        assert (field, start, end) == ("date", "2025-01-01", "2025-02-01")
+        return np.array([3, 4, 5], dtype=np.int64)
+
+    out = search_boolean(
+        "cat AND status:F AND date:[2025-01-01 TO 2025-02-01]",
+        lambda t: postings.get(t, np.empty(0, dtype=np.int64)),
+        universe, field_docs=field_docs, range_docs=range_docs)
+    assert list(out) == [3]
+
+
+def test_predicates_require_callbacks():
+    universe = np.arange(3, dtype=np.int64)
+    with pytest.raises(ValueError, match="field predicate"):
+        search_boolean("status:F", lambda t: universe, universe)
+    with pytest.raises(ValueError, match="range predicate"):
+        search_boolean("d:[1 TO 2]", lambda t: universe, universe)
