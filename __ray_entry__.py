@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": A.ann_topk,
         "ann_lsh": A.ann_lsh,
+        "ann_lsh_bucketed": A.ann_lsh_bucketed,
         "embedding_nn_within_label": A.embedding_nn_within_label,
         "embedding_kmeans": A.embedding_kmeans,
         # multimodal plumbing

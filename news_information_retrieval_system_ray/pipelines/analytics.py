@@ -23,6 +23,7 @@ the wide paths are groupby shuffles.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -1607,6 +1608,29 @@ def ann_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     q, qids = _query_vectors(sf_dir, 5)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = lsh_topk(ds, q, k=k, dim=q.shape[1], n_planes=8, n_tables=4, multiprobe=1)
+    out["qid"] = out["qid"].map(dict(enumerate(qids))).astype(np.int64)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def ann_lsh_bucketed(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Bucketed-LAYOUT LSH ANN — the 100-TB scale path: the corpus is
+    written once per LSH table under hive partitions keyed by bucket id,
+    and a query reads ONLY its probe buckets' partition directories
+    (Parquet partition pruning; no full scan + filter).  Results are
+    identical to the scan-based `ann_lsh` for the same parameters
+    (asserted in unit tests); rows-only driver check."""
+    import ray.data as rd
+
+    from ..stages.ann import lsh_build_bucketed, lsh_topk_bucketed
+
+    q, qids = _query_vectors(sf_dir, 5)
+    layout = f"/tmp/nirs_lsh_bucketed_{abs(hash(sf_dir)) % (1 << 32)}"
+    if not os.path.isdir(layout):
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        lsh_build_bucketed(ds, layout, dim=q.shape[1], n_planes=8, n_tables=4)
+    out = lsh_topk_bucketed(layout, q, k=k, dim=q.shape[1], n_planes=8,
+                            n_tables=4, multiprobe=1)
     out["qid"] = out["qid"].map(dict(enumerate(qids))).astype(np.int64)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)
 

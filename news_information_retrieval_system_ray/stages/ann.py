@@ -94,7 +94,10 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k).copy()
+        # per-id dedupe: the bucketed-LSH layout stores a row once per
+        # table, so a candidate may reach the merge several times
+        g = group.drop_duplicates("vec_id") \
+                 .sort_values(["score", "vec_id"], ascending=[False, True]).head(k).copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
@@ -223,4 +226,80 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, *, dim: int, n_planes: int = 
         return t.filter(pa.array(mask)).drop_columns(["buckets"])
 
     cand = bucketed.map_batches(filter_candidates, batch_format="pyarrow")
+    return brute_force_topk(cand, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def lsh_build_bucketed(ds, out_dir: str, *, dim: int, n_planes: int = 8,
+                       n_tables: int = 4, seed: int = 99,
+                       vec_col: str = "embedding") -> str:
+    """Materialize the BUCKETED LAYOUT — the 100-TB scale path: each row
+    is written once per LSH table under a hive partition keyed by its
+    bucket id, so a query's probe set maps to a handful of partition
+    DIRECTORIES and everything else is never read (Parquet partition
+    pruning), instead of scanning + filtering the whole corpus.
+    Storage cost is the standard L-times LSH duplication (n_tables x).
+    """
+    stage = LshSignStage(dim=dim, n_planes=n_planes, n_tables=n_tables,
+                         seed=seed, vec_col=vec_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = vecs_from_column(batch.column(vec_col))
+        buckets = stage.buckets_of(mat)  # (n, n_tables)
+        n = batch.num_rows
+        rep = np.repeat(np.arange(n, dtype=np.int64), stage.n_tables)
+        take = pa.array(rep)
+        cols = {name: batch.column(name).take(take) for name in batch.column_names}
+        cols["bucket"] = pa.array(buckets.reshape(-1))
+        return pa.table(cols)
+
+    ds.map_batches(explode, batch_format="pyarrow") \
+      .write_parquet(out_dir, partition_cols=["bucket"])
+    return out_dir
+
+
+def lsh_topk_bucketed(out_dir: str, queries: np.ndarray, k: int = 10, *,
+                      dim: int, n_planes: int = 8, n_tables: int = 4,
+                      seed: int = 99, multiprobe: int = 1,
+                      vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Query the bucketed layout: probe buckets -> partition-pruned read
+    -> per-id dedupe happens in the top-k merge (a row stored in several
+    probed buckets must not occupy several result slots)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    stage = LshSignStage(dim=dim, n_planes=n_planes, n_tables=n_tables,
+                         seed=seed, vec_col=vec_col)
+    q = np.asarray(queries, dtype=np.float64)
+    probe: set[int] = set()
+    for row in stage.buckets_of(q):
+        for t, b in enumerate(row.tolist()):
+            probe.add(b)
+            if multiprobe >= 1:
+                base = b - (t << (n_planes + 1))
+                for i in range(n_planes):
+                    probe.add((base ^ (1 << i)) + (t << (n_planes + 1)))
+    def dedupe_batch(t: pa.Table) -> pa.Table:
+        # a vec can land in several probed buckets coalesced into one
+        # batch; per-batch top-k slots must go to distinct ids (the merge
+        # handles cross-batch duplicates)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids, return_index=True)
+        return t.take(pa.array(np.sort(first)))
+
+    # partition pruning by PATH: only the probe buckets' directories are
+    # ever listed/read (Ray's read_parquet cannot push a filter down to
+    # hive partition columns, so the pruning is done at path level —
+    # same IO outcome)
+    import glob as _glob
+    import os as _os
+
+    paths = [f for b in sorted(probe)
+             for f in sorted(_glob.glob(
+                 _os.path.join(out_dir, f"bucket={b}", "*.parquet")))]
+    if not paths:
+        return pd.DataFrame({"qid": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int64),
+                             "vec_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    cand = rd.read_parquet(paths).map_batches(dedupe_batch, batch_format="pyarrow")
     return brute_force_topk(cand, q, k=k, vec_col=vec_col, id_col=id_col)

@@ -195,3 +195,31 @@ def test_frame_sample_stage_deterministic(ray_session):
     out2 = rd.from_arrow(t).map_batches(FrameSampleStage(every_n=10, fps=25.0),
                                         batch_format="pyarrow").to_pandas()
     assert (out["feature"].map(tuple) == out2["feature"].map(tuple)).all()
+
+
+def test_lsh_bucketed_matches_scan(ray_session, tmp_path):
+    """The bucketed layout (partition-pruned read) must return exactly
+    the scan-based LSH results for identical parameters."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.stages.ann import (
+        lsh_build_bucketed,
+        lsh_topk,
+        lsh_topk_bucketed,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 600, 16
+    vecs = rng.standard_normal((n, dim))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+    q = rng.standard_normal((3, dim))
+    scan = lsh_topk(ds, q, k=5, dim=dim, n_planes=6, n_tables=3, multiprobe=1)
+    layout = str(tmp_path / "bucketed")
+    lsh_build_bucketed(rd.from_arrow(t), layout, dim=dim, n_planes=6, n_tables=3)
+    bucketed = lsh_topk_bucketed(layout, q, k=5, dim=dim, n_planes=6,
+                                 n_tables=3, multiprobe=1)
+    assert scan.to_dict("records") == bucketed.to_dict("records")
