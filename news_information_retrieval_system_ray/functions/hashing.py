@@ -44,6 +44,15 @@ def token_hash64(token: str) -> int:
 
 
 @lru_cache(maxsize=1 << 20)
+def token_hash_pair(token: str) -> tuple[int, int]:
+    """(token_hash64, token_hash64_alt) from ONE md5 digest — the
+    collision-check pass hashes every per-batch-unique term twice
+    otherwise."""
+    d = hashlib.md5(token.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big")
+
+
+@lru_cache(maxsize=1 << 20)
 def token_hash64_alt(token: str) -> int:
     """Independent second 64-bit hash (LAST 8 bytes of the same MD5).
 

@@ -119,17 +119,15 @@ def hashcheck_pairs(t):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..functions.hashing import token_hash64, token_hash64_alt
+    from ..functions.hashing import token_hash_pair
 
     flat = pc.list_flatten(t.column("terms"))
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     u = pc.unique(flat).to_pylist()
-    h1 = np.fromiter((token_hash64(x) for x in u),
-                     dtype=np.uint64, count=len(u)).view(np.int64)
-    h2 = np.fromiter((token_hash64_alt(x) for x in u),
-                     dtype=np.uint64, count=len(u)).view(np.int64)
-    return pa.table({"term_hash": pa.array(h1), "alt": pa.array(h2)})
+    pairs = np.fromiter((h for x in u for h in token_hash_pair(x)),
+                        dtype=np.uint64, count=2 * len(u)).view(np.int64)
+    return pa.table({"term_hash": pa.array(pairs[0::2]), "alt": pa.array(pairs[1::2])})
 
 
 def hashcheck_verify(t):
@@ -432,7 +430,11 @@ def build_index(
     if collision_check and not manifest.state.get("hashcheck_done"):
         tmp_hc = os.path.join(index_dir, ".tmp_hashcheck")
         shutil.rmtree(tmp_hc, ignore_errors=True)
-        pairs = rd.read_parquet(tokens_root, columns=["terms"]) \
+        import ray as _ray
+
+        n_cpu = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+        pairs = rd.read_parquet(tokens_root, columns=["terms"],
+                                override_num_blocks=n_cpu) \
                   .map_batches(hashcheck_pairs, batch_format="pyarrow")
         _hashcheck_aggregate(pairs).write_parquet(tmp_hc)
         os.replace(tmp_hc, hashcheck_dir)
