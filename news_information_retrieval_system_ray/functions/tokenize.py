@@ -61,17 +61,75 @@ def _tokenize_cjk_bigram(norm_text: str) -> list[str]:
     return toks
 
 
-def _make_jieba() -> Tokenizer:
-    import jieba  # noqa: F401  (import-try; absent in this container)
+def _make_jieba(mode: str = "default") -> Callable[[], Tokenizer]:
+    """jieba engine factory for the reference's segmentation modes
+    (chinese_tokenizer.py:258-267): 'default' = cut(cut_all=False,
+    HMM=True); 'search' = cut_for_search (finer recall-oriented
+    splits); 'nohmm' = cut(HMM=False) (dictionary-only)."""
 
-    jieba.initialize()
+    def factory() -> Tokenizer:
+        import jieba  # noqa: F401  (import-try; absent in this container)
+
+        jieba.initialize()
+
+        def tok(norm_text: str) -> list[str]:
+            if mode == "search":
+                it = jieba.cut_for_search(norm_text)
+            elif mode == "nohmm":
+                it = jieba.cut(norm_text, cut_all=False, HMM=False)
+            else:
+                it = jieba.cut(norm_text, cut_all=False)
+            out = []
+            for t in it:
+                t = t.strip().lower()
+                if t and keep_token(t):
+                    out.append(t)
+            return out
+
+        return tok
+
+    return factory
+
+
+def add_custom_words(words: list[str]) -> None:
+    """Register domain words (the reference's jieba add_word surface,
+    chinese_tokenizer.py:597-628).  Applied to jieba when importable;
+    always recorded so :func:`with_custom_words` can wrap the
+    deterministic engines with the same longest-match-first behavior."""
+    _CUSTOM_WORDS.extend(w for w in words if w)
+    try:
+        import jieba
+
+        for w in words:
+            jieba.add_word(w)
+    except ImportError:
+        pass
+
+
+_CUSTOM_WORDS: list[str] = []
+
+
+def with_custom_words(base: Tokenizer, words: list[str] | None = None) -> Tokenizer:
+    """Wrap a tokenizer so registered custom words always come out as
+    whole tokens: occurrences are cut out longest-first from the
+    normalized text and the remainder goes through the base engine —
+    the deterministic-engine equivalent of jieba's custom dictionary."""
+    vocab = sorted({w for w in (words if words is not None else _CUSTOM_WORDS) if w},
+                   key=len, reverse=True)
+    if not vocab:
+        return base
+    pat = re.compile("|".join(re.escape(w) for w in vocab))
 
     def tok(norm_text: str) -> list[str]:
-        out = []
-        for t in jieba.cut(norm_text, cut_all=False):
-            t = t.strip().lower()
-            if t and keep_token(t):
-                out.append(t)
+        out: list[str] = []
+        pos = 0
+        for m in pat.finditer(norm_text):
+            if m.start() > pos:
+                out.extend(base(norm_text[pos:m.start()]))
+            out.append(m.group(0))
+            pos = m.end()
+        if pos < len(norm_text):
+            out.extend(base(norm_text[pos:]))
         return out
 
     return tok
@@ -80,7 +138,9 @@ def _make_jieba() -> Tokenizer:
 _ENGINES: dict[str, Callable[[], Tokenizer]] = {
     "whitespace": lambda: _tokenize_whitespace,
     "cjk_bigram": lambda: _tokenize_cjk_bigram,
-    "jieba": _make_jieba,
+    "jieba": _make_jieba("default"),
+    "jieba_search": _make_jieba("search"),
+    "jieba_nohmm": _make_jieba("nohmm"),
 }
 
 DEFAULT_ENGINE = "cjk_bigram"

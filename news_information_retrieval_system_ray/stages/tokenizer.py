@@ -34,6 +34,14 @@ class TokenizeStage:
                  pre_normalized: bool = True, with_positions: bool = False,
                  carry_cols: tuple[str, ...] = (), stopword_lang: str | None = None):
         self.tokenize = get_tokenizer(engine)  # once per actor
+        if engine.startswith("jieba"):
+            # per-actor memo for expensive segmenters (the reference's
+            # tokenizer LRU, chinese_tokenizer.py cache layer): repeated
+            # titles/boilerplate skip re-segmentation; lists are treated
+            # as read-only downstream
+            from functools import lru_cache
+
+            self.tokenize = lru_cache(maxsize=1 << 16)(self.tokenize)
         self.text_col = text_col
         self.pre_normalized = pre_normalized
         self.with_positions = with_positions

@@ -89,3 +89,41 @@ def test_standardize_date_formats():
     assert standardize_date("2025-11-03T10:22:33") == "2025-11-03"
     assert standardize_date("not a date") == ""
     assert standardize_date("") == ""
+
+
+def test_jieba_mode_engines_registered():
+    """jieba / jieba_search / jieba_nohmm are registered behind
+    import-try (chinese_tokenizer.py:258-267 modes); absent package
+    raises ImportError at factory time, not registration time."""
+    from news_information_retrieval_system_ray.functions.tokenize import _ENGINES, get_tokenizer
+
+    assert {"jieba", "jieba_search", "jieba_nohmm"} <= set(_ENGINES)
+    try:
+        import jieba  # noqa: F401
+        has_jieba = True
+    except ImportError:
+        has_jieba = False
+    if not has_jieba:
+        import pytest
+
+        for eng in ("jieba", "jieba_search", "jieba_nohmm"):
+            with pytest.raises(ImportError):
+                get_tokenizer(eng)
+
+
+def test_custom_words_wrapper():
+    """Custom dictionary words come out as whole tokens, longest first
+    (the add_word surface, chinese_tokenizer.py:597-628), independent of
+    the base engine."""
+    from news_information_retrieval_system_ray.functions.tokenize import (
+        get_tokenizer,
+        with_custom_words,
+    )
+
+    base = get_tokenizer("cjk_bigram")
+    tok = with_custom_words(base, ["圖書資訊學", "資訊學"])
+    out = tok("我在學圖書資訊學和資訊學")
+    assert "圖書資訊學" in out
+    assert out.count("資訊學") == 1  # longest match wins at the overlap
+    # words absent -> behaves exactly like the base engine
+    assert with_custom_words(base, [])("abc def") == base("abc def")
