@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": A.bigram_pmi,
         "bigram_collocations": A.bigram_collocations,
         "ngram_lm_perplexity": A.ngram_lm_perplexity,
+        "substring_freq": A.substring_freq,
         "rake_keywords": A.rake_keywords,
         "csoundex_expand": A.csoundex_expand,
         "facet_date_ranges": A.facet_date_ranges,
@@ -423,6 +424,20 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
                        FROM scored)
             SELECT rank, w1, w2, n_ab, pmi FROM ranked WHERE rank <= 20""",
+        "substring_freq": _CTE + """,
+            terms_cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+            grams AS (
+              SELECT unnest(flatten(list_transform(range(2, 5),
+                       n -> list_transform(range(0, greatest(0, length(term) - n::INT + 1)),
+                                           i -> substr(term, i::INT + 1, n::INT))))) AS gram,
+                     cf
+              FROM terms_cf),
+            counts AS (SELECT gram, sum(cf)::BIGINT AS cnt FROM grams
+                       GROUP BY gram HAVING sum(cf) >= 5),
+            ranked AS (SELECT gram, cnt,
+                              row_number() OVER (ORDER BY cnt DESC, gram) AS rank
+                       FROM counts)
+            SELECT rank, gram, cnt FROM ranked WHERE rank <= 20""",
         "csoundex_expand": _CTE + f""",
             vocab AS (SELECT DISTINCT term FROM tf
                       WHERE regexp_matches(term, '^[a-z]+$')),

@@ -1450,6 +1450,47 @@ def bigram_collocations(sf_dir: str, n: int = 20, min_count: int = 5) -> pd.Data
     return d.reset_index(drop=True)[["rank", "w1", "w2", "n_ab", "llr", "chi2", "t_score", "dice"]]
 
 
+def substring_freq(sf_dir: str, n_lo: int = 2, n_hi: int = 4, k: int = 20,
+                   min_count: int = 5) -> pd.DataFrame:
+    """Frequent substring (character n-gram) extraction — the analytical
+    capability the reference's PAT tree serves (pat_tree.py:22-588:
+    substring/prefix frequency queries and PAT-based keyword
+    extraction), re-expressed as a shuffle: explode every character
+    n-gram of each token (lengths n_lo..n_hi) inside map_batches with
+    per-batch partial counts, one groupby-sum, rank by (count desc,
+    gram asc).  A suffix structure answers these queries in O(|q|) per
+    lookup; the batch analog is one pass + one small aggregate."""
+    from ray.data.aggregate import Sum
+
+    toks = _tokens_ds(sf_dir)
+
+    def grams(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for row in t.to_pylist():
+            for term, tf in zip(row["terms"], row["tfs"]):
+                L = len(term)
+                for n in range(n_lo, n_hi + 1):
+                    if L < n:
+                        continue
+                    for i in range(L - n + 1):
+                        c[term[i:i + n]] += tf
+        if not c:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    agg = toks.map_batches(grams, batch_format="pyarrow") \
+              .groupby("gram").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    agg = agg[agg["cnt"] >= min_count]
+    agg = agg.sort_values(["cnt", "gram"], ascending=[False, True]).head(k)
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    agg["cnt"] = agg["cnt"].astype(np.int64)
+    return agg.reset_index(drop=True)[["rank", "gram", "cnt"]]
+
+
 NGRAM_TEST_TEXTS = {
     "t1": "the fast query scan",
     "t2": "slow window merge batch",

@@ -182,6 +182,36 @@ class IndexSearcher:
             return []
         return self._score_exhaustive(tw, k)
 
+    def _agg_topk(self, ids: np.ndarray, contrib: np.ndarray, k: int
+                  ) -> list[tuple[int, float]]:
+        """Per-doc score aggregation + canonical top-k.
+
+        When doc ids are dense (the deterministic-assignment index:
+        0..N-1), sums go through one direct ``bincount`` over the id
+        range — O(n), no sort — and only the docs at/above the k-th
+        score enter the canonical (-score, doc_id) ordering.  Sparse /
+        external ids fall back to unique+bincount."""
+        if ids.size == 0:
+            return []
+        hi = int(ids.max()) + 1
+        if hi <= max(self.n_docs + 1, 4 * ids.size):
+            scores = np.bincount(ids, weights=contrib, minlength=hi)
+            if scores.size > k:
+                cut = np.partition(scores, scores.size - k)[scores.size - k]
+            else:
+                cut = 0.0
+            cand = np.nonzero((scores >= cut) & (scores > 0.0))[0]
+            if cand.size < k:  # fewer than k positive scores
+                cand = np.nonzero(scores > 0.0)[0]
+            cs = scores[cand]
+        else:
+            uniq, inv = np.unique(ids, return_inverse=True)
+            cs_all = np.bincount(inv, weights=contrib, minlength=uniq.size)
+            pos = cs_all > 0.0  # reference keeps score>0 only (bm25.py:304)
+            cand, cs = uniq[pos], cs_all[pos]
+        order = topk_order(cand, cs, k)
+        return [(int(cand[i]), float(cs[i])) for i in order]
+
     def _score_exhaustive(self, tw: list[tuple[str, float]], k: int) -> list[tuple[int, float]]:
         all_ids, all_contrib = [], []
         for t, w in tw:
@@ -189,14 +219,7 @@ class IndexSearcher:
             ids, _, _, base_w = tp.full()
             all_ids.append(ids)
             all_contrib.append(w * (base_w + self.delta))
-        ids = np.concatenate(all_ids)
-        contrib = np.concatenate(all_contrib)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        scores = np.bincount(inv, weights=contrib, minlength=uniq.size)
-        pos = scores > 0.0  # reference keeps score>0 only (bm25.py:304)
-        uniq, scores = uniq[pos], scores[pos]
-        order = topk_order(uniq, scores, k)
-        return [(int(uniq[i]), float(scores[i])) for i in order]
+        return self._agg_topk(np.concatenate(all_ids), np.concatenate(all_contrib), k)
 
     def _search_maxscore(self, q_tokens: list[str], k: int) -> list[tuple[int, float]]:
         """MaxScore essential/non-essential split (query_optimization.py:495-612).
@@ -282,8 +305,9 @@ class IndexSearcher:
 
         bnd_cache: dict[int, np.ndarray] = {}  # term -> posting offsets per range end
 
-        def score_ranges(cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-            """Aggregate (doc_ids, scores) over a set of ranges in one pass.
+        def gather_ranges(cand: np.ndarray
+                          ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+            """Raw per-term (doc_ids, contributions) parts over a range set.
 
             Fully-decoded terms use a vectorized multi-slice gather (range
             -> contiguous posting run via precomputed offsets; runs glued
@@ -324,6 +348,11 @@ class IndexSearcher:
                         if lo < hi:
                             parts_i.append(ids[lo:hi])
                             parts_w.append(w * (base_w[lo:hi] + self.delta))
+            return parts_i, parts_w
+
+        def score_ranges(cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """Per-doc aggregated (doc_ids, scores) over a range set."""
+            parts_i, parts_w = gather_ranges(cand)
             if not parts_i:
                 return (np.empty(0, dtype=np.int64), np.empty(0))
             if len(parts_i) == 1:
@@ -368,28 +397,33 @@ class IndexSearcher:
                         m = buf_sc >= cut
                         buf_ids, buf_sc = buf_ids[m], buf_sc[m]
             chunk = min(chunk * 2, 256)
-            dense = (skips == 0 and pos >= 128) or pos - skips >= self._WAND_DENSE_LIMIT
+            # dense detection: bounds can't prune when most remaining
+            # range UBs sit at/above theta — check as soon as theta
+            # exists instead of grinding through chunks first
+            dense = pos - skips >= self._WAND_DENSE_LIMIT
+            if not dense and theta > float("-inf") and pos < n_ranges:
+                rest = order[pos:]
+                n_keep = int(np.searchsorted(-ub[rest], -theta, side="right"))
+                dense = n_keep > max(64, rest.size // 2)
             if dense and pos < n_ranges:
-                # bounds are not pruning (dense/homogeneous lists) — score
-                # every unprocessed range in one vectorized pass so WAND
-                # degrades to ~exhaustive cost, not worse
-                u, s = score_ranges(order[pos:])
-                if u.size:
-                    buf_ids = np.concatenate([buf_ids, u])
-                    buf_sc = np.concatenate([buf_sc, s])
-                pos = n_ranges
-                break
+                # bounds can't prune — hand the whole query to the
+                # exhaustive scorer (sequential full-list bincount; a
+                # range-order gather of ~everything is strictly slower).
+                # The few chunk-phase docs are simply recomputed, so no
+                # merge/dedupe bookkeeping is needed and the result is
+                # bit-identical to naive.
+                self.last_wand_stats = {
+                    "probes": probes, "skips": skips,
+                    "blocks_loaded": sum(tp.n_blocks_loaded for tp, _ in lists) - loaded0,
+                    "blocks_total": sum(tp.n_blocks for tp, _ in lists),
+                }
+                return self._score_exhaustive(tw, k)
         self.last_wand_stats = {
             "probes": probes, "skips": skips,
             "blocks_loaded": sum(tp.n_blocks_loaded for tp, _ in lists) - loaded0,
             "blocks_total": sum(tp.n_blocks for tp, _ in lists),
         }
-        if not buf_ids.size:
-            return []
-        pos_m = buf_sc > 0.0
-        buf_ids, buf_sc = buf_ids[pos_m], buf_sc[pos_m]
-        out = topk_order(buf_ids, buf_sc, k)
-        return [(int(buf_ids[i]), float(buf_sc[i])) for i in out]
+        return self._agg_topk(buf_ids, buf_sc, k)
 
     # ------------------------------------------------------------- boolean
     def boolean_and(self, terms: list[str]) -> np.ndarray:
