@@ -130,7 +130,10 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
                     REFERENCE_QUERIES as RQ,
                 )
 
-                self.s = IndexSearcher(index_dir)
+                # compact serving mode: int32 ids + float32 weights —
+                # half the per-query memory traffic (quantized-impact
+                # serving tradeoff; correctness paths use exact float64)
+                self.s = IndexSearcher(index_dir, compact=True)
                 self.queries = list(RQ.values())
                 for q in self.queries:  # warm term cache
                     self.s.search(q, k=10, method="wand")

@@ -50,7 +50,13 @@ _PACKED_COLS = [
 class IndexSearcher:
     """Loads one index directory; serves BM25 / boolean / phrase queries."""
 
-    def __init__(self, index_dir: str, k1: float = 1.5, b: float = 0.75, delta: float = 0.0):
+    def __init__(self, index_dir: str, k1: float = 1.5, b: float = 0.75, delta: float = 0.0,
+                 compact: bool = False):
+        """``compact=True`` stores decoded postings as int32 ids +
+        float32 base weights — half the per-query memory traffic, the
+        standard quantized-impact serving tradeoff (scores differ in the
+        last float bits from the exact float64 default, ranks can flip
+        on exact ties).  Correctness paths use the default."""
         manifest = read_json(os.path.join(index_dir, "manifest.json"))
         if manifest is None or manifest.get("stats") is None:
             raise FileNotFoundError(f"no completed index manifest in {index_dir}")
@@ -76,6 +82,7 @@ class IndexSearcher:
         self._tp: dict[str, _TermPostings | None] = {}
         self._tp_postings = 0
         self.max_cached_postings = 20_000_000
+        self.compact = compact
 
     # ------------------------------------------------------------------ IO
     def _fetch_terms(self, terms: list[str]) -> None:
@@ -122,7 +129,8 @@ class IndexSearcher:
         if tp is None and term not in self._tp:
             self._fetch_terms([term])
             row = self._cache[term]
-            tp = None if row is None else _TermPostings(row, self.avgdl, self.k1, self.b)
+            tp = None if row is None else _TermPostings(
+                row, self.avgdl, self.k1, self.b, compact=self.compact)
             if tp is not None:
                 if self._tp_postings + tp.df > self.max_cached_postings and self._tp:
                     self._tp.clear()
@@ -503,8 +511,10 @@ class _TermPostings:
     across every query that touches the term.  Byte offsets per block
     are precomputed cumulative sums (O(block) decode)."""
 
-    def __init__(self, row: dict, avgdl: float, k1: float, b: float):
+    def __init__(self, row: dict, avgdl: float, k1: float, b: float,
+                 compact: bool = False):
         self.row = row
+        self.compact = compact
         self.df = int(row["df"])
         self.block_last = np.asarray(row["block_last_doc"], dtype=np.int64)
         self.n_blocks = self.block_last.size
@@ -544,6 +554,10 @@ class _TermPostings:
             ids, tfs, dls = unpack_postings(self.row)
             base_w = tf_weight(tfs.astype(np.float64), dls.astype(np.float64),
                                self._avgdl, self._k1, self._b)
+            if self.compact:
+                base_w = base_w.astype(np.float32)
+                if ids.size and int(ids[-1]) < (1 << 31):
+                    ids = ids.astype(np.int32)
             self.n_blocks_loaded = self.n_blocks
             self._full = (ids, tfs, dls, base_w)
             self._blocks.clear()  # block views now slice from the full arrays
