@@ -133,8 +133,15 @@ class IndexSearcher:
                 row, self.avgdl, self.k1, self.b, compact=self.compact)
             if tp is not None:
                 if self._tp_postings + tp.df > self.max_cached_postings and self._tp:
-                    self._tp.clear()
-                    self._tp_postings = 0
+                    # evict the least-recently-inserted HALF (dict order);
+                    # clear-all caused full re-decode thrash on cycling
+                    # query streams
+                    drop = max(1, len(self._tp) // 2)
+                    for key in list(self._tp)[:drop]:
+                        old = self._tp.pop(key)
+                        if old is not None:
+                            self._tp_postings -= old.df
+                    self._tp_postings = max(0, self._tp_postings)
                 self._tp_postings += tp.df
             self._tp[term] = tp
         return tp

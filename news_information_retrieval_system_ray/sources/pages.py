@@ -37,7 +37,12 @@ QUERY_TERMS = [
 ]
 HEAVY_TERMS = ["的", "在", "是", "了", "與", "和"]
 EN_TERMS = ["ai", "technology", "taiwan", "chip", "economy", "news", "climate", "policy"]
-FILLER = [f"詞彙{i}" for i in range(200)] + [f"word{i}" for i in range(100)]
+# Web-realistic Zipf tail: a real crawl's vocabulary is 10^5-10^7 terms
+# with query terms in the head and most tokens drawn from a long tail
+# (FIXTURES.md §1 "filler vocabulary with a Zipfian frequency
+# distribution").  A few hundred filler words would make EVERY term a
+# df/N~0.5 stopword-class list, which no web corpus looks like.
+FILLER = [f"詞彙{i}" for i in range(10000)] + [f"word{i}" for i in range(5000)]
 
 VOCAB = QUERY_TERMS + HEAVY_TERMS + EN_TERMS + FILLER
 
