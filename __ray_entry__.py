@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_lm_perplexity": A.ngram_lm_perplexity,
         "substring_freq": A.substring_freq,
         "rake_keywords": A.rake_keywords,
+        "yake_unigram_topk": A.yake_unigram_topk,
+        "yake_keywords": A.yake_doc_keywords,
         "csoundex_expand": A.csoundex_expand,
         "facet_date_ranges": A.facet_date_ranges,
         # cleaning / dates / feedback
@@ -438,6 +440,51 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (ORDER BY cnt DESC, gram) AS rank
                        FROM counts)
             SELECT rank, gram, cnt FROM ranked WHERE rank <= 20""",
+        # sentence-free unigram YAKE (Campos 2018 features over the
+        # filtered token sequence; doc = one sentence) — positions via
+        # generate_subscripts over the SAME filtered list the Ray
+        # tokenizer produces, neighbors via lag/lead window
+        "yake_unigram_topk": """
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            fl AS (
+              SELECT doc_id, list_filter(string_split(t, ' '),
+                     x -> regexp_matches(x, '[a-z0-9_]')) AS toks
+              FROM norm),
+            seq AS (
+              SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+              FROM fl WHERE len(toks) > 0),
+            nb AS (
+              SELECT doc_id, term, pos,
+                     lag(term)  OVER (PARTITION BY doc_id ORDER BY pos) AS lt,
+                     lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS rt
+              FROM seq),
+            tstat AS (
+              SELECT doc_id, term, count(*) AS tf, median(pos) AS med,
+                     count(lt) AS lc, count(DISTINCT lt) AS ld,
+                     count(rt) AS rc, count(DISTINCT rt) AS rd
+              FROM nb GROUP BY doc_id, term),
+            dstat AS (
+              SELECT doc_id, avg(tf) AS mtf, coalesce(stddev_pop(tf), 0) AS stf,
+                     max(tf) AS xtf
+              FROM tstat GROUP BY doc_id),
+            s AS (
+              SELECT t.doc_id, t.term,
+                     (1 + ((CASE WHEN t.lc > 0 THEN t.ld * 1.0 / t.lc ELSE 0 END)
+                         + (CASE WHEN t.rc > 0 THEN t.rd * 1.0 / t.rc ELSE 0 END))
+                          * t.tf / d.xtf) AS rel,
+                     ln(ln(3 + t.med)) AS posw,
+                     t.tf / (d.mtf + d.stf) AS tfnorm
+              FROM tstat t JOIN dstat d USING (doc_id)),
+            ranked AS (
+              SELECT doc_id, term, (rel * posw) / ((tfnorm + 1) / rel) AS score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY (rel * posw) / ((tfnorm + 1) / rel) ASC, term ASC) AS rank
+              FROM s)
+            SELECT doc_id, rank, term, round(score, 4) AS score
+            FROM ranked WHERE rank <= 5""",
         "csoundex_expand": _CTE + f""",
             vocab AS (SELECT DISTINCT term FROM tf
                       WHERE regexp_matches(term, '^[a-z]+$')),

@@ -710,6 +710,71 @@ def rake_keywords(sf_dir: str, k: int = 5) -> pd.DataFrame:
                .sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def yake_unigram_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-doc sentence-free unigram YAKE (yake_extractor.py:120-439
+    wraps the yake library; this is the published Campos-2018 scoring
+    restricted to unigrams with the doc as one sentence, so every
+    feature — median position, TF z-norm, distinct-neighbor
+    relatedness — is SQL-expressible and the query is oracle-checked).
+    Output: (doc_id, rank, term, score), score asc = best."""
+    from ..functions.yake import yake_unigram_scores
+
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def kw(t: pa.Table) -> pa.Table:
+        doc_out, rank_out, term_out, score_out = [], [], [], []
+        for row in t.to_pylist():
+            ranked = yake_unigram_scores(row["terms"], row["positions"])
+            for rank, (term, score) in enumerate(ranked[:k], 1):
+                doc_out.append(row["doc_id"])
+                rank_out.append(rank)
+                term_out.append(term)
+                score_out.append(round4(score))
+        return pa.table({
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "term": pa.array(term_out, pa.string()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+    return toks.map_batches(kw, batch_format="pyarrow").to_pandas() \
+               .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def yake_doc_keywords(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-doc full YAKE keyphrases (sentence structure, casing,
+    dispersion, up-to-3-gram candidates, seqm dedup 0.9 — the reference
+    wrapper's defaults, yake_extractor.py:115-127) over the raw text
+    column (rows-only; kernel unit-tested against hand-computed
+    goldens).  Output: (doc_id, rank, keyword, score, n_words)."""
+    from ..functions.stopwords import load_stopwords
+    from ..functions.yake import yake_keywords as yk
+
+    stops = load_stopwords("en")
+
+    def kw(t: pa.Table) -> pa.Table:
+        doc_out, rank_out, kw_out, score_out, n_out = [], [], [], [], []
+        ids = t.column("doc_id").to_pylist()
+        for did, text in zip(ids, t.column("text").to_pylist()):
+            for rank, (phrase, score) in enumerate(yk(text or "", k=k, stops=stops), 1):
+                doc_out.append(did)
+                rank_out.append(rank)
+                kw_out.append(phrase)
+                score_out.append(round4(score))
+                n_out.append(phrase.count(" ") + 1)
+        return pa.table({
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "keyword": pa.array(kw_out, pa.string()),
+            "score": pa.array(score_out, pa.float64()),
+            "n_words": pa.array(n_out, pa.int64()),
+        })
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]) \
+        .map_batches(kw, batch_format="pyarrow").to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def summarize_leadk(sf_dir: str, k: int = 2) -> pd.DataFrame:
     """Lead-k-sentence summaries per doc (static.py lead mode; rows-only)."""
     from ..functions.snippets import lead_k_summary
