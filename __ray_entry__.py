@@ -203,8 +203,75 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (PARTITION BY qid ORDER BY adj DESC, doc_id) AS rank
                        FROM adjusted)
             SELECT qid, rank, doc_id, round(adj, 4) AS score FROM ranked WHERE rank <= 10"""
+    # bigram events of the fixed LM test texts, one <START> pad (n=2)
+    ev_rows = []
+    for tid, text in A.NGRAM_TEST_TEXTS.items():
+        prev = "<START>"
+        for w in text.split():
+            ev_rows.append(f"('{tid}', '{prev}', '{w}')")
+            prev = w
+    ngram_ev = ", ".join(ev_rows)
     return {
         "field_boost_topk": field_boost_sql,
+        # bigram-LM perplexity under 4 smoothers (functions/ngram_lm.py
+        # mirrors reference ngram.py:224-421); training counts are the
+        # adjacent-pair / unigram aggregates over the filtered stream,
+        # scoring is 2^(-mean log2 P) over events with P > 0
+        "ngram_lm_perplexity": f"""
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            fl AS (
+              SELECT doc_id, list_filter(string_split(t, ' '),
+                     x -> regexp_matches(x, '[a-z0-9_]')) AS toks
+              FROM norm),
+            seq AS (
+              SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+              FROM fl WHERE len(toks) > 0),
+            pairs AS (
+              SELECT doc_id, term AS w2,
+                     lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM seq),
+            bg AS (SELECT w1, w2, count(*) AS n_ab FROM pairs
+                   WHERE w1 IS NOT NULL GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(n_ab) AS n_ctx FROM bg GROUP BY w1),
+            uni AS (SELECT term, count(*) AS cf FROM seq GROUP BY term),
+            tot AS (SELECT (SELECT count(*) FROM seq) AS n_tok,
+                           (SELECT count(*) FROM uni) AS v),
+            ev(text_id, w1, w2) AS (VALUES {ngram_ev}),
+            j AS (
+              SELECT ev.text_id,
+                     coalesce(bg.n_ab, 0) AS c_ng,
+                     coalesce(ctx.n_ctx, 0) AS c_ctx,
+                     coalesce(uni.cf * 1.0 / tot.n_tok, 1.0 / tot.v) AS p_c,
+                     tot.v AS v
+              FROM ev
+              LEFT JOIN bg  ON ev.w1 = bg.w1 AND ev.w2 = bg.w2
+              LEFT JOIN ctx ON ev.w1 = ctx.w1
+              LEFT JOIN uni ON ev.w2 = uni.term
+              CROSS JOIN tot),
+            p AS (
+              SELECT text_id, 'mle' AS smoothing,
+                     CASE WHEN c_ctx > 0 THEN c_ng * 1.0 / c_ctx ELSE 0 END AS p
+              FROM j
+              UNION ALL
+              SELECT text_id, 'laplace', (c_ng + 1.0) / (c_ctx + v) FROM j
+              UNION ALL
+              SELECT text_id, 'jm',
+                     0.7 * (CASE WHEN c_ctx > 0 THEN c_ng * 1.0 / c_ctx ELSE 0 END)
+                     + 0.3 * p_c
+              FROM j
+              UNION ALL
+              SELECT text_id, 'dirichlet',
+                     (c_ng + 2000.0 * p_c) / (c_ctx + 2000.0) FROM j),
+            ppl AS (
+              SELECT smoothing, text_id,
+                     CASE WHEN count(*) FILTER (WHERE p > 0) = 0 THEN -1.0
+                          ELSE pow(2.0, -avg(log2(nullif(p, 0))))
+                     END AS perplexity
+              FROM p GROUP BY smoothing, text_id)
+            SELECT smoothing, text_id, round(perplexity, 4) AS perplexity
+            FROM ppl""",
         "date_range_query": """
             SELECT o_orderkey FROM orders
             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
