@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yake_unigram_topk": A.yake_unigram_topk,
         "yake_keywords": A.yake_doc_keywords,
         "csoundex_expand": A.csoundex_expand,
+        "phonetic_search": A.phonetic_search,
         "facet_date_ranges": A.facet_date_ranges,
         # cleaning / dates / feedback
         "clean_corpus": A.clean_corpus,
@@ -567,6 +568,44 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (ORDER BY s DESC, term) AS rank
                        FROM sims WHERE s >= 0.72)
             SELECT rank, term, sim FROM ranked WHERE rank <= 8""",
+        # CSoundex expansion (top-8, threshold .72, per query term) then
+        # BM25 over the unioned expansion sets (search_service.py:397-411)
+        "phonetic_search": _CTE + f""",
+            qterms(qid, qterm) AS (VALUES {qv}),
+            vocab AS (SELECT DISTINCT term FROM tf
+                      WHERE regexp_matches(term, '^[a-z]+$')),
+            sims AS (SELECT q.qterm, v.term,
+                            len(list_filter(
+                                range(least(length(v.term), length(q.qterm))),
+                                i -> substr(v.term, i::INT + 1, 1)
+                                     = substr(q.qterm, i::INT + 1, 1)
+                            ))::DOUBLE
+                            / greatest(length(v.term), length(q.qterm)) AS s
+                     FROM (SELECT DISTINCT qterm FROM qterms) q
+                     CROSS JOIN vocab v),
+            exp8 AS (SELECT qterm, term FROM (
+                       SELECT qterm, term, s,
+                              row_number() OVER (PARTITION BY qterm
+                                                 ORDER BY s DESC, term) AS rk
+                       FROM sims WHERE s >= 0.72)
+                     WHERE rk <= 8),
+            expu AS (SELECT DISTINCT q.qid, e.term
+                     FROM qterms q JOIN exp8 e ON q.qterm = e.qterm),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT x.qid, tf.doc_id,
+                     ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                     * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+              FROM tf
+              JOIN expu x USING (term)
+              JOIN dfs USING (term)
+              JOIN dln ON tf.doc_id = dln.doc_id
+              CROSS JOIN stats),
+            scores AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
+            ranked AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                       FROM scores)
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
         "bigram_collocations": _CTE + """,
             arr AS (SELECT doc_id,
                            list_filter(string_split(t, ' '),

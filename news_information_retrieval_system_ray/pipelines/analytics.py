@@ -181,8 +181,10 @@ def _topk_group(k: int):
     return topk
 
 
-def _bm25_scores(sf_dir: str, n_docs: int, avgdl: float):
-    """Dataset (qid, doc_id, score) of BM25 scores for the fixed queries.
+def _bm25_scores(sf_dir: str, n_docs: int, avgdl: float,
+                 term_to_qids: dict[str, list[str]] | None = None):
+    """Dataset (qid, doc_id, score) of BM25 scores for the fixed queries
+    (or for an explicit term->qids map, e.g. after query expansion).
 
     postings for the (broadcast) query terms are scored inside
     map_batches; per-doc sums are a groupby stage.  df/N/avgdl are tiny
@@ -190,10 +192,13 @@ def _bm25_scores(sf_dir: str, n_docs: int, avgdl: float):
     """
     from ray.data.aggregate import Count, Sum
 
-    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
-    term_to_qids: dict[str, list[str]] = {
-        t: [qid for qid, ts in FIXED_QUERIES.items() if t in ts] for t in qterms
-    }
+    if term_to_qids is None:
+        qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+        term_to_qids = {
+            t: [qid for qid, ts in FIXED_QUERIES.items() if t in ts] for t in qterms
+        }
+    else:
+        qterms = sorted(term_to_qids)
     ex = _exploded_ds(sf_dir).map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
         batch_format="pyarrow",
@@ -927,6 +932,58 @@ def csoundex_expand(sf_dir: str, query_term: str = CSOUNDEX_QUERY,
     hits = hits.sort_values(["sim", "term"], ascending=[False, True]).head(k)
     hits["rank"] = np.arange(1, len(hits) + 1, dtype=np.int64)
     return hits.reset_index(drop=True)[["rank", "term", "sim"]]
+
+
+def phonetic_search(sf_dir: str, threshold: float = 0.72, expand_k: int = 8,
+                    k: int = 10) -> pd.DataFrame:
+    """Phonetic retrieval end-to-end — the reference's CSoundex ranking
+    model (search_service.py:397-411): every fixed-query term is
+    expanded to its top-8 phonetic matches (threshold 0.72) over the
+    corpus vocabulary, the per-query expansions are unioned, and BM25
+    ranks docs over the expanded term set.
+
+    Expansion runs distributed: each vocab batch scores against the
+    (tiny, closure-broadcast) query-term list inside map_batches and
+    only survivors leave the task; the driver holds just the O(q*8)
+    expansion table.  At web scale the vocab side would be the
+    csoundex-code-bucketed sidecar (group vocab by code_key, look up
+    only the query's bucket) — same output, no full-vocab scan."""
+    from ..functions.csoundex import similarity
+
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    vocab = term_stats(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        out_q, out_t, out_s = [], [], []
+        for term in t.column("term").to_pylist():
+            if not term.isalpha():
+                continue
+            for qt in qterms:
+                s = similarity(qt, term, "fuzzy")
+                if s >= threshold:
+                    out_q.append(qt)
+                    out_t.append(term)
+                    out_s.append(s)
+        return pa.table({"qterm": pa.array(out_q, pa.string()),
+                         "term": pa.array(out_t, pa.string()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    hits = vocab.map_batches(score, batch_format="pyarrow").to_pandas()
+    term_to_qids: dict[str, list[str]] = {}
+    for qt, g in hits.groupby("qterm"):
+        exp = g.sort_values(["sim", "term"], ascending=[False, True]).head(expand_k)
+        for qid, ts in FIXED_QUERIES.items():
+            if qt in ts:
+                for t in exp["term"]:
+                    qids = term_to_qids.setdefault(t, [])
+                    if qid not in qids:
+                        qids.append(qid)
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    scores = _bm25_scores(sf_dir, n_docs, avgdl, term_to_qids=term_to_qids)
+    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[
+        ["qid", "rank", "doc_id", "score"]]
 
 
 def summarize_multidoc(sf_dir: str, k: int = 3) -> pd.DataFrame:
