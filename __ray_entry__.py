@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_bucketed": A.ann_lsh_bucketed,
         "embedding_nn_within_label": A.embedding_nn_within_label,
         "embedding_kmeans": A.embedding_kmeans,
+        "doc_hac_clusters": A.doc_hac_clusters,
+        "term_star_clusters": A.term_star_clusters,
+        "term_cooccurrence_clusters": A.term_cooccurrence_clusters,
         # multimodal plumbing
         "media_features": A.media_features,
         "video_frame_features": A.video_frame_features,

@@ -1814,6 +1814,172 @@ def embedding_kmeans(sf_dir: str, k: int = 8) -> pd.DataFrame:
     return assign
 
 
+def doc_hac_clusters(sf_dir: str, n_docs: int = 60, k: int = 8,
+                     linkage: str = "complete") -> pd.DataFrame:
+    """Hierarchical agglomerative doc clustering (doc_cluster.py:252-376:
+    complete/single/average linkage over pairwise cosine of TF-IDF
+    vectors; naive O(n^3) merge loop with 0-sim for disjoint docs).
+
+    Distributed shape: per-doc L2-normalized TF-IDF vectors come out of
+    the tokenize stage; pairwise cosine is the TERM-PARTITIONED sparse
+    product — groupby(term) emits w_i*w_j contributions only for doc
+    pairs sharing the term (vectorized outer product per posting list),
+    then a (d1, d2) groupby-sum yields the sparse similarity matrix.
+    No doc ever compares against docs sharing no term.  The HAC merge
+    loop itself is inherently O(n^3) sequential — the reference calls
+    it pedagogical — so it runs driver-side over the FIRST ``n_docs``
+    docs (at web scale one runs it over k-means centroids instead;
+    see embedding_kmeans for the distributed pre-clustering).
+    Rows-only check; kernel parity unit-tested."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.cluster import hac
+
+    n_corpus, _ = _corpus_stats(sf_dir)
+    ex = _exploded_ds(sf_dir)
+    df_map = {r["term"]: int(r["df"]) for r in
+              ex.groupby("term").aggregate(Count(alias_name="df")).take_all()}
+
+    toks = _tokens_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.less(t.column("doc_id"), n_docs)),
+        batch_format="pyarrow")
+
+    def weights(t: pa.Table) -> pa.Table:
+        out_t, out_d, out_w = [], [], []
+        for row in t.to_pylist():
+            ws = []
+            for term, tf in zip(row["terms"], row["tfs"]):
+                df = df_map.get(term, 0)
+                idf = math.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) if df else 0.0
+                ws.append((1.0 + math.log10(tf)) * idf)
+            nrm = math.sqrt(sum(w * w for w in ws)) or 1.0
+            for term, w in zip(row["terms"], ws):
+                out_t.append(term)
+                out_d.append(row["doc_id"])
+                out_w.append(w / nrm)
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "w": pa.array(out_w, pa.float64())})
+
+    def pair_contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        w = df["w"].to_numpy()
+        order = np.argsort(d)
+        d, w = d[order], w[order]
+        if len(d) < 2:
+            return pd.DataFrame({"d1": [], "d2": [], "p": []})
+        i, j = np.triu_indices(len(d), 1)
+        return pd.DataFrame({"d1": d[i], "d2": d[j], "p": w[i] * w[j]})
+
+    sims = toks.map_batches(weights, batch_format="pyarrow") \
+               .groupby("term").map_groups(pair_contrib, batch_format="pandas") \
+               .groupby(["d1", "d2"]).aggregate(Sum("p", alias_name="sim")) \
+               .to_pandas()
+    ids = sorted(set(sims["d1"]) | set(sims["d2"]))
+    pos = {d: i for i, d in enumerate(ids)}
+    S = np.zeros((len(ids), len(ids)))
+    for d1, d2, s in zip(sims["d1"], sims["d2"], sims["sim"]):
+        S[pos[d1], pos[d2]] = S[pos[d2], pos[d1]] = s
+    assign = hac(ids, S, k=k, linkage=linkage)
+    sizes: dict[int, int] = {}
+    for cid in assign.values():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    return pd.DataFrame(
+        [(d, assign[d], sizes[assign[d]]) for d in ids],
+        columns=["doc_id", "cluster_id", "cluster_size"])
+
+
+def term_star_clusters(sf_dir: str, top_n: int = 150,
+                       threshold: float = 0.7) -> pd.DataFrame:
+    """Star clustering of the top-N vocabulary by edit-distance
+    similarity (term_cluster.py:193-332: greedy max-potential centers,
+    sim = 1 - levenshtein/maxlen, threshold 0.7).
+
+    The pairwise similarity matrix is computed DISTRIBUTED: the top-N
+    term list (tiny) broadcasts into map_batches over the vocab
+    Dataset; each batch scores its terms against the list and emits
+    only pairs above threshold.  The greedy star loop is driver-side
+    over that (sparse, vocab-independent) pair set.  At full-web vocab
+    the vocab side would be q-gram-LSH bucketed first.  Rows-only."""
+    from ..functions.cluster import edit_similarity, star_clusters
+
+    ts = term_stats(sf_dir).to_pandas()
+    ts = ts.sort_values(["cf", "term"], ascending=[False, True]).head(top_n)
+    top = sorted(ts["term"])  # deterministic input order for the greedy loop
+
+    import ray.data as rd
+
+    vocab_ds = rd.from_pandas(pd.DataFrame({"term": top}))
+
+    def score(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for a in t.column("term").to_pylist():
+            for b in top:
+                if a < b:
+                    s = edit_similarity(a, b)
+                    if s >= threshold:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_s.append(s)
+        return pa.table({"a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string()),
+                         "s": pa.array(out_s, pa.float64())})
+
+    pairs = vocab_ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    sims = ({} if pairs.empty else
+            {(a, b): s for a, b, s in zip(pairs["a"], pairs["b"], pairs["s"])})
+    rows = []
+    for cid, (center, members) in enumerate(star_clusters(top, sims, threshold)):
+        for t in members:
+            rows.append((cid, center, t))
+    return pd.DataFrame(rows, columns=["cluster_id", "center", "term"])
+
+
+def term_cooccurrence_clusters(sf_dir: str, top_n: int = 100,
+                               min_cooccurrence: int = 2) -> pd.DataFrame:
+    """Co-occurrence term clustering (term_cluster.py:411-490: greedy
+    centers absorb terms sharing >= min_cooccurrence docs).
+
+    Doc-level pair counts are distributed: each tokenized doc
+    intersects with the broadcast top-N list and emits its term pairs
+    (pre-counted per batch), then a pair groupby-sum gives the
+    co-occurrence matrix — the classic explode -> shuffle aggregate.
+    Greedy absorption is driver-side over the N^2-bounded counts.
+    Rows-only."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.cluster import cooccurrence_clusters
+
+    ts = term_stats(sf_dir).to_pandas()
+    ts = ts.sort_values(["cf", "term"], ascending=[False, True]).head(top_n)
+    top = sorted(ts["term"])
+    top_set = frozenset(top)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for row in t.to_pylist():
+            present = sorted(set(row["terms"]) & top_set)
+            for i in range(len(present)):
+                for j in range(i + 1, len(present)):
+                    c[(present[i], present[j])] += 1
+        ks = list(c.keys())
+        return pa.table({"a": pa.array([k[0] for k in ks], pa.string()),
+                         "b": pa.array([k[1] for k in ks], pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = _tokens_ds(sf_dir).map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n")).to_pandas()
+    cooc = {(a, b): int(n) for a, b, n in zip(agg["a"], agg["b"], agg["n"])}
+    rows = []
+    for cid, (center, members) in enumerate(
+            cooccurrence_clusters(top, cooc, min_cooccurrence)):
+        for t in members:
+            rows.append((cid, center, t))
+    return pd.DataFrame(rows, columns=["cluster_id", "center", "term"])
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: opaque binary payloads -> feature vectors via
     an actor-pool stage with small batches (decode stubbed — see
