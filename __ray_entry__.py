@@ -15,6 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from news_information_retrieval_system_ray.pipelines import analytics as A
+from news_information_retrieval_system_ray.pipelines import topics as T
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments. Tokenization contract (matches the Ray side exactly —
@@ -145,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hac_clusters": A.doc_hac_clusters,
         "term_star_clusters": A.term_star_clusters,
         "term_cooccurrence_clusters": A.term_cooccurrence_clusters,
+        "lda_topics": T.lda_topics,
+        "lda_doc_topics": T.lda_doc_topics,
+        "lda_perplexity": T.lda_perplexity,
         # multimodal plumbing
         "media_features": A.media_features,
         "video_frame_features": A.video_frame_features,
