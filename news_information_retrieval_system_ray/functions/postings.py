@@ -66,6 +66,30 @@ def _pareto_bound_pairs(tfs: np.ndarray, dls: np.ndarray, starts: np.ndarray,
     pad = nb * block_size - n
     tfp = np.concatenate([tfs, np.zeros(pad, np.int64)]).reshape(nb, block_size)
     dlp = np.concatenate([dls, np.full(pad, _DL_PAD, np.int64)]).reshape(nb, block_size)
+    return _pareto_from_matrices(tfp, dlp, s_pairs)
+
+
+def _pareto_bound_pairs_gather(tfs: np.ndarray, dls: np.ndarray,
+                               bstarts: np.ndarray, bends: np.ndarray,
+                               block_size: int, s_pairs: int = BOUND_PAIRS
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """``_pareto_bound_pairs`` for NON-contiguous blocks (the multi-run
+    packer: interior groups end in partial blocks, so the flat-reshape
+    trick does not apply).  Gathers each block's postings into the
+    (n_blocks, block_size) matrix by fancy indexing instead."""
+    nb = bstarts.size
+    idx = bstarts[:, None] + np.arange(block_size, dtype=np.int64)[None, :]
+    valid = idx < bends[:, None]
+    idx = np.minimum(idx, tfs.size - 1)
+    tfp = np.where(valid, tfs[idx], 0)
+    dlp = np.where(valid, dls[idx], _DL_PAD)
+    return _pareto_from_matrices(tfp, dlp, s_pairs)
+
+
+def _pareto_from_matrices(tfp: np.ndarray, dlp: np.ndarray,
+                          s_pairs: int = BOUND_PAIRS
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    nb = tfp.shape[0]
     key = (-tfp << 32) + dlp  # tf desc primary, dl asc secondary (tf,dl < 2^31)
     o = np.argsort(key, axis=1, kind="stable")
     tfs_s = np.take_along_axis(tfp, o, 1)
@@ -132,6 +156,89 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         "block_min_dl": np.minimum.reduceat(dls, starts).tolist(),
         "block_bound_tf": btf.tolist(),
         "block_bound_dl": bdl.tolist(),
+    }
+
+
+def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                       group_starts: np.ndarray,
+                       block_size: int = BLOCK_SIZE) -> dict:
+    """Pack MANY posting lists in one vectorized pass.
+
+    Input is the concatenation of posting lists ("runs"): within each run
+    (``group_starts[i] .. group_starts[i+1]``) doc_ids are sorted
+    ascending; runs themselves may be in any order.  This is the
+    batched form of :func:`pack_postings` — every delta / VByte /
+    reduceat / Pareto-bound computation runs ONCE over the whole batch
+    instead of per group, eliminating the per-group dispatch that
+    dominates segment-build time at web-scale vocabularies (the
+    reference builds its whole index in one heap,
+    /root/reference/src/ir/index/inverted_index.py:134-159; our per-group
+    form paid Ray+Python overhead per vocab term).
+
+    Returns a dict of numpy arrays / byte blobs:
+      per-group : df, cf (int64); docs_off/tfs_off/dls_off int64 byte
+                  offsets (len n_groups+1) into docs_all/tfs_all/dls_all;
+                  block_off int64 (len n_groups+1) block offsets.
+      per-block : block_doc_nbytes, block_tf_nbytes, block_dl_nbytes,
+                  block_len (int32), block_last_doc (int64),
+                  block_max_tf, block_min_dl (int32),
+                  and flattened bound pairs (block_off * BOUND_PAIRS
+                  indexes them): block_bound_tf, block_bound_dl (int32).
+    """
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    gs = np.ascontiguousarray(group_starts, dtype=np.int64)
+    n = ids.size
+    ng = gs.size
+    ge = np.append(gs[1:], n)
+    glens = ge - gs
+    nb = -(-glens // block_size)  # ceil: blocks per group (>=1, runs nonempty)
+    block_off = np.concatenate(([0], np.cumsum(nb)))
+    tot_blocks = int(block_off[-1])
+    rep_g = np.repeat(np.arange(ng), nb)
+    within = np.arange(tot_blocks, dtype=np.int64) - block_off[rep_g]
+    bstarts = gs[rep_g] + within * block_size
+    bends = np.minimum(bstarts + block_size, ge[rep_g])
+
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(ids[0])
+    if n > 1:
+        # run-boundary diffs may be negative; they wrap here and are then
+        # overwritten by the absolute reset (every run start IS a block start)
+        deltas[1:] = np.diff(ids).astype(np.uint64)
+    deltas[bstarts] = ids[bstarts].astype(np.uint64)
+    tfs_u = tfs.astype(np.uint64)
+    dls_u = dls.astype(np.uint64)
+
+    d_len = vbyte_lengths(deltas)
+    t_len = vbyte_lengths(tfs_u)
+    l_len = vbyte_lengths(dls_u)
+
+    def _off(lens: np.ndarray) -> np.ndarray:
+        per_group = np.add.reduceat(lens.astype(np.int64), gs)
+        return np.concatenate(([0], np.cumsum(per_group)))
+
+    btf, bdl = _pareto_bound_pairs_gather(tfs, dls, bstarts, bends, block_size)
+    return {
+        "df": glens,
+        "cf": np.add.reduceat(tfs, gs),
+        "docs_all": vbyte_encode(deltas),
+        "tfs_all": vbyte_encode(tfs_u),
+        "dls_all": vbyte_encode(dls_u),
+        "docs_off": _off(d_len),
+        "tfs_off": _off(t_len),
+        "dls_off": _off(l_len),
+        "block_off": block_off,
+        "block_doc_nbytes": np.add.reduceat(d_len.astype(np.int64), bstarts).astype(np.int32),
+        "block_tf_nbytes": np.add.reduceat(t_len.astype(np.int64), bstarts).astype(np.int32),
+        "block_dl_nbytes": np.add.reduceat(l_len.astype(np.int64), bstarts).astype(np.int32),
+        "block_len": (bends - bstarts).astype(np.int32),
+        "block_last_doc": ids[bends - 1],
+        "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
+        "block_min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32),
+        "block_bound_tf": btf.astype(np.int32),
+        "block_bound_dl": bdl.astype(np.int32),
     }
 
 

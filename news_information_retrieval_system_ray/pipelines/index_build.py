@@ -12,7 +12,7 @@ semantics, /root/reference/src/ir/index/incremental_builder.py:415-418):
    reading ONLY the ``doc_len`` column (column pruning; the reference's
    global mean, bm25.py:176).
 3. **segments**: read tokens -> explode to (term_hash, chunk, doc, tf,
-   dl) -> ``groupby([term_hash, chunk]).map_groups(pack)`` -> posting
+   dl) -> sort([term_hash, chunk, doc_id]) -> vectorized multi-run pack -> posting
    rows, delta+VByte blocks + block-max metadata -> ``segments/``
    Parquet sorted by term_hash (the groupby's sort order), so query-time
    term lookups prune row groups via Parquet statistics.
@@ -34,7 +34,7 @@ from dataclasses import dataclass
 
 from ..sources.readers import RowGroupItem, list_input_files, plan_row_groups, read_with_doc_ids
 from ..stages.extract import ExtractNormalize
-from ..stages.indexing import ExplodeTokens, PackGroups
+from ..stages.indexing import ExplodeTokens, PackGroups, PackRuns
 from ..stages.tokenizer import TokenizeStage
 from ..state.manifest import BuildManifest
 
@@ -145,6 +145,72 @@ def hashcheck_verify(t):
             "wider key or inspect with build_vocab=True")
     return pa.table({"term_hash": t.column("term_hash"),
                      "alt": t.column("a_min")})
+
+
+def hashpairs_from_cols(t):
+    """Tokens batch -> unique (term_hash, alt) pairs from the tiny
+    pre-computed ``hc_hash``/``hc_alt`` sidecar columns (TokenizeStage
+    emit_hashpairs): no terms-column decode, no re-hashing.  Dedupes
+    within the batch (map-side combine) so the downstream groupby sees
+    ~vocab-size row counts, not vocab x n_batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    h = pc.list_flatten(t.column("hc_hash")).to_numpy(zero_copy_only=False)
+    a = pc.list_flatten(t.column("hc_alt")).to_numpy(zero_copy_only=False)
+    h, a = _uniq_pairs(h, a)
+    return pa.table({"term_hash": pa.array(h), "alt": pa.array(a)})
+
+
+def _uniq_pairs(h, a):
+    import numpy as np
+
+    o = np.lexsort((a, h))
+    h, a = h[o], a[o]
+    if h.size:
+        keep = np.concatenate(([True], (np.diff(h) != 0) | (np.diff(a) != 0)))
+        h, a = h[keep], a[keep]
+    return h, a
+
+
+def _compact_pairs(t):
+    import pyarrow as pa
+
+    h = t.column("term_hash").to_numpy(zero_copy_only=False)
+    a = t.column("alt").to_numpy(zero_copy_only=False)
+    h, a = _uniq_pairs(h, a)
+    return pa.table({"term_hash": pa.array(h), "alt": pa.array(a)})
+
+
+def _tokens_have_hashpairs(tokens_root: str) -> bool:
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(os.path.join(tokens_root, "**", "*.parquet"),
+                              recursive=True))
+    if not files:
+        return False
+    names = _pq.read_schema(files[0]).names
+    return "hc_hash" in names and "hc_alt" in names
+
+
+def _hashcheck_pairs_ds(tokens_root: str, num_blocks: int):
+    """Dataset of (term_hash, alt) pairs for the collision check —
+    from the pruned sidecar columns when the tokens layout has them,
+    else by re-hashing the terms column (old-layout resume)."""
+    import ray.data as rd
+
+    if _tokens_have_hashpairs(tokens_root):
+        # read just the sidecar columns, combine map-side, then compact
+        # to ~one vocab per block before the (now tiny) groupby
+        return rd.read_parquet(tokens_root, columns=["hc_hash", "hc_alt"]) \
+                 .map_batches(hashpairs_from_cols, batch_format="pyarrow") \
+                 .repartition(min(8, num_blocks)) \
+                 .map_batches(_compact_pairs, batch_format="pyarrow")
+    return rd.read_parquet(tokens_root, columns=["terms"],
+                           override_num_blocks=num_blocks) \
+             .map_batches(hashcheck_pairs, batch_format="pyarrow")
 
 
 def _hashcheck_aggregate(pairs_ds):
@@ -336,7 +402,8 @@ def build_index(
             tok_kwargs["concurrency"] = tokenize_concurrency
         ds = ds.map_batches(
             TokenizeStage(engine=engine, text_col="text_norm", pre_normalized=True,
-                          with_positions=with_positions, stopword_lang=stopword_lang),
+                          with_positions=with_positions, stopword_lang=stopword_lang,
+                          emit_hashpairs=collision_check),
             **tok_kwargs,
         )
         ds.write_parquet(tmp_root, partition_cols=["shard"])
@@ -390,13 +457,14 @@ def build_index(
                           emit_term=False),
             batch_format="pyarrow",
         )
-        packer = PackGroups(block_size=block_size, with_positions=with_positions)
-
-        def pack_group(group):  # map_groups needs a plain function
-            return packer(group)
-
-        packed = exploded.groupby(["term_hash", "chunk"]).map_groups(
-            pack_group, batch_format="pyarrow",
+        # One sort shuffle (same exchange the groupby ran), then a
+        # vectorized multi-run packer per BATCH — no per-vocab-term Ray
+        # dispatch.  doc_id is a sort key so a run split at a batch edge
+        # yields fragments with disjoint increasing doc ranges, which the
+        # query-side merge already handles (PackRuns docstring).
+        packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
+            PackRuns(block_size=block_size, with_positions=with_positions),
+            batch_format="pyarrow", batch_size=None,
         )
         packed.write_parquet(tmp_seg)
         os.replace(tmp_seg, seg_dir)
@@ -433,9 +501,7 @@ def build_index(
         import ray as _ray
 
         n_cpu = max(8, int(_ray.cluster_resources().get("CPU", 8)))
-        pairs = rd.read_parquet(tokens_root, columns=["terms"],
-                                override_num_blocks=n_cpu) \
-                  .map_batches(hashcheck_pairs, batch_format="pyarrow")
+        pairs = _hashcheck_pairs_ds(tokens_root, n_cpu)
         _hashcheck_aggregate(pairs).write_parquet(tmp_hc)
         os.replace(tmp_hc, hashcheck_dir)
         manifest.state["hashcheck_done"] = True
@@ -519,7 +585,8 @@ def append_index(
     ds = ds.map_batches(
         TokenizeStage(engine=config["engine"], text_col="text_norm", pre_normalized=True,
                       with_positions=with_positions,
-                      stopword_lang=config.get("stopword_lang")),
+                      stopword_lang=config.get("stopword_lang"),
+                      emit_hashpairs=os.path.isdir(os.path.join(index_dir, "hashcheck"))),
         **tok_kwargs,
     )
     tmp_root = os.path.join(tokens_root, ".tmp_append")
@@ -538,9 +605,9 @@ def append_index(
                       emit_term=False),
         batch_format="pyarrow",
     )
-    packer = PackGroups(block_size=config["block_size"], with_positions=with_positions)
-    packed = exploded.groupby(["term_hash", "chunk"]).map_groups(
-        lambda g: packer(g), batch_format="pyarrow")
+    packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
+        PackRuns(block_size=config["block_size"], with_positions=with_positions),
+        batch_format="pyarrow", batch_size=None)
     tmp_seg = os.path.join(index_dir, ".tmp_append_seg")
     shutil.rmtree(tmp_seg, ignore_errors=True)
     packed.write_parquet(tmp_seg)
@@ -563,8 +630,7 @@ def append_index(
 
     hashcheck_dir = os.path.join(index_dir, "hashcheck")
     if os.path.isdir(hashcheck_dir):
-        new_pairs = rd.read_parquet(dst, columns=["terms"]) \
-                      .map_batches(hashcheck_pairs, batch_format="pyarrow")
+        new_pairs = _hashcheck_pairs_ds(dst, 8)
         merged_hc = _hashcheck_aggregate(
             rd.read_parquet(hashcheck_dir).union(new_pairs))
         tmp_hc = os.path.join(index_dir, ".tmp_append_hashcheck")

@@ -32,7 +32,17 @@ class TokenizeStage:
 
     def __init__(self, engine: str = DEFAULT_ENGINE, text_col: str = "text_norm",
                  pre_normalized: bool = True, with_positions: bool = False,
-                 carry_cols: tuple[str, ...] = (), stopword_lang: str | None = None):
+                 carry_cols: tuple[str, ...] = (), stopword_lang: str | None = None,
+                 emit_hashpairs: bool = False):
+        # emit_hashpairs: attach the batch's unique (term_hash, alt-hash)
+        # pairs to the FIRST output row as two list<int64> columns
+        # (hc_hash / hc_alt; every other row null).  The downstream
+        # collision check then reads ONLY these two pruned columns —
+        # instead of re-decoding and re-uniquing the whole terms column
+        # (which cost as much as the segments pass itself).  Correctness
+        # needs only "every term of the shard appears in some list",
+        # which row splitting/merging downstream preserves.
+        self.emit_hashpairs = emit_hashpairs
         self.tokenize = get_tokenizer(engine)  # once per actor
         if engine.startswith("jieba"):
             # per-actor memo for expensive segmenters (the reference's
@@ -92,6 +102,22 @@ class TokenizeStage:
         }
         if self.with_positions:
             cols["positions"] = pa.array(pos_col, pa.list_(pa.list_(pa.int32())))
+        if self.emit_hashpairs:
+            from ..functions.hashing import token_hash_pair
+
+            vocab = set()
+            for terms in terms_col:
+                vocab.update(terms)
+            pairs = np.fromiter((h for t in vocab for h in token_hash_pair(t)),
+                                dtype=np.uint64, count=2 * len(vocab)).view(np.int64)
+            n_rows = len(texts)
+            hc_hash = [None] * n_rows
+            hc_alt = [None] * n_rows
+            if n_rows:
+                hc_hash[0] = pairs[0::2].tolist()
+                hc_alt[0] = pairs[1::2].tolist()
+            cols["hc_hash"] = pa.array(hc_hash, pa.list_(pa.int64()))
+            cols["hc_alt"] = pa.array(hc_alt, pa.list_(pa.int64()))
         if "shard" in batch.column_names:  # resume-unit tag (partitioned write)
             cols["shard"] = batch.column("shard")
         for c in self.carry_cols:
