@@ -75,6 +75,8 @@ class IndexSearcher:
         else:
             self._stops = frozenset()
         self._seg = pads.dataset(os.path.join(index_dir, "segments"))
+        self._rg_index = None  # lazy row-group sparse index (_ensure_rg_index)
+        self._pq_files: dict[str, "object"] = {}
         self._cache: dict[str, dict | None] = {}
         # decoded-postings cache (query-independent: ids + base BM25
         # weights), bounded by total postings so a long-lived searcher
@@ -85,6 +87,77 @@ class IndexSearcher:
         self.compact = compact
 
     # ------------------------------------------------------------------ IO
+    def _ensure_rg_index(self) -> None:
+        """Build the in-memory sparse index over segment row groups:
+        (file, row_group, term_hash min/max) from Parquet footer
+        statistics only — one footer read per file, no data pages.
+        Segments are term_hash-sorted with small row groups
+        (index_build writes row_group_size=2048), so a term's postings
+        live in 1-2 row groups; a fetch reads exactly those.  This is
+        the per-segment skip-list a searcher node would hold at
+        10^12-doc scale (~24 bytes per 2048 posting rows)."""
+        if self._rg_index is not None:
+            return
+        import pyarrow.parquet as pq
+
+        files, rgs, mins, maxs = [], [], [], []
+        for fi, path in enumerate(sorted(self._seg.files)):
+            pf = pq.ParquetFile(path)
+            self._pq_files[path] = pf
+            md = pf.metadata
+            ci = md.schema.to_arrow_schema().names.index("term_hash")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:  # stats absent: scan-all fallback
+                    self._rg_index = ()
+                    return
+                files.append(fi)
+                rgs.append(g)
+                mins.append(st.min)
+                maxs.append(st.max)
+        order = np.argsort(np.asarray(mins, dtype=np.uint64), kind="stable")
+        maxs_sorted = np.asarray(maxs, dtype=np.uint64)[order]
+        self._rg_index = (
+            [sorted(self._seg.files)[i] for i in np.asarray(files)[order]],
+            np.asarray(rgs, dtype=np.int32)[order],
+            np.asarray(mins, dtype=np.uint64)[order],
+            maxs_sorted,
+            # prefix running max of maxs: the left-walk in _read_hash can
+            # stop as soon as NO group at or left of i can contain h
+            np.maximum.accumulate(maxs_sorted),
+        )
+
+    def _read_hash(self, h: "np.uint64", cols: list[str]):
+        """Rows for one term_hash, reading only the row groups whose
+        footer min/max straddle it; None when no group can contain it."""
+        import pyarrow.compute as pc
+
+        self._ensure_rg_index()
+        if self._rg_index == ():  # no stats: planner-side pushdown fallback
+            return self._seg.to_table(columns=cols,
+                                      filter=(pads.field("term_hash") == h))
+        paths, rgs, mins, maxs, pmax = self._rg_index
+        lo = int(np.searchsorted(mins, h, side="right"))
+        out = []
+        # candidate groups: min <= h <= max.  mins is sorted, so all
+        # candidates are left of ``lo``; stop as soon as the prefix
+        # running-max of maxs falls below h (then nothing further left
+        # can contain it).  Disjoint ranges -> 1-2 steps; appended
+        # segments overlap the base range and just add their own step.
+        i = lo - 1
+        while i >= 0 and pmax[i] >= h:
+            if maxs[i] >= h:
+                t = self._pq_files[paths[i]].read_row_group(int(rgs[i]), columns=cols)
+                mask = pc.equal(t.column("term_hash"), h)
+                if pc.any(mask).as_py():
+                    out.append(t.filter(mask))
+            i -= 1
+        if not out:
+            return None
+        import pyarrow as pa
+
+        return pa.concat_tables(out)
+
     def _fetch_terms(self, terms: list[str]) -> None:
         missing = [t for t in dict.fromkeys(terms) if t not in self._cache]
         if not missing:
@@ -92,11 +165,21 @@ class IndexSearcher:
         import pyarrow as pa
 
         hash_of = {t: token_hash64(t) for t in missing}
-        hashes = pa.array(list(hash_of.values()), pa.uint64())
         cols = list(_PACKED_COLS)
         if self.with_positions:
             cols += ["positions_bytes", "pos_nbytes"]
-        tbl = self._seg.to_table(columns=cols, filter=pads.field("term_hash").isin(hashes))
+        # one EQUALITY-filtered scan per hash: pyarrow pushes `==` down to
+        # parquet row-group statistics (segments are term_hash-sorted with
+        # small row groups), while `isin`/or-chains skip stats pruning and
+        # decode every row group's binary columns (~20x slower cold fetch)
+        parts = [self._read_hash(np.uint64(h), cols)
+                 for h in dict.fromkeys(hash_of.values())]
+        parts = [p for p in parts if p is not None]
+        tbl = pa.concat_tables(parts) if parts else None
+        if tbl is None:
+            for t in missing:
+                self._cache[t] = None
+            return
         # segments key on the 64-bit hash (the term string never enters the
         # shuffle); the query term's own hash is the lookup key
         rows_by_hash: dict[int, list[dict]] = {}
