@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_match": A.wildcard_match,
         "facet_filtered_search": A.facet_filtered_search,
         "eval_metrics": A.eval_metrics,
+        "eval_pr_at_k": A.eval_pr_at_k,
         "search_snippets": A.search_snippets,
         "textrank_keywords": A.textrank_keywords,
         "summarize_leadk": A.summarize_leadk,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": A.ann_topk,
         "ann_lsh": A.ann_lsh,
         "ann_lsh_bucketed": A.ann_lsh_bucketed,
+        "ann_ivf": A.ann_ivf,
         "embedding_nn_within_label": A.embedding_nn_within_label,
         "embedding_kmeans": A.embedding_kmeans,
         "doc_hac_clusters": A.doc_hac_clusters,
@@ -157,7 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     qv = _qterms_values()
-    bm25_sql = _CTE + f""",
+    bm25_rank_cte = f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
             contrib AS (
@@ -172,8 +174,36 @@ def oracle_sql() -> dict[str, str]:
             scores AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
             ranked AS (SELECT qid, doc_id, score,
                               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
-                       FROM scores)
+                       FROM scores)"""
+    bm25_sql = _CTE + bm25_rank_cte + """
             SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10"""
+    # per-query P@10 / R@10 / MRR@10: run AND binary qrels (doc relevant
+    # iff it contains >= half the query's distinct terms) both derived
+    # in SQL — mirrors analytics.eval_pr_at_k / _grade_qrels
+    eval_pr_sql = _CTE + bm25_rank_cte + """,
+            topk AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+            need AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
+            hitcount AS (
+              SELECT q.qid, t.doc_id, count(DISTINCT t.term) AS hit
+              FROM (SELECT DISTINCT doc_id, term FROM tf) t
+              JOIN qterms q USING (term)
+              GROUP BY q.qid, t.doc_id),
+            rel AS (SELECT h.qid, h.doc_id FROM hitcount h JOIN need USING (qid)
+                    WHERE 2 * h.hit >= need.n_terms),
+            relcount AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid),
+            hitsk AS (SELECT t.qid, count(r.doc_id) AS relk,
+                             min(CASE WHEN r.doc_id IS NOT NULL THEN t.rank END) AS fr
+                      FROM topk t LEFT JOIN rel r
+                           ON t.qid = r.qid AND t.doc_id = r.doc_id
+                      GROUP BY t.qid)
+            SELECT n.qid,
+                   round(coalesce(h.relk, 0) / 10.0, 4) AS p_at_k,
+                   round(CASE WHEN coalesce(rc.n_rel, 0) = 0 THEN 0.0
+                              ELSE coalesce(h.relk, 0) * 1.0 / rc.n_rel END, 4) AS r_at_k,
+                   round(coalesce(1.0 / h.fr, 0.0), 4) AS mrr
+            FROM need n LEFT JOIN hitsk h ON n.qid = h.qid
+                        LEFT JOIN relcount rc ON n.qid = rc.qid
+            ORDER BY n.qid"""
     field_boost_sql = _CTE + f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -297,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT term) FROM ft) AS vocab_size,
                    round((SELECT sum(dl)::DOUBLE FROM dln) / (SELECT count(*) FROM documents), 4) AS avg_doc_len""",
         "bm25_topk": bm25_sql,
+        "eval_pr_at_k": eval_pr_sql,
         "bm25_wand_topk": bm25_sql,
         "tfidf_topk": _CTE + f""",
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

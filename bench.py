@@ -253,6 +253,7 @@ def main_scaling(sf_dir: str) -> dict:
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
     runs: dict[int, dict] = {}
     ceil_samples: dict[int, float] = {}
+    alloc_samples: dict[int, float] = {}
     for _ in range(rounds):
         for n in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
@@ -276,6 +277,8 @@ def main_scaling(sf_dir: str) -> dict:
                 runs[n] = r
             c = _host_compute_sample(n)
             ceil_samples[n] = max(ceil_samples.get(n, 0.0), c)
+            a = _host_alloc_sample(n)
+            alloc_samples[n] = max(alloc_samples.get(n, 0.0), a)
     thr8, thr32 = runs[8]["docs_per_sec"], runs[32]["docs_per_sec"]
     eff = (thr32 / thr8) / (32 / 8)
     qps8, qps32 = runs[8].get("query_qps"), runs[32].get("query_qps")
@@ -283,6 +286,8 @@ def main_scaling(sf_dir: str) -> dict:
     # host ceiling: what the VM itself delivers for pure compute 8 -> 32
     host_ceiling = (ceil_samples[32] / ceil_samples[8]) / (32 / 8) \
         if ceil_samples.get(8) and ceil_samples.get(32) else None
+    alloc_ceiling = (alloc_samples[32] / alloc_samples[8]) / (32 / 8) \
+        if alloc_samples.get(8) and alloc_samples.get(32) else None
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -303,8 +308,40 @@ def main_scaling(sf_dir: str) -> dict:
         # pinned busy-loop iterations/s at each width: the VM's own
         # compute-scaling ceiling, for reading the pipeline number fairly
         "host_compute_scaling": round(host_ceiling, 3) if host_ceiling else None,
+        # pinned n-process fresh-allocation (page-fault) throughput
+        # scaling: this sandbox VM's kernel page-zeroing path serializes
+        # under concurrency (measured 30-60x per-process degradation at
+        # 32 procs in bad windows) and is the binding ceiling for any
+        # stage that materializes fresh buffers (sort exchange, pack)
+        "host_alloc_scaling": round(alloc_ceiling, 3) if alloc_ceiling else None,
         "efficiency_vs_host_ceiling": round(eff / host_ceiling, 3) if host_ceiling else None,
     }
+
+
+def _host_alloc_sample(n: int) -> float:
+    """Pinned n-process fresh-alloc+page-touch throughput (bytes/s, ~2s).
+    Captures the host's page-fault scaling ceiling, which the busy-loop
+    compute probe misses entirely."""
+    code = (
+        "import time, multiprocessing as mp, sys\n"
+        "def alloc(_):\n"
+        "    import numpy as np, time\n"
+        "    t0 = time.time(); tot = 0\n"
+        "    while time.time() - t0 < 2.0:\n"
+        "        a = np.empty(40_000_000); a[::512] = 1.0; tot += a.nbytes; del a\n"
+        "    return tot / (time.time() - t0)\n"
+        "n = int(sys.argv[1])\n"
+        "with mp.Pool(n) as p:\n"
+        "    print(sum(p.map(alloc, range(n))))\n"
+    )
+    cmd = [sys.executable, "-c", code, str(n)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return 0.0
 
 
 def _host_compute_sample(n: int) -> float:

@@ -31,19 +31,45 @@ def vbyte_lengths(values: np.ndarray) -> np.ndarray:
 
 def vbyte_encode(values: np.ndarray) -> bytes:
     """Encode a 1-D array of non-negative ints to VByte bytes."""
-    v = np.ascontiguousarray(values, dtype=_U64)
+    return vbyte_encode_with_lengths(values)[0]
+
+
+_THRESHOLDS32 = np.array([1 << (7 * i) for i in range(1, 5)], dtype=np.uint32)
+
+
+def vbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """One-pass encode returning (bytes, per-value byte counts int32).
+
+    A ``uint32`` input stays in 32-bit arithmetic throughout (same wire
+    format, half the memory traffic of the uint64 path) — the segment
+    packer is memory-BANDWIDTH bound under full-node concurrency, so
+    touched bytes, not instructions, set its scaling ceiling."""
+    v = np.ascontiguousarray(values)
+    if v.dtype == np.uint32:
+        thresholds: np.ndarray = _THRESHOLDS32
+        seven = np.uint32(7)
+        mask7 = np.uint32(0x7F)
+        cont = np.uint32(0x80)
+    else:
+        v = np.ascontiguousarray(v, dtype=_U64)
+        thresholds = _THRESHOLDS
+        seven = _U64(7)
+        mask7 = _U64(0x7F)
+        cont = _U64(0x80)
     if v.size == 0:
-        return b""
-    nbytes = np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64) + 1
-    ends = np.cumsum(nbytes) - 1
+        return b"", np.empty(0, dtype=np.int32)
+    nbytes = (np.searchsorted(thresholds, v, side="right") + 1).astype(np.int32)
+    ends = np.cumsum(nbytes, dtype=np.int64) - 1
     starts = ends - (nbytes - 1)
     out = np.zeros(int(ends[-1]) + 1, dtype=np.uint8)
     max_nb = int(nbytes.max())
     for k in range(max_nb):
         mask = nbytes > k
-        out[starts[mask] + k] = ((v[mask] >> _U64(7 * k)) & _U64(0x7F)) | _U64(0x80)
+        sel = v[mask] if k else v  # k=0 selects every value
+        st = starts[mask] if k else starts
+        out[st + k] = ((sel >> type(seven)(7 * k)) & mask7) | cont
     out[ends] &= 0x7F
-    return out.tobytes()
+    return out.tobytes(), nbytes
 
 
 def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .codecs import vbyte_decode, vbyte_encode, vbyte_lengths
+from .codecs import vbyte_decode, vbyte_encode, vbyte_encode_with_lengths, vbyte_lengths
 
 BLOCK_SIZE = 32
 
@@ -76,34 +76,40 @@ def _pareto_bound_pairs_gather(tfs: np.ndarray, dls: np.ndarray,
     """``_pareto_bound_pairs`` for NON-contiguous blocks (the multi-run
     packer: interior groups end in partial blocks, so the flat-reshape
     trick does not apply).  Gathers each block's postings into the
-    (n_blocks, block_size) matrix by fancy indexing instead."""
-    nb = bstarts.size
+    (n_blocks, block_size) matrix by fancy indexing; int32 matrices
+    (tf/dl fit) to halve the memory traffic of this bandwidth-bound
+    stage."""
     idx = bstarts[:, None] + np.arange(block_size, dtype=np.int64)[None, :]
     valid = idx < bends[:, None]
     idx = np.minimum(idx, tfs.size - 1)
-    tfp = np.where(valid, tfs[idx], 0)
-    dlp = np.where(valid, dls[idx], _DL_PAD)
+    tfp = np.where(valid, tfs[idx], 0).astype(np.int32, copy=False)
+    dlp = np.where(valid, dls[idx], _DL_PAD).astype(np.int32, copy=False)
     return _pareto_from_matrices(tfp, dlp, s_pairs)
 
 
 def _pareto_from_matrices(tfp: np.ndarray, dlp: np.ndarray,
                           s_pairs: int = BOUND_PAIRS
                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Works on int32 or int64 matrices; padding entries must carry
+    (tf=0, dl=_DL_PAD) so they sort last and never enter the front."""
     nb = tfp.shape[0]
-    key = (-tfp << 32) + dlp  # tf desc primary, dl asc secondary (tf,dl < 2^31)
+    # tf desc primary, dl asc secondary (tf,dl < 2^31 -> composite int64)
+    key = (-(tfp.astype(np.int64)) << 32) + dlp
     o = np.argsort(key, axis=1, kind="stable")
     tfs_s = np.take_along_axis(tfp, o, 1)
     dls_s = np.take_along_axis(dlp, o, 1)
     cm = np.minimum.accumulate(dls_s, axis=1)
-    prev = np.concatenate([np.full((nb, 1), np.int64(1) << 40), cm[:, :-1]], axis=1)
+    sentinel = np.iinfo(dlp.dtype).max  # > any real dl; == _DL_PAD for int32
+    prev = np.concatenate(
+        [np.full((nb, 1), sentinel, dtype=dls_s.dtype), cm[:, :-1]], axis=1)
     front = dls_s < prev  # strictly-improving dl along descending tf
     k_front = front.sum(axis=1)  # >=1 (first sorted element is always front)
-    rank = np.cumsum(front, axis=1) - 1
+    rank = np.cumsum(front, axis=1, dtype=np.int32) - 1
     rows, cols = np.nonzero(front)
-    chunk = (rank[rows, cols] * s_pairs) // k_front[rows]
+    chunk = (rank[rows, cols].astype(np.int64) * s_pairs) // k_front[rows]
     idx = rows * s_pairs + chunk
-    btf = np.zeros(nb * s_pairs, dtype=np.int64)
-    bdl = np.full(nb * s_pairs, _DL_PAD, dtype=np.int64)
+    btf = np.zeros(nb * s_pairs, dtype=tfp.dtype)
+    bdl = np.full(nb * s_pairs, _DL_PAD, dtype=dlp.dtype)
     np.maximum.at(btf, idx, tfs_s[rows, cols])
     np.minimum.at(bdl, idx, dls_s[rows, cols])
     return btf, bdl
@@ -186,8 +192,8 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                   indexes them): block_bound_tf, block_bound_dl (int32).
     """
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
-    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
-    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs)   # int32 in the explode schema; any
+    dls = np.ascontiguousarray(dls)   # int dtype works (reduceat w/ dtype)
     gs = np.ascontiguousarray(group_starts, dtype=np.int64)
     n = ids.size
     ng = gs.size
@@ -208,37 +214,36 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         # overwritten by the absolute reset (every run start IS a block start)
         deltas[1:] = np.diff(ids).astype(np.uint64)
     deltas[bstarts] = ids[bstarts].astype(np.uint64)
-    tfs_u = tfs.astype(np.uint64)
-    dls_u = dls.astype(np.uint64)
-
-    d_len = vbyte_lengths(deltas)
-    t_len = vbyte_lengths(tfs_u)
-    l_len = vbyte_lengths(dls_u)
+    # tf/dl are < 2^31 by schema -> the uint32 encode path (same wire
+    # format, half the traffic; this stage is memory-bandwidth bound)
+    docs_all, d_len = vbyte_encode_with_lengths(deltas)
+    tfs_all, t_len = vbyte_encode_with_lengths(tfs.astype(np.uint32, copy=False))
+    dls_all, l_len = vbyte_encode_with_lengths(dls.astype(np.uint32, copy=False))
 
     def _off(lens: np.ndarray) -> np.ndarray:
-        per_group = np.add.reduceat(lens.astype(np.int64), gs)
+        per_group = np.add.reduceat(lens, gs, dtype=np.int64)
         return np.concatenate(([0], np.cumsum(per_group)))
 
     btf, bdl = _pareto_bound_pairs_gather(tfs, dls, bstarts, bends, block_size)
     return {
         "df": glens,
-        "cf": np.add.reduceat(tfs, gs),
-        "docs_all": vbyte_encode(deltas),
-        "tfs_all": vbyte_encode(tfs_u),
-        "dls_all": vbyte_encode(dls_u),
+        "cf": np.add.reduceat(tfs, gs, dtype=np.int64),
+        "docs_all": docs_all,
+        "tfs_all": tfs_all,
+        "dls_all": dls_all,
         "docs_off": _off(d_len),
         "tfs_off": _off(t_len),
         "dls_off": _off(l_len),
         "block_off": block_off,
-        "block_doc_nbytes": np.add.reduceat(d_len.astype(np.int64), bstarts).astype(np.int32),
-        "block_tf_nbytes": np.add.reduceat(t_len.astype(np.int64), bstarts).astype(np.int32),
-        "block_dl_nbytes": np.add.reduceat(l_len.astype(np.int64), bstarts).astype(np.int32),
+        "block_doc_nbytes": np.add.reduceat(d_len, bstarts, dtype=np.int32),
+        "block_tf_nbytes": np.add.reduceat(t_len, bstarts, dtype=np.int32),
+        "block_dl_nbytes": np.add.reduceat(l_len, bstarts, dtype=np.int32),
         "block_len": (bends - bstarts).astype(np.int32),
         "block_last_doc": ids[bends - 1],
-        "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
-        "block_min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32),
-        "block_bound_tf": btf.astype(np.int32),
-        "block_bound_dl": bdl.astype(np.int32),
+        "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32, copy=False),
+        "block_min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32, copy=False),
+        "block_bound_tf": btf.astype(np.int32, copy=False),
+        "block_bound_dl": bdl.astype(np.int32, copy=False),
     }
 
 

@@ -612,6 +612,15 @@ def eval_metrics(sf_dir: str, k: int = 10) -> pd.DataFrame:
     doc_terms: dict[int, set[str]] = {}
     for d, t in zip(per_doc["doc_id"], per_doc["term"]):
         doc_terms.setdefault(int(d), set()).add(t)
+    qrels = _grade_qrels(doc_terms)
+    summary = evaluate_run(run, qrels, k=k)
+    rows = [(m, round4(v)) for m, v in sorted(summary.items())]
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+def _grade_qrels(doc_terms: dict[int, set[str]]) -> dict[str, dict[int, int]]:
+    """Synthetic graded qrels: grade 2 iff the doc contains ALL the
+    query's terms, grade 1 iff at least half (eval_metrics contract)."""
     qrels: dict[str, dict[int, int]] = {}
     for qid, terms in FIXED_QUERIES.items():
         need = set(terms)
@@ -623,9 +632,41 @@ def eval_metrics(sf_dir: str, k: int = 10) -> pd.DataFrame:
             elif hit * 2 >= len(need):
                 qq[d] = 1
         qrels[qid] = qq
-    summary = evaluate_run(run, qrels, k=k)
-    rows = [(m, round4(v)) for m, v in sorted(summary.items())]
-    return pd.DataFrame(rows, columns=["metric", "value"])
+    return qrels
+
+
+def eval_pr_at_k(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Per-query precision@k / recall@k / MRR@k of the BM25 run against
+    the synthetic binary qrels (grade >= 1) — the SQL-expressible slice
+    of the metric battery (metrics.py:84-210), oracle-checked end to end
+    (run AND qrels both derived in DuckDB)."""
+    from ray.data.aggregate import Count
+
+    run_df = bm25_topk(sf_dir, k=k)
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    ex = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
+        batch_format="pyarrow",
+    )
+    per_doc = ex.groupby(["doc_id", "term"]).aggregate(Count(alias_name="n")).to_pandas()
+    doc_terms: dict[int, set[str]] = {}
+    for d, t in zip(per_doc["doc_id"], per_doc["term"]):
+        doc_terms.setdefault(int(d), set()).add(t)
+    qrels = _grade_qrels(doc_terms)
+    rows = []
+    for qid in sorted(FIXED_QUERIES):
+        ranked = run_df[run_df.qid == qid].sort_values("rank")["doc_id"].tolist()[:k]
+        rel = {d for d, g in qrels[qid].items() if g >= 1}
+        relk = sum(1 for d in ranked if d in rel)
+        p = relk / k
+        r = relk / len(rel) if rel else 0.0
+        mrr = 0.0
+        for i, d in enumerate(ranked, 1):
+            if d in rel:
+                mrr = 1.0 / i
+                break
+        rows.append((qid, round4(p), round4(r), round4(mrr)))
+    return pd.DataFrame(rows, columns=["qid", "p_at_k", "r_at_k", "mrr"])
 
 
 def search_snippets(sf_dir: str, k: int = 5) -> pd.DataFrame:
@@ -2045,3 +2086,25 @@ def embedding_nn_within_label(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("label").map_groups(nn, batch_format="pandas").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def ann_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """IVF-partitioned ANN — the k-means scale path (complement of the
+    LSH layout): a distributed-k-means coarse quantizer partitions the
+    corpus into inverted lists (hive layout, each row stored once); a
+    query probes its ``nprobe`` nearest lists and only those partition
+    directories are read.  Rows-only driver check; recall vs brute force
+    asserted in unit tests (tests/test_dedup_ann_stages.py)."""
+    import ray.data as rd
+
+    from ..stages.ann import ivf_build, ivf_topk
+
+    q, qids = _query_vectors(sf_dir, 5)
+    layout = f"/tmp/nirs_ivf_{abs(hash(sf_dir)) % (1 << 32)}"
+    if not os.path.isdir(layout):
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        ivf_build(ds, layout, dim=q.shape[1], n_lists=16, n_iter=8)
+    out = ivf_topk(layout, q, k=k, nprobe=4)
+    out["qid"] = out["qid"].map(dict(enumerate(qids))).astype(np.int64)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)

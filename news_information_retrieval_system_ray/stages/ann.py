@@ -303,3 +303,74 @@ def lsh_topk_bucketed(out_dir: str, queries: np.ndarray, k: int = 10, *,
                              "score": pd.Series(dtype=np.float64)})
     cand = rd.read_parquet(paths).map_batches(dedupe_batch, batch_format="pyarrow")
     return brute_force_topk(cand, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------- IVF
+def ivf_build(ds, out_dir: str, *, dim: int, n_lists: int = 16,
+              n_iter: int = 8, seed: int = 17,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    """Materialize the IVF layout — the k-means scale path: train a
+    coarse quantizer (the distributed :func:`kmeans` above), then write
+    each row ONCE under a hive partition keyed by its nearest centroid
+    ("inverted list").  Unlike LSH there is no storage duplication; the
+    probe set is chosen by centroid distance at query time.  Centroids
+    persist as a parquet sidecar (tiny: n_lists x dim).
+    """
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    centroids, _ = kmeans(ds, k=n_lists, dim=dim, n_iter=n_iter, seed=seed,
+                          vec_col=vec_col, id_col=id_col)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = vecs_from_column(batch.column(vec_col))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols["ivf_list"] = pa.array(d2.argmin(axis=1).astype(np.int64))
+        return pa.table(cols)
+
+    ds.map_batches(assign, batch_format="pyarrow") \
+      .write_parquet(out_dir, partition_cols=["ivf_list"])
+    _pq.write_table(
+        pa.table({"list_id": pa.array(np.arange(n_lists, dtype=np.int64)),
+                  "centroid": pa.array(centroids.tolist(),
+                                       pa.list_(pa.float64()))}),
+        _os.path.join(out_dir, "_centroids.parquet"))
+    return out_dir
+
+
+def ivf_topk(out_dir: str, queries: np.ndarray, k: int = 10, *,
+             nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> pd.DataFrame:
+    """Query the IVF layout: each query probes its ``nprobe`` nearest
+    inverted lists; only the union of probed list PARTITIONS is read
+    (path-level pruning, same IO outcome as partition-filter pushdown),
+    then the brute-force kernel ranks the candidate subset.  Recall vs
+    exhaustive search is measured in tests (tests/test_dedup_ann_stages).
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    cent_tbl = _pq.read_table(_os.path.join(out_dir, "_centroids.parquet"))
+    centroids = vecs_from_column(cent_tbl.column("centroid"))
+    q = np.asarray(queries, dtype=np.float64)
+    d2 = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    nprobe = min(nprobe, centroids.shape[0])
+    probe = np.unique(np.argsort(d2, axis=1)[:, :nprobe])
+    paths = [f for b in probe.tolist()
+             for f in sorted(_glob.glob(
+                 _os.path.join(out_dir, f"ivf_list={b}", "*.parquet")))]
+    if not paths:
+        return pd.DataFrame({"qid": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int64),
+                             "vec_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    cand = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return brute_force_topk(cand, q, k=k, vec_col=vec_col, id_col=id_col)

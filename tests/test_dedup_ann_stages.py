@@ -223,3 +223,42 @@ def test_lsh_bucketed_matches_scan(ray_session, tmp_path):
     bucketed = lsh_topk_bucketed(layout, q, k=5, dim=dim, n_planes=6,
                                  n_tables=3, multiprobe=1)
     assert scan.to_dict("records") == bucketed.to_dict("records")
+
+
+def test_ivf_recall_vs_bruteforce(ray_session, tmp_path):
+    """IVF with nprobe=4/16 lists must reach high recall@10 vs exhaustive
+    search on clustered data, and read only probed partitions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.stages.ann import (
+        brute_force_topk,
+        ivf_build,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim, n_clusters = 800, 16, 8
+    centers = rng.standard_normal((n_clusters, dim)) * 4
+    vecs = centers[rng.integers(0, n_clusters, n)] + rng.standard_normal((n, dim))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    q = vecs[:4] + 0.01 * rng.standard_normal((4, dim))
+
+    layout = str(tmp_path / "ivf")
+    ivf_build(rd.from_arrow(t), layout, dim=dim, n_lists=16, n_iter=6)
+    approx = ivf_topk(layout, q, k=10, nprobe=4)
+    exact = brute_force_topk(rd.from_arrow(t), q, k=10)
+    recalls = []
+    for qid in range(4):
+        a = set(approx[approx.qid == qid]["vec_id"])
+        e = set(exact[exact.qid == qid]["vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+    # layout really is partitioned by list (one dir per non-empty list)
+    import glob
+    assert len(glob.glob(str(tmp_path / "ivf" / "ivf_list=*"))) >= 2
+    # determinism: same build+query twice -> identical frame
+    approx2 = ivf_topk(layout, q, k=10, nprobe=4)
+    assert approx.to_dict("records") == approx2.to_dict("records")
