@@ -15,6 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from news_information_retrieval_system_ray.pipelines import analytics as A
+from news_information_retrieval_system_ray.pipelines import recommend as RC
 from news_information_retrieval_system_ray.pipelines import topics as T
 
 # ---------------------------------------------------------------------------
@@ -154,6 +155,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": A.media_features,
         "video_frame_features": A.video_frame_features,
+        # recommenders (events interactions + documents content)
+        "cf_item_similar": RC.cf_item_similar,
+        "cf_user_recs": RC.cf_user_recs,
+        "cf_als": RC.cf_als,
+        "recommend_similar": RC.recommend_similar,
+        "hybrid_recommend": RC.hybrid_recommend,
+        # PAT-tree keyword extraction (corpus term-stats scoring)
+        "pat_keywords": A.pat_keywords,
     }
 
 
@@ -762,8 +771,135 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_vec_id) AS rn
                        FROM sims)
             SELECT vec_id, nn_vec_id, round(score, 4) AS score FROM ranked WHERE rn = 1""",
+        "cf_item_similar": """
+            WITH inter AS (
+              SELECT user_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item,
+                     sum(value) AS r
+              FROM events GROUP BY 1, 2),
+            nrm AS (SELECT item, sqrt(sum(r * r)) AS n FROM inter GROUP BY item),
+            dots AS (SELECT a.item AS i, b.item AS j, sum(a.r * b.r) AS dot
+                     FROM inter a JOIN inter b
+                          ON a.user_id = b.user_id AND a.item <> b.item
+                     GROUP BY 1, 2),
+            sims AS (SELECT i AS item, j AS other_item,
+                            round(dot / (na.n * nb.n), 6) AS sim
+                     FROM dots JOIN nrm na ON na.item = i
+                               JOIN nrm nb ON nb.item = j),
+            ranked AS (SELECT item, other_item, sim,
+                              row_number() OVER (PARTITION BY item
+                                                 ORDER BY sim DESC, other_item) AS rank
+                       FROM sims WHERE sim >= 0.1)
+            SELECT item, rank, other_item, round(sim, 4) AS sim
+            FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
+        "cf_user_recs": """
+            WITH inter AS (
+              SELECT user_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item,
+                     sum(value) AS r
+              FROM events GROUP BY 1, 2),
+            unrm AS (SELECT user_id, sqrt(sum(r * r)) AS n FROM inter GROUP BY user_id),
+            udots AS (SELECT a.user_id AS u, b.user_id AS v, sum(a.r * b.r) AS dot
+                      FROM inter a JOIN inter b
+                           ON a.item = b.item AND a.user_id <> b.user_id
+                      GROUP BY 1, 2),
+            usims AS (SELECT u, v, round(dot / (na.n * nb.n), 6) AS sim
+                      FROM udots JOIN unrm na ON na.user_id = u
+                                 JOIN unrm nb ON nb.user_id = v),
+            nbr AS (SELECT u, v, sim FROM (
+                      SELECT u, v, sim,
+                             row_number() OVER (PARTITION BY u ORDER BY sim DESC, v) AS rn
+                      FROM usims WHERE sim >= 0.1) WHERE rn <= 20),
+            contrib AS (SELECT n.u AS user_id, i.item,
+                               sum(n.sim * i.r) AS num, sum(n.sim) AS den
+                        FROM nbr n JOIN inter i ON i.user_id = n.v
+                        GROUP BY 1, 2),
+            unseen AS (SELECT c.user_id, c.item, c.num / c.den AS score
+                       FROM contrib c LEFT JOIN inter s
+                            ON s.user_id = c.user_id AND s.item = c.item
+                       WHERE s.item IS NULL AND c.den > 0),
+            ranked AS (SELECT user_id, item, score,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY round(score, 6) DESC, item) AS rank
+                       FROM unseen)
+            SELECT user_id, rank, item, round(score, 4) AS score
+            FROM ranked WHERE rank <= 5 ORDER BY user_id, rank""",
+        "recommend_similar": _CTE + """,
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            wd AS (SELECT tf.doc_id, tf.term,
+                          (1 + log10(tf.tf)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM tf JOIN dfs USING (term) CROSS JOIN stats),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wd GROUP BY doc_id),
+            seeds(seed_id) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+            sw AS (SELECT s.seed_id, wd.term, wd.w / norms.nrm AS w
+                   FROM wd JOIN norms USING (doc_id)
+                           JOIN seeds s ON wd.doc_id = s.seed_id),
+            scores AS (SELECT sw.seed_id, wd.doc_id,
+                              sum((wd.w / norms.nrm) * sw.w) AS score
+                       FROM wd JOIN sw USING (term)
+                       JOIN norms ON wd.doc_id = norms.doc_id
+                       WHERE wd.doc_id <> sw.seed_id
+                       GROUP BY 1, 2),
+            ranked AS (SELECT seed_id, doc_id, score,
+                              row_number() OVER (PARTITION BY seed_id
+                                                 ORDER BY round(score, 6) DESC, doc_id) AS rank
+                       FROM scores WHERE score > 0)
+            SELECT seed_id, rank, doc_id, round(score, 4) AS score
+            FROM ranked WHERE rank <= 10 ORDER BY seed_id, rank""",
+        "hybrid_recommend": _CTE + """,
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            wd AS (SELECT tf.doc_id, tf.term,
+                          (1 + log10(tf.tf)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM tf JOIN dfs USING (term) CROSS JOIN stats),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wd GROUP BY doc_id),
+            sw AS (SELECT wd.term, wd.w / norms.nrm AS w
+                   FROM wd JOIN norms USING (doc_id) WHERE wd.doc_id = 5),
+            scores AS (SELECT wd.doc_id, sum((wd.w / norms.nrm) * sw.w) AS score
+                       FROM wd JOIN sw USING (term)
+                       JOIN norms ON wd.doc_id = norms.doc_id
+                       WHERE wd.doc_id <> 5 GROUP BY 1),
+            content AS (SELECT doc_id, score,
+                               row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+                        FROM scores WHERE score > 0),
+            cand AS (SELECT doc_id, round(score, 4) AS content_score
+                     FROM content WHERE rn <= 30),
+            inter AS (SELECT user_id,
+                             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+                      FROM events GROUP BY 1, 2),
+            nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM inter),
+            pop AS (SELECT item, CAST(count(*) AS DOUBLE) / nu.n AS p
+                    FROM inter CROSS JOIN nu GROUP BY item, nu.n),
+            hybrid AS (SELECT c.doc_id, c.content_score,
+                              round(coalesce(p.p, 0), 4) AS popularity,
+                              round(0.5 * c.content_score
+                                    + 0.1 * round(coalesce(p.p, 0), 4), 6) AS score
+                       FROM cand c LEFT JOIN pop p ON p.item = c.doc_id),
+            ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                       FROM hybrid)
+            SELECT rank, doc_id, round(score, 4) AS score, content_score, popularity
+            FROM ranked WHERE rank <= 10 ORDER BY rank""",
+        "pat_keywords": _CTE + """,
+            cand AS (SELECT term, sum(tf)::BIGINT AS freq, count(*) AS df
+                     FROM tf GROUP BY term
+                     HAVING sum(tf) >= 2 AND count(*) >= 1),
+            tot AS (SELECT sum(tf)::DOUBLE AS t FROM tf),
+            td AS (SELECT CAST(count(DISTINCT tf.doc_id) AS DOUBLE) AS nd
+                   FROM tf JOIN cand USING (term)),
+            scored AS (SELECT term, freq, df,
+                              (freq / tot.t) * (ln((td.nd + 1) / (df + 1)) + 1) AS tfidf
+                       FROM cand CROSS JOIN tot CROSS JOIN td),
+            m AS (SELECT 'tfidf' AS method, term, freq, df, tfidf AS score FROM scored
+                  UNION ALL SELECT 'frequency', term, freq, df, freq::DOUBLE FROM scored
+                  UNION ALL SELECT 'doc_frequency', term, freq, df, df::DOUBLE FROM scored
+                  UNION ALL SELECT 'combined', term, freq, df,
+                                   tfidf * (1 + ln(df + 1)) FROM scored),
+            ranked AS (SELECT method, term, freq AS frequency, df AS doc_frequency, score,
+                              row_number() OVER (PARTITION BY method
+                                                 ORDER BY score DESC, term) AS rank
+                       FROM m)
+            SELECT method, rank, term, frequency, doc_frequency, round(score, 4) AS score
+            FROM ranked WHERE rank <= 20 ORDER BY method, rank""",
         # rows-only (non-SQL-expressible): lang_id, fingerprints,
         # dedup_minhash, dedup_simhash, dedup_ngram_jaccard, ann_lsh,
         # media_features, eval_metrics (metric battery; kernels
-        # unit-tested in tests/test_metrics.py)
+        # unit-tested in tests/test_metrics.py), cf_als (iterative
+        # factorization — no SQL equivalent)
     }

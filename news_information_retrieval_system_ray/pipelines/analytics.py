@@ -2108,3 +2108,83 @@ def ann_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out = ivf_topk(layout, q, k=k, nprobe=4)
     out["qid"] = out["qid"].map(dict(enumerate(qids))).astype(np.int64)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+# --------------------------------------------- PAT-tree keyword extraction
+
+PAT_MIN_FREQ = 2        # extract_keywords default (pat_tree.py:302)
+PAT_METHODS = ("tfidf", "frequency", "doc_frequency", "combined")
+
+
+def pat_keywords(sf_dir: str, k: int = 20, min_freq: int = PAT_MIN_FREQ,
+                 min_doc_freq: int = 1) -> pd.DataFrame:
+    """Corpus keyword extraction with the PAT-tree term-stats scoring.
+
+    extract_keywords (pat_tree.py:302-382): candidates pass freq /
+    doc-freq floors; tf = freq/total_terms (total TOKENS in the tree),
+    idf = ln((total_docs+1)/(df+1)) + 1 where total_docs counts the
+    distinct docs holding ANY candidate term; four methods are scored —
+    tfidf, frequency, doc_frequency, combined = tfidf*(1+ln(df+1)).
+    Ties are broken by term ascending (the reference inherits dict
+    order; we pin a canonical order, SURVEY §7.6.2).
+
+    Distributed shape: one groupby(term) aggregate (the index df/cf
+    shuffle, shared with term_stats), one scalar token-count aggregate,
+    one distinct-doc count over a term-semi-joined stream; scoring is a
+    vectorized map over the (vocab-sized) candidate table, and only the
+    4*k winners are collected.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ex = _exploded_ds(sf_dir)
+    stats = ex.groupby("term").aggregate(
+        Count(alias_name="df"), Sum("tf", alias_name="freq")).materialize()
+    total_terms = float(ex.aggregate(Sum("tf", alias_name="t"))["t"])
+
+    cand = stats.map_batches(
+        lambda t: t.filter(pa.compute.and_(
+            pa.compute.greater_equal(t.column("freq"), min_freq),
+            pa.compute.greater_equal(t.column("df"), min_doc_freq))),
+        batch_format="pyarrow").materialize()
+
+    # total_docs = |union of candidate terms' doc sets| — a distinct
+    # count over the exploded stream semi-joined to candidate terms
+    total_docs = float(
+        ex.join(cand.select_columns(["term"]), "left_semi",
+                num_partitions=8, on=("term",))
+          .groupby("doc_id").count().count())
+
+    def score(t: pa.Table) -> pa.Table:
+        freq = t.column("freq").to_numpy().astype(np.float64)
+        df = t.column("df").to_numpy().astype(np.float64)
+        tfn = freq / total_terms
+        idf = np.log((total_docs + 1.0) / (df + 1.0)) + 1.0
+        tfidf = tfn * idf
+        return pa.table({
+            "term": t.column("term"),
+            "frequency": t.column("freq").cast(pa.int64()),
+            "doc_frequency": t.column("df").cast(pa.int64()),
+            "tfidf": tfidf,
+            "frequency_s": freq,
+            "doc_frequency_s": df,
+            "combined": tfidf * (1.0 + np.log(df + 1.0)),
+        })
+
+    scored = cand.map_batches(score, batch_format="pyarrow").materialize()
+
+    frames = []
+    for method in PAT_METHODS:
+        col = {"tfidf": "tfidf", "frequency": "frequency_s",
+               "doc_frequency": "doc_frequency_s", "combined": "combined"}[method]
+        top = (scored.sort([col, "term"], descending=[True, False])
+                     .limit(k).to_pandas())
+        top = top.sort_values([col, "term"], ascending=[False, True]).reset_index(drop=True)
+        frames.append(pd.DataFrame({
+            "method": method,
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "term": top["term"],
+            "frequency": top["frequency"].astype(np.int64),
+            "doc_frequency": top["doc_frequency"].astype(np.int64),
+            "score": top[col].map(lambda v: round4(float(v))),
+        }))
+    return pd.concat(frames, ignore_index=True)
