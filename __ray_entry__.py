@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_recommend": RC.hybrid_recommend,
         # PAT-tree keyword extraction (corpus term-stats scoring)
         "pat_keywords": A.pat_keywords,
+        # syntax plumbing (SVO tree walk; parser model stubbed)
+        "svo_triples": A.svo_triples,
     }
 
 

@@ -145,3 +145,40 @@ class NGramLM:
         if cnt == 0:
             return float("inf")
         return 2 ** (-(s / cnt))
+
+    def generate(self, context: tuple, max_len: int = 20,
+                 seed: int | None = None) -> list[str]:
+        """Sample a continuation of ``context`` (ngram.py:423-465).
+
+        Candidates are restricted to OBSERVED n-grams for the current
+        (n-1)-token window; the next word is drawn proportional to its
+        smoothed probability.  Unlike the reference's ``random.choices``
+        this takes an explicit ``seed`` so generation is reproducible
+        (and, with seed=None, greedy argmax — deterministic by
+        construction, ties broken lexicographically).
+        """
+        import numpy as np
+
+        rng = np.random.default_rng(seed) if seed is not None else None
+        generated = list(context)
+        # observed continuations per context: derived once from the
+        # trained n-gram table (no vocab scan per step as in the
+        # reference's O(V) loop)
+        conts: dict[tuple, list[str]] = {}
+        for gram in self.ngram_counts:
+            conts.setdefault(gram[:-1], []).append(gram[-1])
+        for _ in range(max_len):
+            cur = tuple(generated[-(self.n - 1):]) if self.n > 1 else ()
+            words = sorted(conts.get(cur, ()))
+            if not words:
+                break
+            probs = np.array([self.probability(cur, w) for w in words])
+            tot = probs.sum()
+            if tot <= 0:
+                break
+            if rng is None:
+                nxt = words[int(np.argmax(probs))]
+            else:
+                nxt = words[int(rng.choice(len(words), p=probs / tot))]
+            generated.append(nxt)
+        return generated[len(context):]

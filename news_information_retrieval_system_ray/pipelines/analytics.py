@@ -2188,3 +2188,20 @@ def pat_keywords(sf_dir: str, k: int = 20, min_freq: int = PAT_MIN_FREQ,
             "score": top[col].map(lambda v: round4(float(v))),
         }))
     return pd.concat(frames, ignore_index=True)
+
+
+def svo_triples(sf_dir: str, limit: int = 200) -> pd.DataFrame:
+    """SVO triples per document (syntax plumbing; parser stubbed).
+
+    Drives the dependency-parse -> SVO tree walk (functions/svo.py;
+    reference src/ir/syntax/parser.py:420-511) as an actor-pool stage.
+    The SuPar model is absent in this container, so the parse step is
+    the declared deterministic fake; the tree-walk kernel itself is
+    real and unit-tested on hand-built edge lists.  Rows-only check.
+    """
+    from ..functions.svo import SVOStage
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        SVOStage(parser="fake"), batch_format="pyarrow", concurrency=2)
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out.head(limit)

@@ -110,3 +110,57 @@ def test_predicates_require_callbacks():
         search_boolean("status:F", lambda t: universe, universe)
     with pytest.raises(ValueError, match="range predicate"):
         search_boolean("d:[1 TO 2]", lambda t: universe, universe)
+
+
+def test_ngram_generate_deterministic_and_on_distribution():
+    from news_information_retrieval_system_ray.functions.ngram_lm import NGramLM
+
+    m = NGramLM(n=2, smoothing="laplace")
+    m.train([["the", "cat", "sat", "on", "the", "mat"],
+             ["the", "cat", "ran"]])
+    out = m.generate(("the",), max_len=4, seed=3)
+    assert out == m.generate(("the",), max_len=4, seed=3)  # reproducible
+    assert out and out[0] in {"cat", "mat"}  # observed bigram continuation
+    greedy = m.generate(("the",), max_len=4)
+    assert greedy[0] == "cat"  # argmax of P(.|the): cat has count 2
+    # unseen context stops immediately
+    assert m.generate(("zebra",), max_len=4) == []
+
+
+def test_svo_tree_walk_reference_semantics():
+    from news_information_retrieval_system_ray.functions.svo import (
+        DependencyEdge as E,
+        extract_svo,
+    )
+
+    # full SVO: root at index 2, nsubj child, dobj child (parser.py:453-505)
+    edges = [E(0, 2, "ROOT", "likes", "root"),
+             E(2, 1, "likes", "kim", "nsubj"),
+             E(2, 3, "likes", "tea", "dobj")]
+    (t,) = extract_svo(edges)
+    assert (t.subject, t.verb, t.object, t.confidence) == ("kim", "likes", "tea", 1.0)
+    # SV only -> confidence 0.7, dropped when include_partial=False
+    sv = [E(0, 2, "ROOT", "runs", "root"), E(2, 1, "runs", "kim", "nsubj")]
+    (p,) = extract_svo(sv)
+    assert p.object is None and p.confidence == 0.7
+    assert extract_svo(sv, include_partial=False) == []
+    # no root / no subject -> nothing
+    assert extract_svo([E(2, 1, "x", "y", "nsubj")]) == []
+    assert extract_svo([E(0, 2, "ROOT", "v", "root"),
+                        E(2, 3, "v", "o", "dobj")]) == []
+    # subject priority: first matching relation wins; 'top' accepted
+    edges2 = [E(0, 2, "ROOT", "v", "root"),
+              E(2, 1, "v", "s1", "top"),
+              E(2, 4, "v", "s2", "nsubj"),
+              E(2, 3, "v", "o", "attr")]
+    (t2,) = extract_svo(edges2)
+    assert (t2.subject, t2.object) == ("s1", "o")
+
+
+def test_svo_stage_over_documents(ray_session, sf_dir):
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    out = A.svo_triples(sf_dir, limit=50)
+    assert set(out.columns) == {"doc_id", "subject", "verb", "object", "confidence"}
+    assert len(out) > 0
+    assert out["confidence"].isin([1.0, 0.7]).all()
