@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_range_query": A.date_range_query,
         "field_query": A.field_query,
         "phrase_match": A.phrase_match,
+        "proximity_match": A.proximity_match,
+        "window_match": A.window_match,
         # facets / browse / aggregates
         "facet_source_counts": A.facet_source_counts,
         "facet_lang_counts": A.facet_lang_counts,
@@ -878,6 +880,34 @@ def oracle_sql() -> dict[str, str]:
                        FROM hybrid)
             SELECT rank, doc_id, round(score, 4) AS score, content_score, popularity
             FROM ranked WHERE rank <= 10 ORDER BY rank""",
+        "proximity_match": _CTE + f""",
+            ptoks AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS tpos
+              FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS term,
+                           generate_subscripts(string_split(t, ' '), 1) AS pos
+                    FROM norm) u
+              WHERE regexp_matches(term, '[a-z0-9_]'))
+            SELECT DISTINCT a.doc_id
+            FROM ptoks a JOIN ptoks b USING (doc_id)
+            WHERE a.term = '{A.PROX_TERMS[0]}' AND b.term = '{A.PROX_TERMS[1]}'
+              AND abs(a.tpos - b.tpos) <= {A.PROX_DIST}
+            ORDER BY doc_id""",
+        "window_match": _CTE + f""",
+            ptoks AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS tpos
+              FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS term,
+                           generate_subscripts(string_split(t, ' '), 1) AS pos
+                    FROM norm) u
+              WHERE regexp_matches(term, '[a-z0-9_]'))
+            SELECT DISTINCT a.doc_id
+            FROM ptoks a JOIN ptoks b USING (doc_id) JOIN ptoks c USING (doc_id)
+            WHERE a.term = '{A.WINDOW_TERMS[0]}' AND b.term = '{A.WINDOW_TERMS[1]}'
+              AND c.term = '{A.WINDOW_TERMS[2]}'
+              AND greatest(a.tpos, b.tpos, c.tpos)
+                  - least(a.tpos, b.tpos, c.tpos) < {A.WINDOW_SIZE}
+            ORDER BY doc_id""",
         "pat_keywords": _CTE + """,
             cand AS (SELECT term, sum(tf)::BIGINT AS freq, count(*) AS df
                      FROM tf GROUP BY term

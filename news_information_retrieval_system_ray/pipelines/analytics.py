@@ -2205,3 +2205,95 @@ def svo_triples(sf_dir: str, limit: int = 200) -> pd.DataFrame:
         SVOStage(parser="fake"), batch_format="pyarrow", concurrency=2)
     out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return out.head(limit)
+
+
+# --------------------------------------------- positional proximity/window
+
+PROX_TERMS = ("spark", "join")   # proximity_query example pair
+PROX_DIST = 2                    # max token distance (<=, positional_index.py:383)
+WINDOW_TERMS = ("merge", "sort", "table")
+WINDOW_SIZE = 6                  # strict span < size (positional_index.py:460)
+
+
+def proximity_match(sf_dir: str, term1: str | None = None,
+                    term2: str | None = None,
+                    max_distance: int = PROX_DIST) -> pd.DataFrame:
+    """doc_ids where term1 and term2 occur within ``max_distance`` tokens
+    (positional_index.py:318-393: any position pair with |p1-p2| <= d).
+
+    Same distributed shape as phrase_match: the per-doc positional
+    postings stream through one map_batches; the pair check is a
+    vectorized searchsorted against the sorted position lists (the
+    reference's two-pointer scan, batched)."""
+    t1 = term1 or PROX_TERMS[0]
+    t2 = term2 or PROX_TERMS[1]
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def check(t: pa.Table) -> pa.Table:
+        hits = []
+        for row in t.to_pylist():
+            pos = dict(zip(row["terms"], row["positions"]))
+            if t1 not in pos or t2 not in pos:
+                continue
+            p1 = np.asarray(pos[t1], dtype=np.int64)
+            p2 = np.sort(np.asarray(pos[t2], dtype=np.int64))
+            idx = np.searchsorted(p2, p1)
+            best = np.full(p1.shape, np.iinfo(np.int64).max)
+            left = idx > 0
+            best[left] = np.abs(p1[left] - p2[idx[left] - 1])
+            right = idx < len(p2)
+            best[right] = np.minimum(best[right],
+                                     np.abs(p2[idx[right]] - p1[right]))
+            if (best <= max_distance).any():
+                hits.append(row["doc_id"])
+        return pa.table({"doc_id": pa.array(hits, pa.int64())})
+
+    return toks.map_batches(check, batch_format="pyarrow").to_pandas() \
+               .sort_values("doc_id").reset_index(drop=True)
+
+
+def window_match(sf_dir: str, terms: tuple[str, ...] | None = None,
+                 window_size: int = WINDOW_SIZE) -> pd.DataFrame:
+    """doc_ids where ALL terms occur inside a token window of
+    ``window_size`` (positional_index.py:395-469: some choice of one
+    position per term with max-min < window_size — the reference's
+    sliding scan over the merged position list, equivalently)."""
+    ts = tuple(terms or WINDOW_TERMS)
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def check(t: pa.Table) -> pa.Table:
+        hits = []
+        for row in t.to_pylist():
+            pos = dict(zip(row["terms"], row["positions"]))
+            if any(x not in pos for x in ts):
+                continue
+            merged = np.concatenate([np.asarray(pos[x], np.int64) for x in ts])
+            labels = np.concatenate([np.full(len(pos[x]), i, np.int64)
+                                     for i, x in enumerate(ts)])
+            order = np.argsort(merged, kind="stable")
+            merged, labels = merged[order], labels[order]
+            # sliding window over the merged sorted positions, counting
+            # distinct term coverage (two-pointer; O(p) per doc)
+            need = len(ts)
+            count = np.zeros(need, np.int64)
+            covered = 0
+            lo = 0
+            found = False
+            for hi in range(len(merged)):
+                if count[labels[hi]] == 0:
+                    covered += 1
+                count[labels[hi]] += 1
+                while merged[hi] - merged[lo] >= window_size:
+                    count[labels[lo]] -= 1
+                    if count[labels[lo]] == 0:
+                        covered -= 1
+                    lo += 1
+                if covered == need:
+                    found = True
+                    break
+            if found:
+                hits.append(row["doc_id"])
+        return pa.table({"doc_id": pa.array(hits, pa.int64())})
+
+    return toks.map_batches(check, batch_format="pyarrow").to_pandas() \
+               .sort_values("doc_id").reset_index(drop=True)

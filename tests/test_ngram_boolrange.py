@@ -164,3 +164,44 @@ def test_svo_stage_over_documents(ray_session, sf_dir):
     assert set(out.columns) == {"doc_id", "subject", "verb", "object", "confidence"}
     assert len(out) > 0
     assert out["confidence"].isin([1.0, 0.7]).all()
+
+
+def test_proximity_and_window_match(ray_session, sf_dir):
+    import numpy as np
+
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    prox = A.proximity_match(sf_dir)
+    win = A.window_match(sf_dir)
+    assert len(prox) > 0 and len(win) > 0
+    # every proximity hit must be verifiable against raw token positions
+    import pyarrow.parquet as pq
+
+    from news_information_retrieval_system_ray.functions.tokenize import tokenize
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs.set_index("doc_id")["text"]
+    t1, t2 = A.PROX_TERMS
+    for doc_id in prox["doc_id"].head(5):
+        toks = tokenize(docs.loc[doc_id], engine="whitespace")
+        p1 = [i for i, t in enumerate(toks) if t == t1]
+        p2 = [i for i, t in enumerate(toks) if t == t2]
+        assert min(abs(a - b) for a in p1 for b in p2) <= A.PROX_DIST
+    # a proximity miss containing both terms must exceed the distance
+    have_both = [d for d, txt in docs.items()
+                 if t1 in tokenize(txt, engine="whitespace")
+                 and t2 in tokenize(txt, engine="whitespace")]
+    misses = sorted(set(have_both) - set(prox["doc_id"]))
+    for doc_id in misses[:3]:
+        toks = tokenize(docs.loc[doc_id], engine="whitespace")
+        p1 = [i for i, t in enumerate(toks) if t == t1]
+        p2 = [i for i, t in enumerate(toks) if t == t2]
+        assert min(abs(a - b) for a in p1 for b in p2) > A.PROX_DIST
+    # window hits: one position per term with span < WINDOW_SIZE
+    for doc_id in win["doc_id"].head(3):
+        toks = tokenize(docs.loc[doc_id], engine="whitespace")
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in A.WINDOW_TERMS}
+        best = min(
+            max(c) - min(c)
+            for c in __import__("itertools").product(*(pos[t] for t in A.WINDOW_TERMS)))
+        assert best < A.WINDOW_SIZE
