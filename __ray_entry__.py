@@ -109,7 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": A.phrase_match,
         "proximity_match": A.proximity_match,
         "window_match": A.window_match,
+        "unified_search": A.unified_search,
         # facets / browse / aggregates
+        "facet_numeric_ranges": A.facet_numeric_ranges,
         "facet_source_counts": A.facet_source_counts,
         "facet_lang_counts": A.facet_lang_counts,
         "top_terms": A.top_terms,
@@ -908,6 +910,47 @@ def oracle_sql() -> dict[str, str]:
               AND greatest(a.tpos, b.tpos, c.tpos)
                   - least(a.tpos, b.tpos, c.tpos) < {A.WINDOW_SIZE}
             ORDER BY doc_id""",
+        "unified_search": _CTE + f""",
+            qterms(qid, term) AS (VALUES ('u_simple', 'spark'), ('u_simple', 'join')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT q.qid, tf.doc_id,
+                     ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                     * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+              FROM tf
+              JOIN qterms q USING (term)
+              JOIN dfs USING (term)
+              JOIN dln ON tf.doc_id = dln.doc_id
+              CROSS JOIN stats),
+            scores AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
+            ranked AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                       FROM scores),
+            booln AS (SELECT DISTINCT doc_id FROM tf
+                      WHERE term IN ('spark', 'vector')
+                        AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')),
+            fieldm AS (SELECT d.doc_id FROM documents d
+                       WHERE d.lang = 'en'
+                         AND d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark'))
+            SELECT qid, 'simple' AS mode, rank, doc_id, round(score, 4) AS score
+            FROM ranked WHERE rank <= 10
+            UNION ALL
+            SELECT 'u_bool', 'boolean', row_number() OVER (ORDER BY doc_id),
+                   doc_id, 0.0 FROM booln
+            UNION ALL
+            SELECT 'u_field', 'field', row_number() OVER (ORDER BY doc_id),
+                   doc_id, 0.0 FROM fieldm""",
+        "facet_numeric_ranges": f"""
+            WITH lab AS (
+              SELECT CASE
+                WHEN n_chars >= 0 AND n_chars < 200 THEN '0-199'
+                WHEN n_chars >= 200 AND n_chars < 400 THEN '200-399'
+                WHEN n_chars >= 400 THEN '400+'
+              END AS label
+              FROM documents)
+            SELECT label, count(*) AS count FROM lab
+            WHERE label IS NOT NULL GROUP BY label ORDER BY min(CASE label
+              WHEN '0-199' THEN 0 WHEN '200-399' THEN 1 ELSE 2 END)""",
         "pat_keywords": _CTE + """,
             cand AS (SELECT term, sum(tf)::BIGINT AS freq, count(*) AS df
                      FROM tf GROUP BY term

@@ -2297,3 +2297,116 @@ def window_match(sf_dir: str, terms: tuple[str, ...] | None = None,
 
     return toks.map_batches(check, batch_format="pyarrow").to_pandas() \
                .sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------- unified search facade
+
+UNIFIED_QUERIES = {
+    "u_simple": "spark join",
+    "u_bool": "(spark OR vector) AND NOT dup",
+    "u_field": "lang:en spark",
+}
+# recognized field prefixes (unified_search.py:578-597 derives these from
+# FieldIndexer.supported_fields + aliases; ours are the oracle-table fields)
+FIELD_PREFIXES = ("lang:", "source:", "date:")
+
+
+def detect_query_mode(query: str) -> str:
+    """Query-mode auto-detection (unified_search.py:549-577), faithfully:
+    field if any known 'field:' prefix occurs; else boolean if
+    'AND'/'OR'/'NOT' occurs as a SUBSTRING of the uppercased query (the
+    reference does not tokenize here — 'RANDOM' counts as boolean);
+    else simple."""
+    ql, qu = query.lower(), query.upper()
+    if ":" in query and any(p in ql for p in FIELD_PREFIXES):
+        return "field"
+    if any(op in qu for op in ("AND", "OR", "NOT")):
+        return "boolean"
+    return "simple"
+
+
+def unified_search(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Unified search facade (unified_search.py:486-547): detect each
+    query's mode and dispatch — simple -> distributed BM25 ranking,
+    boolean -> parsed set algebra, field -> exact-field filter + term
+    containment.  Boolean/field hits carry rank-by-doc_id and score 0
+    (set semantics, as the reference's boolean path)."""
+    rows: list[tuple] = []
+    for qid, qtext in UNIFIED_QUERIES.items():
+        mode = detect_query_mode(qtext)
+        if mode == "simple":
+            n_docs, avgdl = _corpus_stats(sf_dir)
+            t2q = {t: [qid] for t in set(qtext.split())}
+            out = (_bm25_scores(sf_dir, n_docs, avgdl, t2q)
+                   .groupby("qid").map_groups(_topk_group(k), batch_format="pandas")
+                   .to_pandas())
+            for _, r in out.iterrows():
+                rows.append((qid, mode, int(r["rank"]), int(r["doc_id"]),
+                             round4(float(r["score"]))))
+        elif mode == "boolean":
+            hits = boolean_parsed(sf_dir, expr=qtext)["doc_id"]
+            rows += [(qid, mode, i, int(d), 0.0)
+                     for i, d in enumerate(hits, 1)]
+        else:  # field
+            parts = qtext.split()
+            fields = dict(p.split(":", 1) for p in parts if ":" in p)
+            terms = [p for p in parts if ":" not in p]
+            base = boolean_and(sf_dir, terms)["doc_id"] if terms else None
+            tset = pa.array(sorted(base.astype(np.int64))) if base is not None else None
+            docs = _docs_ds(sf_dir, ["doc_id", *fields])
+
+            def f(t: pa.Table) -> pa.Table:
+                m = None
+                for fld, val in fields.items():
+                    e = pa.compute.equal(t.column(fld), val)
+                    m = e if m is None else pa.compute.and_(m, e)
+                t = t.filter(m)
+                if tset is not None:
+                    t = t.filter(pa.compute.is_in(t.column("doc_id"), value_set=tset))
+                return t.select(["doc_id"])
+
+            hits = (docs.map_batches(f, batch_format="pyarrow").to_pandas()
+                        .sort_values("doc_id")["doc_id"])
+            rows += [(qid, mode, i, int(d), 0.0)
+                     for i, d in enumerate(hits, 1)]
+    return pd.DataFrame(rows, columns=["qid", "mode", "rank", "doc_id", "score"])
+
+
+# --------------------------------------------- numeric-range facet
+
+NUMERIC_FACET_BUCKETS = ((0, 200, "0-199"), (200, 400, "200-399"),
+                         (400, 10**9, "400+"))
+
+
+def facet_numeric_ranges(sf_dir: str, field: str = "n_chars",
+                         buckets=NUMERIC_FACET_BUCKETS) -> pd.DataFrame:
+    """Numeric range facet (facet_engine.py:426-497): inclusive lower
+    bound, exclusive upper bound, configured bucket order, empty buckets
+    dropped.  Per-batch vectorized bucket counts (one histogram per
+    batch) -> a bucket-count aggregate; only |buckets| rows shuffle."""
+    from ray.data.aggregate import Sum
+
+    edges = np.array([b[0] for b in buckets] + [buckets[-1][1]], dtype=np.float64)
+    labels = [b[2] for b in buckets]
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = np.zeros(len(labels), np.int64)
+        if len(v):
+            idx = np.searchsorted(edges, v, side="right") - 1
+            valid = (idx >= 0) & (idx < len(labels))
+            iv, vv = idx[valid], v[valid]
+            iv = iv[vv < edges[iv + 1]]  # exclusive upper bound
+            counts = np.bincount(iv, minlength=len(labels)).astype(np.int64)
+        return pa.table({"label": pa.array(labels, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    agg = (_docs_ds(sf_dir, [field])
+           .map_batches(count_batch, batch_format="pyarrow")
+           .groupby("label").aggregate(Sum("n", alias_name="count"))
+           .to_pandas())
+    agg = agg[agg["count"] > 0]
+    order = {lb: i for i, lb in enumerate(labels)}
+    agg = agg.sort_values("label", key=lambda s: s.map(order)).reset_index(drop=True)
+    agg["count"] = agg["count"].astype(np.int64)
+    return agg[["label", "count"]]

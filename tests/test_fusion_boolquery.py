@@ -100,3 +100,49 @@ def test_evaluate_malformed():
 def test_unknown_term_is_empty():
     assert list(search_boolean("zzz AND a", _p, UNIVERSE)) == []
     assert list(search_boolean("NOT zzz", _p, UNIVERSE)) == list(UNIVERSE)
+
+
+def test_detect_query_mode_reference_rules():
+    from news_information_retrieval_system_ray.pipelines.analytics import (
+        detect_query_mode,
+    )
+
+    assert detect_query_mode("lang:en spark") == "field"
+    assert detect_query_mode("date:[2024 TO 2025]") == "field"
+    assert detect_query_mode("spark AND join") == "boolean"
+    assert detect_query_mode("(a OR b) AND NOT c") == "boolean"
+    assert detect_query_mode("spark join") == "simple"
+    # faithful substring quirk (unified_search.py:566-571): 'AND'
+    # inside a word still routes boolean; unknown field prefix falls
+    # through to the boolean/simple checks
+    assert detect_query_mode("random walk") == "boolean"
+    assert detect_query_mode("title:foo") == "simple"
+
+
+def test_unified_search_modes(ray_session, sf_dir):
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    out = A.unified_search(sf_dir)
+    modes = dict(out.groupby("qid")["mode"].first())
+    assert modes == {"u_simple": "simple", "u_bool": "boolean",
+                     "u_field": "field"}
+    simple = out[out["qid"] == "u_simple"]
+    assert len(simple) <= 10 and (simple["score"] > 0).all()
+    rest = out[out["qid"] != "u_simple"]
+    assert (rest["score"] == 0).all()
+
+
+def test_facet_numeric_ranges_buckets(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    out = A.facet_numeric_ranges(sf_dir)
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert out["count"].sum() == n  # buckets cover the whole n_chars range
+    # inclusive-lower / exclusive-upper: recount one bucket directly
+    vals = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars"]).column("n_chars").to_numpy()
+    mid = int(((vals >= 200) & (vals < 400)).sum())
+    got = out.set_index("label")["count"].get("200-399", 0)
+    assert got == mid
