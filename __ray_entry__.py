@@ -45,6 +45,48 @@ stats AS (SELECT (SELECT count(*) FROM documents) AS n,
 """
 
 
+_YAKE_CTE = """
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            fl AS (
+              SELECT doc_id, list_filter(string_split(t, ' '),
+                     x -> regexp_matches(x, '[a-z0-9_]')) AS toks
+              FROM norm),
+            seq AS (
+              SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+              FROM fl WHERE len(toks) > 0),
+            nb AS (
+              SELECT doc_id, term, pos,
+                     lag(term)  OVER (PARTITION BY doc_id ORDER BY pos) AS lt,
+                     lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS rt
+              FROM seq),
+            tstat AS (
+              SELECT doc_id, term, count(*) AS tf, median(pos) AS med,
+                     count(lt) AS lc, count(DISTINCT lt) AS ld,
+                     count(rt) AS rc, count(DISTINCT rt) AS rd
+              FROM nb GROUP BY doc_id, term),
+            dstat AS (
+              SELECT doc_id, avg(tf) AS mtf, coalesce(stddev_pop(tf), 0) AS stf,
+                     max(tf) AS xtf
+              FROM tstat GROUP BY doc_id),
+            s AS (
+              SELECT t.doc_id, t.term,
+                     (1 + ((CASE WHEN t.lc > 0 THEN t.ld * 1.0 / t.lc ELSE 0 END)
+                         + (CASE WHEN t.rc > 0 THEN t.rd * 1.0 / t.rc ELSE 0 END))
+                          * t.tf / d.xtf) AS rel,
+                     ln(ln(3 + t.med)) AS posw,
+                     t.tf / (d.mtf + d.stf) AS tfnorm
+              FROM tstat t JOIN dstat d USING (doc_id)),
+            ranked AS (
+              SELECT doc_id, term, (rel * posw) / ((tfnorm + 1) / rel) AS score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY (rel * posw) / ((tfnorm + 1) / rel) ASC, term ASC) AS rank
+              FROM s)
+"""
+
+
 def _qterms_values() -> str:
     rows = []
     for qid, terms in A.FIXED_QUERIES.items():
@@ -124,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_lm_perplexity": A.ngram_lm_perplexity,
         "substring_freq": A.substring_freq,
         "rake_keywords": A.rake_keywords,
+        "keyword_eval": A.keyword_eval,
         "yake_unigram_topk": A.yake_unigram_topk,
         "yake_keywords": A.yake_doc_keywords,
         "csoundex_expand": A.csoundex_expand,
@@ -565,47 +608,36 @@ def oracle_sql() -> dict[str, str]:
         # filtered token sequence; doc = one sentence) — positions via
         # generate_subscripts over the SAME filtered list the Ray
         # tokenizer produces, neighbors via lag/lead window
-        "yake_unigram_topk": """
-            WITH norm AS (
-              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-              FROM documents),
-            fl AS (
-              SELECT doc_id, list_filter(string_split(t, ' '),
-                     x -> regexp_matches(x, '[a-z0-9_]')) AS toks
-              FROM norm),
-            seq AS (
-              SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
-              FROM fl WHERE len(toks) > 0),
-            nb AS (
-              SELECT doc_id, term, pos,
-                     lag(term)  OVER (PARTITION BY doc_id ORDER BY pos) AS lt,
-                     lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS rt
-              FROM seq),
-            tstat AS (
-              SELECT doc_id, term, count(*) AS tf, median(pos) AS med,
-                     count(lt) AS lc, count(DISTINCT lt) AS ld,
-                     count(rt) AS rc, count(DISTINCT rt) AS rd
-              FROM nb GROUP BY doc_id, term),
-            dstat AS (
-              SELECT doc_id, avg(tf) AS mtf, coalesce(stddev_pop(tf), 0) AS stf,
-                     max(tf) AS xtf
-              FROM tstat GROUP BY doc_id),
-            s AS (
-              SELECT t.doc_id, t.term,
-                     (1 + ((CASE WHEN t.lc > 0 THEN t.ld * 1.0 / t.lc ELSE 0 END)
-                         + (CASE WHEN t.rc > 0 THEN t.rd * 1.0 / t.rc ELSE 0 END))
-                          * t.tf / d.xtf) AS rel,
-                     ln(ln(3 + t.med)) AS posw,
-                     t.tf / (d.mtf + d.stf) AS tfnorm
-              FROM tstat t JOIN dstat d USING (doc_id)),
-            ranked AS (
-              SELECT doc_id, term, (rel * posw) / ((tfnorm + 1) / rel) AS score,
-                     row_number() OVER (
-                       PARTITION BY doc_id
-                       ORDER BY (rel * posw) / ((tfnorm + 1) / rel) ASC, term ASC) AS rank
-              FROM s)
+        "yake_unigram_topk": _YAKE_CTE + """
             SELECT doc_id, rank, term, round(score, 4) AS score
             FROM ranked WHERE rank <= 5""",
+        "keyword_eval": _YAKE_CTE + """,
+            ext AS (SELECT doc_id, term FROM ranked WHERE rank <= 5),
+            gold AS (SELECT doc_id, term FROM (
+                       SELECT doc_id, term,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY tf DESC, term) AS g
+                       FROM tstat) WHERE g <= 5),
+            ecnt AS (SELECT doc_id, count(*)::DOUBLE AS ne FROM ext GROUP BY doc_id),
+            gcnt AS (SELECT doc_id, count(*)::DOUBLE AS ng FROM gold GROUP BY doc_id),
+            icnt AS (SELECT e.doc_id, count(*)::DOUBLE AS ni
+                     FROM ext e JOIN gold g USING (doc_id, term) GROUP BY e.doc_id),
+            dlen AS (SELECT doc_id, sum(tf)::DOUBLE AS nt FROM tstat GROUP BY doc_id),
+            cov AS (SELECT t.doc_id, sum(t.tf)::DOUBLE AS ct
+                    FROM tstat t JOIN ext USING (doc_id, term) GROUP BY t.doc_id),
+            m AS (SELECT e.doc_id,
+                         coalesce(i.ni, 0) / e.ne AS p,
+                         coalesce(i.ni, 0) / g.ng AS r,
+                         coalesce(c.ct, 0) / d.nt AS cv
+                  FROM ecnt e JOIN gcnt g USING (doc_id)
+                  LEFT JOIN icnt i USING (doc_id)
+                  JOIN dlen d USING (doc_id)
+                  LEFT JOIN cov c USING (doc_id))
+            SELECT doc_id, round(p, 4) AS p_at_k, round(r, 4) AS r_at_k,
+                   round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                              ELSE 0 END, 4) AS f1,
+                   round(cv, 4) AS coverage
+            FROM m ORDER BY doc_id""",
         "csoundex_expand": _CTE + f""",
             vocab AS (SELECT DISTINCT term FROM tf
                       WHERE regexp_matches(term, '^[a-z]+$')),

@@ -2410,3 +2410,43 @@ def facet_numeric_ranges(sf_dir: str, field: str = "n_chars",
     agg = agg.sort_values("label", key=lambda s: s.map(order)).reset_index(drop=True)
     agg["count"] = agg["count"].astype(np.int64)
     return agg[["label", "count"]]
+
+
+def keyword_eval(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-doc keyword-extraction evaluation (evaluator.py:146-515):
+    extracted = YAKE unigram top-k, gold = top-k terms by raw tf (tie:
+    term asc); metrics = precision/recall/F1 vs gold + occurrence-
+    weighted coverage of the doc's tokens.  (Diversity is identically 1
+    for distinct unigram lists, so it is unit-tested on phrase lists in
+    functions/keyword_eval.py rather than reported here.)
+
+    Everything is computed inside ONE map_batches over the positional
+    tokens stream — extraction, gold and metrics share the per-doc row;
+    nothing shuffles."""
+    from ..functions.keyword_eval import precision_recall_f1
+    from ..functions.yake import yake_unigram_scores
+
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def ev(t: pa.Table) -> pa.Table:
+        ids, ps, rs, f1s, covs = [], [], [], [], []
+        for row in t.to_pylist():
+            terms, tfs = row["terms"], row["tfs"]
+            ext = [term for term, _ in
+                   yake_unigram_scores(terms, row["positions"])[:k]]
+            order = sorted(range(len(terms)), key=lambda i: (-tfs[i], terms[i]))
+            gold = [terms[i] for i in order[:k]]
+            p, r, f1 = precision_recall_f1(ext, gold)
+            tfmap = dict(zip(terms, tfs))
+            total = float(sum(tfs))
+            cov = sum(tfmap[x] for x in ext) / total if total else 0.0
+            ids.append(row["doc_id"]); ps.append(round4(p))
+            rs.append(round4(r)); f1s.append(round4(f1)); covs.append(round4(cov))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "p_at_k": pa.array(ps, pa.float64()),
+                         "r_at_k": pa.array(rs, pa.float64()),
+                         "f1": pa.array(f1s, pa.float64()),
+                         "coverage": pa.array(covs, pa.float64())})
+
+    return toks.map_batches(ev, batch_format="pyarrow").to_pandas() \
+               .sort_values("doc_id").reset_index(drop=True)

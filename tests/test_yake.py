@@ -103,3 +103,37 @@ def test_full_yake_empty_and_stops():
                            stops=frozenset({"the", "on"}))
     names = [w for w, _ in ranked]
     assert "the" not in names and "on" not in names
+
+
+def test_keyword_eval_kernels():
+    from news_information_retrieval_system_ray.functions.keyword_eval import (
+        coverage,
+        diversity,
+        precision_recall_f1,
+    )
+
+    p, r, f1 = precision_recall_f1(["a", "b", "c"], ["b", "c", "d", "e"])
+    assert p == 2 / 3 and r == 0.5
+    assert abs(f1 - (2 * p * r / (p + r))) < 1e-12
+    assert precision_recall_f1([], ["a"]) == (0.0, 0.0, 0.0)
+    # diversity: phrase lists with repeated tokens (evaluator.py:435-471)
+    assert diversity(["data lake", "lake house"]) == 3 / 4
+    assert diversity(["x", "y"]) == 1.0
+    # coverage is occurrence-weighted over the text tokens (:473-515)
+    assert coverage(["cat"], ["the", "cat", "sat", "cat"]) == 0.5
+    assert coverage([], ["a"]) == 0.0
+
+
+def test_keyword_eval_pipeline(ray_session, sf_dir):
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    out = A.keyword_eval(sf_dir)
+    assert set(out.columns) == {"doc_id", "p_at_k", "r_at_k", "f1", "coverage"}
+    for c in ("p_at_k", "r_at_k", "f1", "coverage"):
+        assert out[c].between(0, 1).all()
+    # F1 consistency with P/R on a sample
+    s = out.head(20)
+    import numpy as np
+    pr = s["p_at_k"] + s["r_at_k"]
+    exp = np.where(pr > 0, 2 * s["p_at_k"] * s["r_at_k"] / pr, 0.0)
+    assert np.allclose(s["f1"], exp, atol=5e-4)
