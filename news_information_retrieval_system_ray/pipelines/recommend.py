@@ -45,8 +45,10 @@ import pyarrow.compute as pc
 from .analytics import (
     FIXED_QUERIES,  # noqa: F401  (shared query-surface conventions)
     _corpus_stats,
+    _df_map,
     _exploded_ds,
     _memo,
+    _sum_by,
     round4,
 )
 
@@ -80,7 +82,6 @@ def _interactions_ds(sf_dir: str):
 
     def build():
         import ray.data as rd
-        from ray.data.aggregate import Sum
 
         ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["user_id", "value", "props"])
@@ -93,10 +94,11 @@ def _interactions_ds(sf_dir: str):
             return pa.table({"user_id": t.column("user_id"), "item": item,
                              "value": t.column("value")})
 
-        return (ds.map_batches(extract, batch_format="pyarrow")
-                  .groupby(["user_id", "item"])
-                  .aggregate(Sum("value", alias_name="rating"))
-                  .materialize())
+        agg = _sum_by(ds.map_batches(extract, batch_format="pyarrow"),
+                      ("user_id", "item"), ("value",))
+        return agg.map_batches(
+            lambda t: t.rename_columns(["user_id", "item", "rating"]),
+            batch_format="pyarrow").materialize()
 
     return _memo(("interactions", sf_dir), build)
 
@@ -110,15 +112,13 @@ def _norms_map(sf_dir: str, key: str) -> dict[int, float]:
     """
 
     def build():
-        from ray.data.aggregate import Sum
-
         sq = _interactions_ds(sf_dir).map_batches(
             lambda t: pa.table({key: t.column(key),
                                 "sq": pc.multiply(t.column("rating"),
                                                   t.column("rating"))}),
             batch_format="pyarrow")
-        rows = sq.groupby(key).aggregate(Sum("sq", alias_name="ss")).take_all()
-        return {int(r[key]): math.sqrt(float(r["ss"])) for r in rows}
+        rows = _sum_by(sq, (key,), ("sq",)).take_all()
+        return {int(r[key]): math.sqrt(float(r["sq"])) for r in rows}
 
     return _memo(("norms", sf_dir, key), build)
 
@@ -127,12 +127,10 @@ def _pair_dots(sf_dir: str, group_key: str, pair_key: str):
     """Upper-triangle co-rating dot products.
 
     groupby(group_key) -> vectorized pair products within each group ->
-    groupby((a,b)).sum shuffle.  Group sizes bound the blow-up: at web
+    partial-sum merge on (a,b).  Group sizes bound the blow-up: at web
     scale, cap or sample members of hot groups before pairing (viral
     items / bot users), exactly like salting a skewed join key.
     """
-    from ray.data.aggregate import Sum
-
     inter = _interactions_ds(sf_dir)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -147,10 +145,8 @@ def _pair_dots(sf_dir: str, group_key: str, pair_key: str):
         iu, ju = np.triu_indices(n, k=1)
         return pd.DataFrame({"a": ids[iu], "b": ids[ju], "dot": r[iu] * r[ju]})
 
-    return (inter.groupby(group_key)
-                 .map_groups(pairs, batch_format="pandas")
-                 .groupby(["a", "b"])
-                 .aggregate(Sum("dot", alias_name="dot")))
+    emitted = inter.groupby(group_key).map_groups(pairs, batch_format="pandas")
+    return _sum_by(emitted, ("a", "b"), ("dot",))
 
 
 def _sims_ds(sf_dir: str, group_key: str, pair_key: str, min_sim: float):
@@ -216,8 +212,6 @@ def cf_user_recs(sf_dir: str, k: int = 5, n_neighbors: int = N_NEIGHBORS,
     seen" is folded into the SAME aggregate via a tagged union instead
     of a second anti-join shuffle.
     """
-    from ray.data.aggregate import Sum
-
     inter = _interactions_ds(sf_dir)
     sims = _sims_ds(sf_dir, "item", "user_id", min_sim)
 
@@ -256,11 +250,8 @@ def cf_user_recs(sf_dir: str, k: int = 5, n_neighbors: int = N_NEIGHBORS,
                                    np.zeros(len(cat_u), np.int64)]),
         })
 
-    agg = (inter.map_batches(contribs, batch_format="pyarrow")
-                .groupby(["user_id", "item"])
-                .aggregate(Sum("num", alias_name="num"),
-                           Sum("den", alias_name="den"),
-                           Sum("own", alias_name="own")))
+    agg = _sum_by(inter.map_batches(contribs, batch_format="pyarrow"),
+                  ("user_id", "item"), ("num", "den", "own"))
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[(g["own"] == 0) & (g["den"] > 0)].copy()
@@ -291,11 +282,7 @@ def _doc_tfidf_parts(sf_dir: str):
     n_docs, _ = _corpus_stats(sf_dir)
     ex = _exploded_ds(sf_dir)
 
-    def build():
-        return {r["term"]: int(r["df"]) for r in
-                ex.groupby("term").aggregate(Count(alias_name="df")).take_all()}
-
-    df_map = _memo(("df_map", sf_dir), build)
+    df_map = _df_map(sf_dir)
 
     def idf(term: str) -> float:
         df = df_map.get(term, 0)
