@@ -1958,10 +1958,10 @@ def doc_hac_clusters(sf_dir: str, n_docs: int = 60, k: int = 8,
         i, j = np.triu_indices(len(d), 1)
         return pd.DataFrame({"d1": d[i], "d2": d[j], "p": w[i] * w[j]})
 
-    sims = toks.map_batches(weights, batch_format="pyarrow") \
-               .groupby("term").map_groups(pair_contrib, batch_format="pandas") \
-               .groupby(["d1", "d2"]).aggregate(Sum("p", alias_name="sim")) \
-               .to_pandas()
+    contrib = toks.map_batches(weights, batch_format="pyarrow") \
+                  .groupby("term").map_groups(pair_contrib, batch_format="pandas")
+    sims = _sum_by(contrib, ("d1", "d2"), ("p",)).to_pandas() \
+        .rename(columns={"p": "sim"})
     ids = sorted(set(sims["d1"]) | set(sims["d2"]))
     pos = {d: i for i, d in enumerate(ids)}
     S = np.zeros((len(ids), len(ids)))

@@ -118,6 +118,9 @@ def kmeans(ds, *, k: int = 8, dim: int, n_iter: int = 10, seed: int = 17,
     the first batch's vectors, fixed iteration count."""
     import ray
 
+    # pin the input in the object store once: a lazy read_parquet would
+    # otherwise re-read and re-decode the parquet on EVERY iteration
+    ds = ds.materialize()
     first = ds.take_batch(max(k * 4, 64), batch_format="pandas")
     init = np.array(first[vec_col].tolist(), dtype=np.float64)
     rng = np.random.default_rng(seed)
