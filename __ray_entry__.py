@@ -15,6 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from news_information_retrieval_system_ray.pipelines import analytics as A
+from news_information_retrieval_system_ray.pipelines import ltr as L
 from news_information_retrieval_system_ray.pipelines import recommend as RC
 from news_information_retrieval_system_ray.pipelines import topics as T
 
@@ -212,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pat_keywords": A.pat_keywords,
         # syntax plumbing (SVO tree walk; parser model stubbed)
         "svo_triples": A.svo_triples,
+        # learning-to-rank (app LTR services)
+        "ltr_features": L.ltr_features,
+        "ltr_train": L.ltr_train,
     }
 
 
@@ -387,6 +391,25 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_sql,
         "eval_pr_at_k": eval_pr_sql,
         "bm25_wand_topk": bm25_sql,
+        "ltr_features": _CTE + bm25_rank_cte + """,
+            cand AS (SELECT q.qid, tf.doc_id, count(*) AS match_count,
+                            min(dln.dl) AS doc_len
+                     FROM tf JOIN qterms q USING (term)
+                             JOIN dln USING (doc_id)
+                     GROUP BY 1, 2),
+            qtc AS (SELECT qid, count(*) AS qtc FROM qterms GROUP BY qid),
+            feats AS (SELECT c.qid, c.doc_id, qtc.qtc AS query_term_count,
+                             c.match_count,
+                             round(coalesce(s.score, 0), 4) AS bm25_score,
+                             c.doc_len,
+                             CASE WHEN c.match_count = qtc.qtc THEN 2
+                                  WHEN 2 * c.match_count >= qtc.qtc THEN 1
+                                  ELSE 0 END AS grade
+                      FROM cand c JOIN qtc USING (qid)
+                      LEFT JOIN scores s ON s.qid = c.qid AND s.doc_id = c.doc_id)
+            SELECT qid, doc_id, query_term_count, match_count, bm25_score,
+                   doc_len, round(grade / 3.0, 6) AS label
+            FROM feats ORDER BY qid, doc_id""",
         "tfidf_topk": _CTE + f""",
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
             wd AS (SELECT tf.doc_id, tf.term,
