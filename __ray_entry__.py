@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_metrics": A.eval_metrics,
         "eval_pr_at_k": A.eval_pr_at_k,
         "search_snippets": A.search_snippets,
+        "kwic_fixed": A.kwic_contexts_query,
         "textrank_keywords": A.textrank_keywords,
         "summarize_leadk": A.summarize_leadk,
         "summarize_key_sentences": A.summarize_key_sentences,
@@ -965,6 +966,31 @@ def oracle_sql() -> dict[str, str]:
               AND greatest(a.tpos, b.tpos, c.tpos)
                   - least(a.tpos, b.tpos, c.tpos) < {A.WINDOW_SIZE}
             ORDER BY doc_id""",
+        "kwic_fixed": f"""
+            WITH hit AS (
+              SELECT doc_id, text,
+                     strpos(lower(text), '{A.KWIC_KEYWORD}') AS p,
+                     {len(A.KWIC_KEYWORD)} AS kl
+              FROM documents WHERE strpos(lower(text), '{A.KWIC_KEYWORD}') > 0),
+            raw AS (
+              SELECT doc_id, text, p, kl,
+                     greatest(0, p - 1 - {A.KWIC_WIDTH}) AS ls,
+                     least(length(text), p - 1 + kl + {A.KWIC_WIDTH}) AS re
+              FROM hit),
+            ctx AS (
+              SELECT doc_id, p - 1 AS position,
+                     substr(text, ls + 1, (p - 1) - ls) AS l0,
+                     substr(text, p, kl) AS keyword,
+                     substr(text, p + kl, re - (p - 1 + kl)) AS r0,
+                     ls, re, length(text) AS n
+              FROM raw)
+            SELECT doc_id, position,
+                   CASE WHEN ls > 0 AND contains(l0, ' ')
+                        THEN regexp_replace(l0, '^[^ ]* ', '') ELSE l0 END AS left_ctx,
+                   keyword,
+                   CASE WHEN re < n AND contains(r0, ' ')
+                        THEN regexp_replace(r0, ' [^ ]*$', '') ELSE r0 END AS right_ctx
+            FROM ctx ORDER BY doc_id""",
         "unified_search": _CTE + f""",
             qterms(qid, term) AS (VALUES ('u_simple', 'spark'), ('u_simple', 'join')),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

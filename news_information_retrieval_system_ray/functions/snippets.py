@@ -99,3 +99,77 @@ def kwic_windows(text: str, term: str, width: int = 30,
         out.append((p, text[max(0, p - width): p + len(term) + width]))
         start = p + len(term)
     return out
+
+
+# ---------------------------------------------------- KWIC window modes
+
+_SENT_TERM = ".!?"
+_BREAKPOINTS = (",", ";", ":", "-", "(", ")")
+
+
+def kwic_contexts(text: str, position: int, keyword_length: int,
+                  window_type: str = "fixed",
+                  window_size: int = 30) -> tuple[str, str]:
+    """(left, right) context for one keyword hit, per window mode
+    (dynamic.py:302-413).
+
+    - ``fixed``: char window trimmed to word boundaries;
+    - ``sentence``: up to the enclosing sentence terminators, stripped;
+    - ``adaptive``: fixed window, then cut at the nearest natural
+      breakpoint (comma/semicolon/...) on each side.
+    """
+    if window_type == "sentence":
+        sent_start = 0
+        for i in range(position - 1, -1, -1):
+            if text[i] in _SENT_TERM:
+                sent_start = i + 1
+                break
+        sent_end = len(text)
+        for i in range(position + keyword_length, len(text)):
+            if text[i] in _SENT_TERM:
+                sent_end = i
+                break
+        return (text[sent_start:position].strip(),
+                text[position + keyword_length:sent_end].strip())
+
+    left_start = max(0, position - window_size)
+    left = text[left_start:position]
+    if left_start > 0 and " " in left:
+        left = left[left.find(" ") + 1:]
+    right_end = min(len(text), position + keyword_length + window_size)
+    right = text[position + keyword_length:right_end]
+    if right_end < len(text) and " " in right:
+        right = right[:right.rfind(" ")]
+    if window_type == "adaptive":
+        for bp in _BREAKPOINTS:
+            if bp in left:
+                left = left[left.rfind(bp) + 1:].strip()
+                break
+        for bp in _BREAKPOINTS:
+            if bp in right:
+                right = right[:right.find(bp)].strip()
+                break
+    return left, right
+
+
+def kwic_matches(text: str, keyword: str, window_type: str = "fixed",
+                 window_size: int = 30, max_matches: int = 5,
+                 case_sensitive: bool = False) -> list[dict]:
+    """All KWIC matches of one keyword with mode-specific contexts
+    (dynamic.py:150-300)."""
+    if not text or not keyword:
+        return []
+    hay = text if case_sensitive else text.lower()
+    needle = keyword if case_sensitive else keyword.lower()
+    out: list[dict] = []
+    start = 0
+    while len(out) < max_matches:
+        p = hay.find(needle, start)
+        if p < 0:
+            break
+        left, right = kwic_contexts(text, p, len(keyword),
+                                    window_type, window_size)
+        out.append({"position": p, "left": left,
+                    "keyword": text[p:p + len(keyword)], "right": right})
+        start = p + len(keyword)
+    return out

@@ -2498,3 +2498,37 @@ def keyword_eval(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     return toks.map_batches(ev, batch_format="pyarrow").to_pandas() \
                .sort_values("doc_id").reset_index(drop=True)
+
+
+KWIC_KEYWORD = "spark"
+KWIC_WIDTH = 30
+
+
+def kwic_contexts_query(sf_dir: str, keyword: str = KWIC_KEYWORD,
+                        window_type: str = "fixed",
+                        window_size: int = KWIC_WIDTH) -> pd.DataFrame:
+    """First KWIC match of ``keyword`` per doc with mode-specific contexts
+    (dynamic.py KWICGenerator, window modes :302-413).  The ``fixed``
+    mode is oracle-checked; sentence/adaptive share the same kernel and
+    are golden-tested (tests/test_snippets.py)."""
+    from ..functions.snippets import kwic_matches
+
+    def k(t: pa.Table) -> pa.Table:
+        ids, pos, lefts, kws, rights = [], [], [], [], []
+        for row in t.to_pylist():
+            for m in kwic_matches(row["text"], keyword, window_type,
+                                  window_size, max_matches=1):
+                ids.append(row["doc_id"])
+                pos.append(m["position"])
+                lefts.append(m["left"])
+                kws.append(m["keyword"])
+                rights.append(m["right"])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "position": pa.array(pos, pa.int64()),
+                         "left_ctx": pa.array(lefts, pa.string()),
+                         "keyword": pa.array(kws, pa.string()),
+                         "right_ctx": pa.array(rights, pa.string())})
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]) \
+        .map_batches(k, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)

@@ -51,3 +51,40 @@ def test_kwic_positions_and_windows():
 def test_kwic_empty():
     assert kwic_windows("", "x") == []
     assert kwic_windows("abc", "") == []
+
+
+def test_kwic_window_modes_reference_semantics():
+    from news_information_retrieval_system_ray.functions.snippets import (
+        kwic_contexts,
+        kwic_matches,
+    )
+
+    text = "Alpha beta, gamma spark delta; epsilon. Next sentence spark here."
+    p = text.find("spark")
+    # fixed: char window trimmed at word boundaries (dynamic.py:302-337)
+    l, r = kwic_contexts(text, p, 5, "fixed", 10)
+    assert l == "gamma " and r == " delta;"
+    # sentence: to the enclosing terminators, stripped (:339-373)
+    l, r = kwic_contexts(text, p, 5, "sentence")
+    assert l == "Alpha beta, gamma" and r == "delta; epsilon"
+    # adaptive: fixed window cut at natural breakpoints (:375-413)
+    l, r = kwic_contexts(text, p, 5, "adaptive", 20)
+    assert "," not in l and ";" not in r
+    assert l == "gamma" and r == "delta"
+    # multi-match iteration, case-insensitive, max_matches
+    ms = kwic_matches(text, "SPARK", "fixed", 10, max_matches=5)
+    assert [m["position"] for m in ms] == [p, text.find("spark", p + 1)]
+    assert all(m["keyword"] == "spark" for m in ms)
+    assert kwic_matches(text, "zzz") == []
+
+
+def test_kwic_query_modes(ray_session, sf_dir):
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    fixed = A.kwic_contexts_query(sf_dir)
+    sent = A.kwic_contexts_query(sf_dir, window_type="sentence")
+    assert len(fixed) == len(sent) > 0
+    assert (fixed["keyword"] == A.KWIC_KEYWORD).all()
+    # fixed contexts are width-bounded
+    assert fixed["left_ctx"].str.len().max() <= A.KWIC_WIDTH
+    assert fixed["right_ctx"].str.len().max() <= A.KWIC_WIDTH
