@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_date_ranges": A.facet_date_ranges,
         # cleaning / dates / feedback
         "clean_corpus": A.clean_corpus,
+        "corpus_audit": A.corpus_audit,
         "standardize_dates": A.standardize_dates,
         "rocchio_topk": A.rocchio_topk,
         # quality / counting / fingerprints
@@ -571,6 +572,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_clean
             FROM documents
             WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''""",
+        "corpus_audit": _CTE + r""",
+            cleaned AS (SELECT trim(regexp_replace(text, '\s+', ' ', 'g')) AS ct
+                        FROM documents)
+            SELECT (SELECT count(*) FROM documents) AS total_documents,
+                   (SELECT count(*) FROM cleaned WHERE ct = '') AS empty_docs,
+                   (SELECT min(n_chars) FROM documents) AS chars_min,
+                   (SELECT max(n_chars) FROM documents) AS chars_max,
+                   (SELECT round(avg(n_chars), 4) FROM documents) AS chars_mean,
+                   (SELECT round(median(n_chars), 4) FROM documents) AS chars_median,
+                   (SELECT min(dl) FROM dln) AS tokens_min,
+                   (SELECT max(dl) FROM dln) AS tokens_max,
+                   (SELECT round(avg(dl), 4) FROM dln) AS tokens_mean,
+                   (SELECT round(median(dl), 4) FROM dln) AS tokens_median,
+                   (SELECT count(DISTINCT md5(text)) FROM documents) AS unique_hashes,
+                   (SELECT count(*) FROM documents)
+                     - (SELECT count(DISTINCT md5(text)) FROM documents) AS duplicate_hashes""",
         "standardize_dates": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS date_std
             FROM orders""",

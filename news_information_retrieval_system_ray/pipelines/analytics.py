@@ -2532,3 +2532,71 @@ def kwic_contexts_query(sf_dir: str, keyword: str = KWIC_KEYWORD,
     return _docs_ds(sf_dir, ["doc_id", "text"]) \
         .map_batches(k, batch_format="pyarrow").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def _hist_stats(values: np.ndarray, counts: np.ndarray) -> tuple:
+    """(min, max, mean, median) EXACTLY from a value->count histogram —
+    the distributed form of corpus_audit_service._numeric_stats
+    (statistics.fmean / statistics.median semantics)."""
+    order = np.argsort(values)
+    v, c = values[order].astype(np.float64), counts[order].astype(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    mean = float((v * c).sum()) / n
+
+    def at(pos_1based: int) -> float:  # value holding the k-th sorted slot
+        return float(v[np.searchsorted(cum, pos_1based)])
+
+    if n % 2 == 1:
+        med = at((n + 1) // 2)
+    else:
+        med = (at(n // 2) + at(n // 2 + 1)) / 2.0
+    return float(v[0]), float(v[-1]), mean, med
+
+
+def corpus_audit(sf_dir: str) -> pd.DataFrame:
+    """One-row corpus audit (corpus_audit_service.py:45-256): doc count,
+    empty-after-clean count, content-char and token-length
+    min/max/mean/median, distinct content hashes and duplicate count.
+
+    Distributed shape: both length distributions reduce to value->count
+    HISTOGRAMS (bounded domains) via the partial-sum pattern, so exact
+    medians come from a cumsum over the tiny histogram instead of a
+    global sort; the distinct-hash count is a partial-count stream whose
+    row count is taken without collecting.
+    """
+    from ..functions.hashing import md5_hex
+    from ..functions.textnorm import clean_text
+
+    docs = _docs_ds(sf_dir, ["text", "n_chars"])
+
+    def chars_and_flags(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "n_chars": t.column("n_chars"),
+            "empty": pa.array([1 if clean_text(x or "") == "" else 0
+                               for x in texts], pa.int64()),
+            "h": pa.array([md5_hex(x or "") for x in texts], pa.string()),
+        })
+
+    enriched = docs.map_batches(chars_and_flags, batch_format="pyarrow").materialize()
+    chist = _sum_by(enriched, ("n_chars",), ("empty",), counts=("c",)).to_pandas()
+    n_empty = int(chist["empty"].sum())
+    cmin, cmax, cmean, cmed = _hist_stats(chist["n_chars"].to_numpy(),
+                                          chist["c"].to_numpy())
+    unique_hashes = int(_sum_by(enriched, ("h",), (), counts=("c",)).count())
+
+    thist = _sum_by(_tokens_ds(sf_dir), ("doc_len",), (), counts=("c",)).to_pandas()
+    tmin, tmax, tmean, tmed = _hist_stats(thist["doc_len"].to_numpy(),
+                                          thist["c"].to_numpy())
+    n = int(chist["c"].sum())
+    return pd.DataFrame([{
+        "total_documents": n,
+        "empty_docs": n_empty,
+        "chars_min": int(cmin), "chars_max": int(cmax),
+        "chars_mean": round4(cmean), "chars_median": round4(cmed),
+        "tokens_min": int(tmin), "tokens_max": int(tmax),
+        "tokens_mean": round4(tmean), "tokens_median": round4(tmed),
+        "unique_hashes": unique_hashes,
+        "duplicate_hashes": n - unique_hashes,
+    }])

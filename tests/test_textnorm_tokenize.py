@@ -63,3 +63,35 @@ def test_tokenizers_deterministic():
     tok = get_tokenizer("cjk_bigram")
     s = normalize_text("颱風鳳凰影響 台灣 economy-2024")
     assert tok(s) == tok(s)
+
+
+def test_corpus_audit_hist_stats():
+    import numpy as np
+
+    from news_information_retrieval_system_ray.pipelines.analytics import (
+        _hist_stats,
+    )
+
+    # odd n: exact middle; even n: average of the two middles
+    v = np.array([5, 1, 3]); c = np.array([1, 2, 2])  # values 1,1,3,3,5
+    mn, mx, mean, med = _hist_stats(v, c)
+    assert (mn, mx) == (1.0, 5.0)
+    assert mean == (1 + 1 + 3 + 3 + 5) / 5
+    assert med == 3.0
+    v = np.array([10, 2]); c = np.array([1, 3])  # 2,2,2,10
+    assert _hist_stats(v, c)[3] == 2.0
+    v = np.array([4, 2]); c = np.array([2, 2])  # 2,2,4,4
+    assert _hist_stats(v, c)[3] == 3.0
+
+
+def test_corpus_audit_pipeline(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    out = A.corpus_audit(sf_dir).iloc[0]
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert out["total_documents"] == n
+    assert 0 <= out["duplicate_hashes"] < n
+    assert out["chars_min"] <= out["chars_median"] <= out["chars_max"]
+    assert out["tokens_min"] <= out["tokens_median"] <= out["tokens_max"]
