@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_match": A.wildcard_match,
         "facet_filtered_search": A.facet_filtered_search,
         "eval_metrics": A.eval_metrics,
+        "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
         "search_snippets": A.search_snippets,
         "kwic_fixed": A.kwic_contexts_query,
@@ -393,6 +394,25 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_sql,
         "eval_pr_at_k": eval_pr_sql,
         "bm25_wand_topk": bm25_sql,
+        "explain_scores": _CTE + bm25_rank_cte + """,
+            top1 AS (SELECT qid, doc_id FROM ranked WHERE rank = 1),
+            dfs2 AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            bd AS (SELECT q.qid, t1.doc_id, q.term, tf.tf, dfs2.df,
+                          ln((stats.n - dfs2.df + 0.5) / (dfs2.df + 0.5) + 1.0) AS idf,
+                          ln((stats.n - dfs2.df + 0.5) / (dfs2.df + 0.5) + 1.0)
+                          * (tf.tf * 2.5)
+                          / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+                   FROM top1 t1
+                   JOIN qterms q ON q.qid = t1.qid
+                   JOIN tf ON tf.doc_id = t1.doc_id AND tf.term = q.term
+                   JOIN dfs2 ON dfs2.term = q.term
+                   JOIN dln ON dln.doc_id = t1.doc_id
+                   CROSS JOIN stats),
+            tot AS (SELECT qid, sum(c) AS total FROM bd GROUP BY qid)
+            SELECT bd.qid, bd.doc_id, bd.term, bd.tf, bd.df,
+                   round(bd.idf, 4) AS idf, round(bd.c, 4) AS contribution,
+                   round(tot.total, 4) AS total_score
+            FROM bd JOIN tot USING (qid) ORDER BY bd.qid, bd.term""",
         "ltr_features": _CTE + bm25_rank_cte + """,
             cand AS (SELECT q.qid, tf.doc_id, count(*) AS match_count,
                             min(dln.dl) AS doc_len

@@ -2600,3 +2600,52 @@ def corpus_audit(sf_dir: str) -> pd.DataFrame:
         "unique_hashes": unique_hashes,
         "duplicate_hashes": n - unique_hashes,
     }])
+
+
+def explain_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-term BM25 score breakdown for each fixed query's rank-1 doc
+    (ranking_diagnostics_service.py:24-134 'explain': term-level
+    contributions + total).  Columns: qid, doc_id, term, tf, df, idf,
+    contribution, total_score.
+
+    Distributed shape: the rank-1 docs come from the standard scoring
+    pipeline; the breakdown streams only the (query-term x chosen-doc)
+    postings — a double-pruned filter, never the corpus."""
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    top = bm25_topk(sf_dir, k=1)
+    chosen = {r["qid"]: int(r["doc_id"]) for _, r in top.iterrows()}
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    df_map = _df_map(sf_dir)
+
+    ex = _exploded_ds(sf_dir)
+    tset = pa.array(qterms)
+    dset = pa.array(sorted(set(chosen.values())))
+    rows = ex.map_batches(
+        lambda t: t.filter(pa.compute.and_(
+            pa.compute.is_in(t.column("term"), value_set=tset),
+            pa.compute.is_in(t.column("doc_id"), value_set=dset))),
+        batch_format="pyarrow").to_pandas()
+    posting = {(r["term"], int(r["doc_id"])): (int(r["tf"]), int(r["dl"]))
+               for _, r in rows.iterrows()}
+
+    out = []
+    for qid, terms in FIXED_QUERIES.items():
+        doc = chosen[qid]
+        total = 0.0
+        contribs = []
+        for term in terms:
+            tf, dl = posting.get((term, doc), (0, 0))
+            if tf == 0:
+                continue
+            df = df_map.get(term, 0)
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            c = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            total += c
+            contribs.append((term, tf, df, idf, c))
+        for term, tf, df, idf, c in contribs:
+            out.append({"qid": qid, "doc_id": doc, "term": term,
+                        "tf": tf, "df": df, "idf": round4(idf),
+                        "contribution": round4(c),
+                        "total_score": round4(total)})
+    return (pd.DataFrame(out)
+            .sort_values(["qid", "term"]).reset_index(drop=True))

@@ -121,3 +121,18 @@ def test_merge_packed_arbitrary_splits_property(ids_set, n_chunks, block_size):
     assert max(merged["block_max_tf"]) == int(tfs.max())
     assert min(merged["block_min_dl"]) == int(dls.min())
     assert merged["block_last_doc"][-1] == int(ids[-1])
+
+
+def test_explain_scores_consistency(ray_session, sf_dir):
+    """Per-term contributions must sum to the rank-1 BM25 score."""
+    import numpy as np
+
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    ex = A.explain_scores(sf_dir)
+    top = A.bm25_topk(sf_dir, k=1).set_index("qid")
+    for qid, g in ex.groupby("qid"):
+        assert g["doc_id"].iloc[0] == top.loc[qid, "doc_id"]
+        assert abs(g["contribution"].sum() - g["total_score"].iloc[0]) < 5e-3
+        assert abs(g["total_score"].iloc[0] - top.loc[qid, "score"]) < 5e-3
+        assert (g["contribution"] > 0).all()
