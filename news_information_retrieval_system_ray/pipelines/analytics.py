@@ -107,39 +107,57 @@ def _exploded_ds(sf_dir: str, carry_cols: tuple[str, ...] = ()):
 
 
 def _sum_by(ds, keys: tuple[str, ...], vals: tuple[str, ...],
-            counts: tuple[str, ...] = ()):
+            counts: tuple[str, ...] = (), num_buckets: int = 1):
     """Distributed sum/count-by-key WITHOUT Ray's groupby aggregate.
 
     Ray Data's sort-based aggregate pays ~7 us/input-row of Python
     overhead (measured: 176k rows -> 24-52 s on this host), so any
     non-tiny keyed aggregate must shrink FIRST: a per-batch pandas
-    groupby (C speed) reduces each block to <= |key domain| rows, then a
-    single-partition pandas merge finishes.  The finish sees only
-    n_blocks x |key domain| partial rows — the small side by
-    construction here.  At web scale (key domains that don't fit one
-    task) swap the finish for a hash-bucketed exchange: add
-    bucket = hash(key) %% B, range-partition on bucket, merge per bucket
-    — the partial pass is unchanged.
+    groupby (C speed) reduces each block to <= |key domain| rows.
+
+    The finish depends on the key-domain size:
+    - ``num_buckets=1`` (default): one single-partition pandas merge —
+      right whenever the key domain fits one task (vocab, item ids,
+      doc-pair candidates at harness scale);
+    - ``num_buckets>1``: the web-scale path — partials get a
+      ``hash(key) %% B`` bucket column and merge inside a
+      groupby(bucket) (B bounded groups, C-speed merge per bucket), so
+      no single task ever has to hold the whole key domain.
 
     ``counts`` columns come out as row-counts of the group (named as
     given); ``vals`` columns are summed under their own names.
     """
+    cols = list(vals) + list(counts)
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         for c in counts:
             df[c] = 1
-        g = df.groupby(list(keys), as_index=False)[list(vals) + list(counts)].sum()
+        g = df.groupby(list(keys), as_index=False)[cols].sum()
+        if num_buckets > 1:
+            if len(g):
+                h = pd.util.hash_pandas_object(
+                    g[list(keys)].astype(str).agg("\x00".join, axis=1),
+                    index=False)
+                g["__bucket"] = (h % num_buckets).astype(np.int64)
+            else:
+                g["__bucket"] = pd.Series([], dtype=np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_size=None, batch_format="pyarrow")
+    if num_buckets > 1:
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(list(keys), as_index=False)[cols].sum()
+
+        return parts.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        g = df.groupby(list(keys), as_index=False)[list(vals) + list(counts)].sum()
+        g = df.groupby(list(keys), as_index=False)[cols].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (ds.map_batches(partial, batch_size=None, batch_format="pyarrow")
-              .repartition(1)
-              .map_batches(finish, batch_size=None, batch_format="pyarrow"))
+    return (parts.repartition(1)
+                 .map_batches(finish, batch_size=None, batch_format="pyarrow"))
 
 
 def _df_map(sf_dir: str) -> dict[str, int]:

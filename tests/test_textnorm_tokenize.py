@@ -95,3 +95,19 @@ def test_corpus_audit_pipeline(ray_session, sf_dir):
     assert 0 <= out["duplicate_hashes"] < n
     assert out["chars_min"] <= out["chars_median"] <= out["chars_max"]
     assert out["tokens_min"] <= out["tokens_median"] <= out["tokens_max"]
+
+
+def test_sum_by_bucketed_matches_single_partition(ray_session, sf_dir):
+    """The web-scale hash-bucketed finish must agree with the default
+    single-partition merge exactly."""
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    ex = A._exploded_ds(sf_dir)
+    a = (A._sum_by(ex, ("term",), ("tf",), counts=("df",)).to_pandas()
+         .sort_values("term").reset_index(drop=True))
+    b = (A._sum_by(ex, ("term",), ("tf",), counts=("df",), num_buckets=8)
+         .to_pandas().sort_values("term").reset_index(drop=True))
+    assert list(a.columns) == ["term", "tf", "df"]
+    assert set(b.columns) == {"term", "tf", "df"}
+    b = b[["term", "tf", "df"]]
+    assert a.equals(b)
