@@ -1483,9 +1483,10 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     """Exact word-3-gram Jaccard pairs >= threshold, with MinHash-LSH
     candidate generation (est >= threshold-0.2) and exact verification.
 
-    Candidate texts are fetched driver-side here (candidate set is
-    O(duplicates), small); at scale the verify is a join of candidates
-    back to the shingle table."""
+    Shingling runs DISTRIBUTED over only the candidate docs (the doc-id
+    set is broadcast into a filter; non-candidates never leave the
+    scan); only the O(duplicates) candidate shingle sets are collected
+    for the pair verify."""
     from ..functions.hashing import jaccard, shingles
     from ..functions.tokenize import get_tokenizer
     from ..functions.textnorm import normalize_text
@@ -1498,10 +1499,24 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
                              "doc_b": pd.Series(dtype=np.int64),
                              "jaccard": pd.Series(dtype=np.float64)})
     ids = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    tmap = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
-    tok = get_tokenizer("whitespace")
-    sh = {i: shingles(tok(normalize_text(tmap[i] or "")), 3) for i in ids}
+    idset = pa.array(np.asarray(ids, dtype=np.int64))
+
+    def shingle_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_in(t.column("doc_id"), value_set=idset))
+        tok = get_tokenizer("whitespace")
+        out_ids, out_sh = [], []
+        for row in t.to_pylist():
+            out_ids.append(int(row["doc_id"]))
+            # sorted-unique uint64 shingles, carried as int64 bit-view
+            out_sh.append(shingles(tok(normalize_text(row["text"] or "")), 3)
+                          .view(np.int64).tolist())
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "sh": pa.array(out_sh, pa.list_(pa.int64()))})
+
+    rows_sh = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        shingle_batch, batch_format="pyarrow").take_all()
+    sh = {int(r["doc_id"]): np.asarray(r["sh"], dtype=np.int64).view(np.uint64)
+          for r in rows_sh}
     rows = []
     for a, b in zip(cands["doc_a"], cands["doc_b"]):
         j = jaccard(sh[int(a)], sh[int(b)])
