@@ -203,8 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lda_topics": T.lda_topics,
         "lda_doc_topics": T.lda_doc_topics,
         "lda_perplexity": T.lda_perplexity,
-        # multimodal plumbing
+        # multimodal: stubbed plumbing + REAL wav/ppm decode path
         "media_features": A.media_features,
+        "media_features_real": A.media_features_real,
         "video_frame_features": A.video_frame_features,
         # recommenders (events interactions + documents content)
         "cf_item_similar": RC.cf_item_similar,

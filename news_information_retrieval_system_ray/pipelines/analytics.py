@@ -2682,3 +2682,23 @@ def explain_scores(sf_dir: str) -> pd.DataFrame:
                         "total_score": round4(total)})
     return (pd.DataFrame(out)
             .sort_values(["qid", "term"]).reset_index(drop=True))
+
+
+def media_features_real(sf_dir: str) -> pd.DataFrame:
+    """REAL multimodal decode path: synthetic WAV payloads decoded with
+    the stdlib wave module and PPM images decoded with pure numpy, then
+    real signal/image features (duration/RMS/ZCR/spectral centroid; RGB
+    moments + luminance histogram) — same actor-pool stage interface as
+    the stubbed decoders (stages/multimodal.py).  Rows-only check;
+    feature values asserted against direct computation in unit tests."""
+    import ray.data as rd
+
+    from ..stages.multimodal import RealMediaFeatureStage, make_real_media_table
+
+    ds = rd.from_arrow(make_real_media_table(n=32, seed=5))
+    out = ds.map_batches(RealMediaFeatureStage(out_dim=16), batch_format="pyarrow",
+                         batch_size=8, concurrency=2).to_pandas()
+    out["feat_norm"] = out["feature"].map(lambda f: round4(float(np.linalg.norm(f))))
+    out["feat_dim"] = out["feature"].map(len)
+    return out[["media_id", "feat_dim", "feat_norm"]] \
+        .sort_values("media_id").reset_index(drop=True)

@@ -142,3 +142,193 @@ def make_fake_media_table(n: int = 64, seed: int = 5) -> pa.Table:
         "height": pa.array([480] * n, pa.int32()),
         "duration_ms": pa.array([0] * n, pa.int32()),
     })
+
+
+# ----------------------------------------------------- REAL codec paths
+#
+# PIL/ffmpeg are absent here, but two real formats decode with what the
+# container DOES have: WAV via the stdlib ``wave`` module and binary PPM
+# (P6) via pure numpy.  These give the stages an honest
+# decode -> feature / decode -> resize -> re-encode path end-to-end;
+# the library-backed decoders (jpeg/mp4/...) remain NotImplementedError
+# stubs behind the same interface.
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float32 [-1,1] mono -> 16-bit PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 mono samples in [-1,1], sample rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got width={width}")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def audio_features(samples: np.ndarray, rate: int, out_dim: int = 16) -> np.ndarray:
+    """Real audio features: duration, RMS, zero-crossing rate, spectral
+    centroid, then (out_dim-4) log-spaced FFT band energies."""
+    n = len(samples)
+    dur = n / rate if rate else 0.0
+    rms = float(np.sqrt((samples ** 2).mean())) if n else 0.0
+    zcr = float((np.diff(np.signbit(samples)) != 0).mean()) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(samples)) if n else np.zeros(1)
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate) if n else np.zeros(1)
+    centroid = float((freqs * spec).sum() / spec.sum()) if spec.sum() > 0 else 0.0
+    nb = max(1, out_dim - 4)
+    edges = np.unique(np.geomspace(1, len(spec), nb + 1).astype(int))
+    bands = np.add.reduceat(spec ** 2, edges[:-1])[:nb]
+    bands = np.log1p(np.pad(bands, (0, nb - len(bands))))
+    return np.concatenate(([dur, rms, zcr, centroid], bands)).astype(np.float32)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) -> binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> uint8 (h, w, 3), pure numpy."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    parts = payload.split(b"\n", 3)
+    w, h = (int(v) for v in parts[1].split())
+    data = parts[3]
+    return np.frombuffer(data[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+def image_features(img: np.ndarray, out_dim: int = 16) -> np.ndarray:
+    """Real image features: per-channel mean/std + luminance histogram."""
+    chans = img.reshape(-1, 3).astype(np.float64)
+    mean = chans.mean(axis=0) / 255.0
+    std = chans.std(axis=0) / 255.0
+    lum = chans @ np.array([0.299, 0.587, 0.114])
+    nb = max(1, out_dim - 6)
+    hist, _ = np.histogram(lum, bins=nb, range=(0, 255))
+    hist = hist / max(1, lum.size)
+    return np.concatenate([mean, std, hist]).astype(np.float32)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy striding."""
+    h, w, _ = img.shape
+    yi = (np.arange(height) * (h / height)).astype(int).clip(0, h - 1)
+    xi = (np.arange(width) * (w / width)).astype(int).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+class RealMediaFeatureStage:
+    """payload -> REAL feature vector for wav/ppm payloads (actor pool).
+
+    Same signature and output schema as MediaFeatureStage; the decoder
+    dispatches on the ``mime`` column (audio/wav -> stdlib wave decode,
+    image/ppm -> numpy PPM decode), so swapping the fake stage for this
+    one is a one-line pipeline change.
+    """
+
+    def __init__(self, out_dim: int = 16, payload_col: str = "payload"):
+        self.out_dim = out_dim
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        mimes = batch.column("mime").to_pylist()
+        for payload, mime in zip(batch.column(self.payload_col).to_pylist(), mimes):
+            if mime == "audio/wav":
+                x, rate = decode_wav(payload)
+                feats.append(audio_features(x, rate, self.out_dim))
+            elif mime == "image/ppm":
+                feats.append(image_features(decode_ppm(payload), self.out_dim))
+            else:
+                raise ValueError(f"no real decoder for mime {mime!r}")
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+        })
+
+
+class RealImageResizeStage:
+    """PPM payload -> decoded, nearest-neighbor-resized, re-encoded PPM."""
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads = []
+        for payload in batch.column("payload").to_pylist():
+            img = resize_nearest(decode_ppm(payload), self.width, self.height)
+            out_payloads.append(encode_ppm(img))
+        n = batch.num_rows
+        t = batch.drop_columns([c for c in ("payload", "width", "height")
+                                if c in batch.column_names])
+        t = t.append_column("payload", pa.array(out_payloads, pa.binary()))
+        t = t.append_column("width", pa.array([self.width] * n, pa.int32()))
+        t = t.append_column("height", pa.array([self.height] * n, pa.int32()))
+        return t
+
+
+def make_real_media_table(n: int = 32, seed: int = 5) -> pa.Table:
+    """Deterministic REAL media table: even rows = WAV tones (freq/dur
+    vary by id), odd rows = PPM gradient images (size/phase vary by id).
+    Synthesized in-process — no external data."""
+    rows_payload, rows_kind, rows_mime = [], [], []
+    widths, heights, durs = [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        if i % 2 == 0:
+            rate = 8000
+            dur_s = 0.25 + (i % 8) * 0.125
+            t = np.arange(int(rate * dur_s)) / rate
+            freq = 110.0 * (1 + (i % 16))
+            x = 0.7 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
+            rows_payload.append(encode_wav(x, rate))
+            rows_kind.append("audio")
+            rows_mime.append("audio/wav")
+            widths.append(0); heights.append(0); durs.append(int(dur_s * 1000))
+        else:
+            w, h = 32 + (i % 4) * 16, 24 + (i % 3) * 16
+            gx = np.linspace(0, 255, w, dtype=np.float64)
+            gy = np.linspace(0, 255, h, dtype=np.float64)
+            img = np.stack([
+                np.add.outer(gy * 0, gx),
+                np.add.outer(gy, gx * 0),
+                rng.integers(0, 256, size=(h, w)).astype(np.float64),
+            ], axis=2).astype(np.uint8)
+            rows_payload.append(encode_ppm(img))
+            rows_kind.append("image")
+            rows_mime.append("image/ppm")
+            widths.append(w); heights.append(h); durs.append(0)
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array(rows_kind),
+        "payload": pa.array(rows_payload, pa.binary()),
+        "mime": pa.array(rows_mime),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    })

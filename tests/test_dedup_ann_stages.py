@@ -262,3 +262,72 @@ def test_ivf_recall_vs_bruteforce(ray_session, tmp_path):
     # determinism: same build+query twice -> identical frame
     approx2 = ivf_topk(layout, q, k=10, nprobe=4)
     assert approx.to_dict("records") == approx2.to_dict("records")
+
+
+def test_real_wav_roundtrip_and_features():
+    import numpy as np
+
+    from news_information_retrieval_system_ray.stages.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate  # 0.5 s
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    y, r = decode_wav(encode_wav(x, rate))
+    assert r == rate and len(y) == len(x)
+    assert np.max(np.abs(y - x)) < 1e-3  # 16-bit quantization only
+    f = audio_features(y, r, out_dim=16)
+    assert len(f) == 16
+    assert abs(f[0] - 0.5) < 1e-6            # duration
+    assert abs(f[1] - 0.5 / np.sqrt(2)) < 1e-2  # RMS of a sine
+    assert abs(f[3] - 440.0) < 5.0           # spectral centroid at the tone
+
+
+def test_real_ppm_roundtrip_resize_features():
+    import numpy as np
+
+    from news_information_retrieval_system_ray.stages.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        image_features,
+        resize_nearest,
+    )
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    back = decode_ppm(encode_ppm(img))
+    assert (back == img).all()
+    small = resize_nearest(img, 3, 2)
+    assert small.shape == (2, 3, 3)
+    f = image_features(img, out_dim=16)
+    assert len(f) == 16
+    assert abs(f[0] - img[..., 0].mean() / 255.0) < 1e-6
+
+
+def test_real_media_stage_pipeline(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.stages.multimodal import (
+        RealImageResizeStage,
+        RealMediaFeatureStage,
+        decode_ppm,
+        make_real_media_table,
+    )
+
+    t = make_real_media_table(n=16, seed=5)
+    out = rd.from_arrow(t).map_batches(
+        RealMediaFeatureStage(out_dim=16), batch_format="pyarrow",
+        batch_size=4, concurrency=2).to_pandas()
+    assert len(out) == 16
+    assert all(len(f) == 16 for f in out["feature"])
+    # images only -> real resize -> decode shows the new shape
+    imgs = t.filter(__import__("pyarrow").compute.equal(t.column("kind"), "image"))
+    rs = rd.from_arrow(imgs).map_batches(
+        RealImageResizeStage(20, 10), batch_format="pyarrow",
+        batch_size=4).to_pandas()
+    assert (rs["width"] == 20).all() and (rs["height"] == 10).all()
+    for p in rs["payload"]:
+        assert decode_ppm(p).shape == (10, 20, 3)
