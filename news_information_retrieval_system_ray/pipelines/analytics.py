@@ -1814,18 +1814,17 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
         return g
 
     part = ds.map_batches(partial, batch_format="pandas")
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{
-            "event_type": group["event_type"].iloc[0],
-            "window_start": group["window_start"].iloc[0],
-            "n_events": int(group["n_events"].sum()),
-            "n_users": int(group["user_id"].nunique()),
-            "sum_value": round4(float(group["sum_value"].sum())),
-        }])
-
-    out = part.groupby(["event_type", "window_start"]).map_groups(merge, batch_format="pandas").to_pandas()
-    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    # two-level partial-sum merge: first collapse per (type, window, USER)
+    # across batches, then count the distinct-user rows per (type, window)
+    per_user = _sum_by(part, ("event_type", "window_start", "user_id"),
+                       ("n_events", "sum_value"))
+    out = _sum_by(per_user, ("event_type", "window_start"),
+                  ("n_events", "sum_value"), counts=("n_users",)).to_pandas()
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].map(lambda v: round4(float(v)))
+    return (out[["event_type", "window_start", "n_events", "n_users", "sum_value"]]
+            .sort_values(["event_type", "window_start"]).reset_index(drop=True))
 
 
 SESSION_GAP_SEC = 1800
