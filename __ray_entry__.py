@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # learning-to-rank (app LTR services)
         "ltr_features": L.ltr_features,
         "ltr_train": L.ltr_train,
+        "ltr_rerank": L.ltr_rerank,
     }
 
 

@@ -176,3 +176,29 @@ def ltr_train(sf_dir: str, epochs: int = 60, lr: float = 0.5) -> pd.DataFrame:
              {"feature": "_loss_last", "coefficient": round4(losses[-1]),
               "direction": ""}]
     return pd.DataFrame(rows)
+
+
+def ltr_rerank(sf_dir: str, k: int = 10, epochs: int = 40) -> pd.DataFrame:
+    """LTR serving loop: rerank each query's candidates by the trained
+    model's probability (the reference's LTR demo closes the same loop:
+    features -> logistic model -> score).  Deterministic; rows-only.
+
+    Output: (qid, rank, doc_id, prob) with rank by (prob desc, doc_id).
+    """
+    feats = ltr_features(sf_dir)
+    coefs = ltr_train(sf_dir, epochs=epochs).set_index("feature")["coefficient"]
+    X = feats[list(FEATURES)].to_numpy(dtype=np.float64)
+    mu, sd = X.mean(axis=0), np.maximum(X.std(axis=0), 1e-6)
+    z = (coefs["_intercept"]
+         + ((X - mu) / sd) @ np.array([coefs[f] for f in FEATURES]))
+    feats = feats.copy()
+    feats["prob"] = 1.0 / (1.0 + np.exp(-z))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["prob", "doc_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["prob"] = g["prob"].map(round4)
+        return g[["qid", "rank", "doc_id", "prob"]]
+
+    return (feats.groupby("qid", group_keys=False)[feats.columns]
+            .apply(topk).reset_index(drop=True))

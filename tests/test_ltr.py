@@ -35,3 +35,15 @@ def test_ltr_train_learns(ray_session, sf_dir):
     # deterministic: same call, same coefficients
     out2 = ltr.ltr_train(sf_dir, epochs=40)
     assert (out["coefficient"] == out2["coefficient"]).all()
+
+
+def test_ltr_rerank_serving_loop(ray_session, sf_dir):
+    out = ltr.ltr_rerank(sf_dir, k=5, epochs=30)
+    assert set(out.columns) == {"qid", "rank", "doc_id", "prob"}
+    assert out["prob"].between(0, 1).all()
+    feats = ltr.ltr_features(sf_dir)
+    cands = set(map(tuple, feats[["qid", "doc_id"]].to_numpy()))
+    assert all((q, d) in cands for q, d in out[["qid", "doc_id"]].to_numpy())
+    for _, g in out.groupby("qid"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["prob"].to_numpy()) <= 1e-9).all()
