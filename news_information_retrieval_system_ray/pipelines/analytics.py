@@ -136,9 +136,11 @@ def _sum_by(ds, keys: tuple[str, ...], vals: tuple[str, ...],
         g = df.groupby(list(keys), as_index=False)[cols].sum()
         if num_buckets > 1:
             if len(g):
+                # categorize=False: the default factorize path hashes object
+                # values as C strings (truncates at NUL, frame-dependent), so
+                # equal keys could land in different buckets across batches.
                 h = pd.util.hash_pandas_object(
-                    g[list(keys)].astype(str).agg("\x00".join, axis=1),
-                    index=False)
+                    g[list(keys)], index=False, categorize=False)
                 g["__bucket"] = (h % num_buckets).astype(np.int64)
             else:
                 g["__bucket"] = pd.Series([], dtype=np.int64)

@@ -111,3 +111,36 @@ def test_sum_by_bucketed_matches_single_partition(ray_session, sf_dir):
     assert set(b.columns) == {"term", "tf", "df"}
     b = b[["term", "tf", "df"]]
     assert a.equals(b)
+
+
+def test_sum_by_property_random_frames(ray_session):
+    """_sum_by (both finish paths) == pandas groupby-sum on random frames."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3),
+                              st.floats(-10, 10, allow_nan=False)),
+                    min_size=1, max_size=200),
+           st.integers(1, 4))
+    def check(rows, buckets):
+        df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+        expect = (df.assign(c=1).groupby(["k1", "k2"], as_index=False)
+                    [["v", "c"]].sum()
+                    .sort_values(["k1", "k2"]).reset_index(drop=True))
+        ds = rd.from_pandas(df).repartition(3)
+        got = (A._sum_by(ds, ("k1", "k2"), ("v",), counts=("c",),
+                         num_buckets=buckets).to_pandas()
+               [["k1", "k2", "v", "c"]]
+               .sort_values(["k1", "k2"]).reset_index(drop=True))
+        assert got["k1"].tolist() == expect["k1"].tolist()
+        assert got["k2"].tolist() == expect["k2"].tolist()
+        assert got["c"].tolist() == expect["c"].tolist()
+        assert np.allclose(got["v"], expect["v"], atol=1e-9)
+
+    check()
