@@ -34,7 +34,7 @@ from dataclasses import dataclass
 
 from ..sources.readers import RowGroupItem, list_input_files, plan_row_groups, read_with_doc_ids
 from ..stages.extract import ExtractNormalize
-from ..stages.indexing import ExplodeTokens, PackGroups, PackRuns
+from ..stages.indexing import ExplodeTokens, PackGroups, PackRuns, PrePackTokens
 from ..stages.tokenizer import TokenizeStage
 from ..state.manifest import BuildManifest
 
@@ -448,24 +448,41 @@ def build_index(
             import ray
 
             shuffle_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
-        exploded = rd.read_parquet(
-            tokens_root, columns=tok_cols, override_num_blocks=shuffle_blocks,
-        ).map_batches(
-            # hash-only shuffle: the term STRING never enters the wide
-            # exchange (30%+ of row bytes); strings live in the vocab sidecar
-            ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
-                          emit_term=False),
-            batch_format="pyarrow",
-        )
-        # One sort shuffle (same exchange the groupby ran), then a
-        # vectorized multi-run packer per BATCH — no per-vocab-term Ray
-        # dispatch.  doc_id is a sort key so a run split at a batch edge
-        # yields fragments with disjoint increasing doc ranges, which the
-        # query-side merge already handles (PackRuns docstring).
-        packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
-            PackRuns(block_size=block_size, with_positions=with_positions),
-            batch_format="pyarrow", batch_size=None,
-        )
+        if not with_positions:
+            # Map-side combine (PrePackTokens): explode + local sort + pack
+            # per BATCH, so the wide exchange ships compressed posting
+            # FRAGMENTS (~10x fewer bytes than raw (doc, term) rows) and
+            # the global sort handles ~vocab x n_batches fragment rows
+            # instead of the full token stream.  Fragment doc-intervals
+            # are disjoint by construction; the query-side merge orders
+            # them by (chunk, first doc) as it already does for
+            # batch-edge fragments.
+            packed = rd.read_parquet(
+                _tokens_files_by_docid(tokens_root), columns=tok_cols,
+                override_num_blocks=shuffle_blocks,
+            ).map_batches(
+                PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size),
+                batch_format="pyarrow", batch_size=None,
+            ).sort(["term_hash", "chunk", "first_doc"])
+        else:
+            exploded = rd.read_parquet(
+                tokens_root, columns=tok_cols, override_num_blocks=shuffle_blocks,
+            ).map_batches(
+                # hash-only shuffle: the term STRING never enters the wide
+                # exchange (30%+ of row bytes); strings live in the vocab sidecar
+                ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
+                              emit_term=False),
+                batch_format="pyarrow",
+            )
+            # One sort shuffle (same exchange the groupby ran), then a
+            # vectorized multi-run packer per BATCH — no per-vocab-term Ray
+            # dispatch.  doc_id is a sort key so a run split at a batch edge
+            # yields fragments with disjoint increasing doc ranges, which the
+            # query-side merge already handles (PackRuns docstring).
+            packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
+                PackRuns(block_size=block_size, with_positions=with_positions),
+                batch_format="pyarrow", batch_size=None,
+            )
         # small row groups -> fine-grained predicate pushdown: a cold
         # term fetch decodes ~2k-row groups instead of whole files (the
         # binary posting columns dominate decode cost)
@@ -603,14 +620,22 @@ def append_index(
 
     # pack ONLY the new shard into an additional segment directory
     tok_cols = ["doc_id", "doc_len", "terms", "tfs"] + (["positions"] if with_positions else [])
-    exploded = rd.read_parquet(dst, columns=tok_cols).map_batches(
-        ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
-                      emit_term=False),
-        batch_format="pyarrow",
-    )
-    packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
-        PackRuns(block_size=config["block_size"], with_positions=with_positions),
-        batch_format="pyarrow", batch_size=None)
+    if not with_positions:
+        packed = rd.read_parquet(
+            _tokens_files_by_docid(dst), columns=tok_cols,
+        ).map_batches(
+            PrePackTokens(chunk_bits=eff_chunk_bits, block_size=config["block_size"]),
+            batch_format="pyarrow", batch_size=None,
+        ).sort(["term_hash", "chunk", "first_doc"])
+    else:
+        exploded = rd.read_parquet(dst, columns=tok_cols).map_batches(
+            ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
+                          emit_term=False),
+            batch_format="pyarrow",
+        )
+        packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
+            PackRuns(block_size=config["block_size"], with_positions=with_positions),
+            batch_format="pyarrow", batch_size=None)
     tmp_seg = os.path.join(index_dir, ".tmp_append_seg")
     shutil.rmtree(tmp_seg, ignore_errors=True)
     packed.write_parquet(tmp_seg, row_group_size=2048)
@@ -656,6 +681,31 @@ def append_index(
     write_json_atomic(mpath, state)
     return IndexBuildResult(index_dir, st["n_docs"], st["avg_doc_length"],
                             state["segments_rows"], 0)
+
+
+def _tokens_files_by_docid(tokens_root: str) -> list[str]:
+    """Token files ordered by their min doc_id (Parquet footer stats).
+
+    ``read_parquet`` forms blocks in the given file order; lexicographic
+    path order interleaves doc ranges (``shard=1, shard=10, ...``), which
+    splits each PrePackTokens batch into several contiguous doc runs and
+    multiplies fragment rows.  Doc-id-ordered files make each batch ~one
+    maximal run -> ~vocab fragments per batch."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(tokens_root, "**", "*.parquet"), recursive=True)
+
+    def _min_doc(path: str) -> int:
+        md = pq.ParquetFile(path).metadata
+        try:
+            i = md.schema.to_arrow_schema().names.index("doc_id")
+            return md.row_group(0).column(i).statistics.min
+        except Exception:
+            return 0
+
+    return sorted(files, key=_min_doc)
 
 
 def _count_rows(parquet_dir: str) -> int:

@@ -34,7 +34,7 @@ from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import tf_weight, topk_order
 from ..functions.codecs import vbyte_decode
 from ..functions.hashing import token_hash64
-from ..functions.postings import merge_packed, unpack_postings
+from ..functions.postings import merge_packed, pack_postings, unpack_postings
 from ..functions.tokenize import get_tokenizer
 from ..functions.textnorm import normalize_text
 from ..state.manifest import read_json
@@ -195,7 +195,17 @@ class IndexSearcher:
             # appended docs — whose ranges are disjoint and increasing)
             rows.sort(key=lambda r: (r["chunk"],
                                      r["block_last_doc"][0] if r["block_last_doc"] else -1))
-            self._cache[t] = merge_packed(rows)
+            merged = merge_packed(rows)
+            # block coalescing on load: the map-side pre-pack build ships
+            # posting FRAGMENTS whose tail blocks are short; concatenation
+            # keeps them short, which multiplies block-max WAND's per-block
+            # bookkeeping.  Re-encode once into dense blocks (cached, so
+            # the warm serving path never pays it again).  Skip positional
+            # rows: positions_bytes is aligned to the original blocks.
+            if len(rows) > 1 and "positions_bytes" not in merged:
+                ids, tfs, dls = unpack_postings(merged)
+                merged = pack_postings(ids, tfs, dls)
+            self._cache[t] = merged
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(doc_ids, tfs, dls) for one term; empty arrays if absent."""

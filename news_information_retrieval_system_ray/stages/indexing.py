@@ -126,44 +126,155 @@ class PackRuns:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         tfs = batch.column("tf").to_numpy(zero_copy_only=False)
         dls = batch.column("dl").to_numpy(zero_copy_only=False)
-        r = pack_postings_runs(ids, tfs, dls, gs, block_size=self.block_size)
-        ng = gs.size
+        return _packed_runs_table(th, ch, ids, tfs, dls, gs, schema,
+                                  block_size=self.block_size)
 
-        def _binary(blob: bytes, off: np.ndarray) -> pa.Array:
-            if off[-1] < (1 << 31):
-                return pa.Array.from_buffers(
-                    pa.binary(), ng,
-                    [None, pa.py_buffer(off.astype(np.int32).tobytes()),
-                     pa.py_buffer(blob)])
-            mv = memoryview(blob)  # >2 GiB batch: plain slicing fallback
-            return pa.array([bytes(mv[off[i]:off[i + 1]]) for i in range(ng)],
-                            pa.binary())
 
-        boff = pa.array(r["block_off"].astype(np.int32))
-        poff = pa.array((r["block_off"] * BOUND_PAIRS).astype(np.int32))
+def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
+                       tfs: np.ndarray, dls: np.ndarray, gs: np.ndarray,
+                       schema: pa.Schema, *, block_size: int) -> pa.Table:
+    """Vectorized pack of sorted runs -> one segments-schema Arrow table
+    (zero-copy binary/list columns from offset arrays)."""
+    r = pack_postings_runs(ids, tfs, dls, gs, block_size=block_size)
+    ng = gs.size
 
-        def _blist(vals: np.ndarray, offsets=boff) -> pa.Array:
-            return pa.ListArray.from_arrays(offsets, pa.array(vals))
+    def _binary(blob: bytes, off: np.ndarray) -> pa.Array:
+        if off[-1] < (1 << 31):
+            return pa.Array.from_buffers(
+                pa.binary(), ng,
+                [None, pa.py_buffer(off.astype(np.int32).tobytes()),
+                 pa.py_buffer(blob)])
+        mv = memoryview(blob)  # >2 GiB batch: plain slicing fallback
+        return pa.array([bytes(mv[off[i]:off[i + 1]]) for i in range(ng)],
+                        pa.binary())
 
-        cols = {
-            "term_hash": pa.array(th[gs]),
-            "chunk": pa.array(ch[gs].astype(np.int32)),
-            "df": pa.array(r["df"]),
-            "cf": pa.array(r["cf"]),
-            "docs_bytes": _binary(r["docs_all"], r["docs_off"]),
-            "tfs_bytes": _binary(r["tfs_all"], r["tfs_off"]),
-            "dls_bytes": _binary(r["dls_all"], r["dls_off"]),
-            "block_doc_nbytes": _blist(r["block_doc_nbytes"]),
-            "block_tf_nbytes": _blist(r["block_tf_nbytes"]),
-            "block_dl_nbytes": _blist(r["block_dl_nbytes"]),
-            "block_len": _blist(r["block_len"]),
-            "block_last_doc": _blist(r["block_last_doc"]),
-            "block_max_tf": _blist(r["block_max_tf"]),
-            "block_min_dl": _blist(r["block_min_dl"]),
-            "block_bound_tf": _blist(r["block_bound_tf"], poff),
-            "block_bound_dl": _blist(r["block_bound_dl"], poff),
-        }
-        return pa.table({f.name: cols[f.name].cast(f.type) for f in schema})
+    boff = pa.array(r["block_off"].astype(np.int32))
+    poff = pa.array((r["block_off"] * BOUND_PAIRS).astype(np.int32))
+
+    def _blist(vals: np.ndarray, offsets=boff) -> pa.Array:
+        return pa.ListArray.from_arrays(offsets, pa.array(vals))
+
+    cols = {
+        "term_hash": pa.array(th[gs]),
+        "chunk": pa.array(ch[gs].astype(np.int32)),
+        "first_doc": pa.array(ids[gs].astype(np.int64)),
+        "df": pa.array(r["df"]),
+        "cf": pa.array(r["cf"]),
+        "docs_bytes": _binary(r["docs_all"], r["docs_off"]),
+        "tfs_bytes": _binary(r["tfs_all"], r["tfs_off"]),
+        "dls_bytes": _binary(r["dls_all"], r["dls_off"]),
+        "block_doc_nbytes": _blist(r["block_doc_nbytes"]),
+        "block_tf_nbytes": _blist(r["block_tf_nbytes"]),
+        "block_dl_nbytes": _blist(r["block_dl_nbytes"]),
+        "block_len": _blist(r["block_len"]),
+        "block_last_doc": _blist(r["block_last_doc"]),
+        "block_max_tf": _blist(r["block_max_tf"]),
+        "block_min_dl": _blist(r["block_min_dl"]),
+        "block_bound_tf": _blist(r["block_bound_tf"], poff),
+        "block_bound_dl": _blist(r["block_bound_dl"], poff),
+    }
+    return pa.table({f.name: cols[f.name].cast(f.type) for f in schema})
+
+
+class PrePackTokens:
+    """Map-side combine for the segments shuffle: explode -> local sort ->
+    pack WITHIN each tokens batch, so the wide exchange ships compressed
+    posting FRAGMENTS (delta+VByte blocks + block metadata) instead of one
+    raw 30-byte row per (doc, term) — ~10x fewer shuffle bytes, and the
+    post-shuffle ``sort(["term_hash", "chunk", "first_doc"])`` handles
+    ~vocab-size fragment counts instead of token-stream row counts.  The
+    sorted output IS the segments table (same schema as :class:`PackRuns`;
+    the query side's fragment merge is unchanged).
+
+    Fragment validity: ``merge_packed`` concatenates fragments of one
+    (term_hash, chunk) ordered by first doc, which requires fragment
+    doc-id INTERVALS to be pairwise disjoint across the whole build.
+    Each batch is segmented into maximal contiguous doc-id runs and pack
+    groups additionally break on run boundaries: batches partition the
+    doc space, so maximal contiguous runs from different batches are
+    disjoint as intervals, and so are the fragments inside them.
+    """
+
+    def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, block_size: int = 32):
+        self.block_size = block_size
+        self._explode = ExplodeTokens(chunk_bits=chunk_bits, with_positions=False,
+                                      emit_term=False)
+        self._out_schema = PackGroups(block_size, False)._schema(with_term=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ex = self._explode(batch)
+        n = len(ex)
+        if n == 0:
+            return self._out_schema.empty_table()
+        th = ex.column("term_hash").to_numpy(zero_copy_only=False)
+        ch = ex.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ex.column("doc_id").to_numpy(zero_copy_only=False)
+        tfs = ex.column("tf").to_numpy(zero_copy_only=False)
+        dls = ex.column("dl").to_numpy(zero_copy_only=False)
+        # run id per row: maximal contiguous intervals of this batch's docs
+        u = np.unique(ids)
+        run_of_u = np.concatenate(([0], np.cumsum(np.diff(u) > 1)))
+        runs = run_of_u[np.searchsorted(u, ids)]
+        order = np.lexsort((ids, runs, ch, th.view(np.int64)))
+        th, ch, ids, tfs, dls, runs = (a[order] for a in (th, ch, ids, tfs, dls, runs))
+        gs = np.concatenate(([0], np.flatnonzero(
+            (np.diff(th.view(np.int64)) != 0) | (np.diff(ch) != 0)
+            | (np.diff(runs) != 0)) + 1))
+        return _packed_runs_table(th, ch, ids, tfs, dls, gs, self._out_schema,
+                                  block_size=self.block_size)
+
+
+class RepackFragments:
+    """Post-shuffle consolidation of :class:`PrePackTokens` fragments.
+
+    Input batches come from ``sort(["term_hash", "chunk", "first_doc"])``
+    over pre-packed fragments: each (term_hash, chunk) group's fragments
+    are adjacent and interval-ordered, so their decoded doc streams
+    concatenate into one ascending posting list.  The whole batch decodes
+    in THREE vbyte calls (streams are self-delimiting; per-block absolute
+    resets are undone with the same segmented-cumsum trick as
+    ``unpack_postings``), then re-packs into optimally-full blocks via
+    the shared vectorized packer — restoring the dense block layout (and
+    row count ~= vocab x chunks) that block-max WAND pruning relies on,
+    at ~1/10 the exchange bytes of shuffling raw (doc, term) rows.
+    Groups split at batch edges remain as multiple interval-disjoint
+    rows, which the query-side merge already handles.
+    """
+
+    def __init__(self, block_size: int = 32):
+        self.block_size = block_size
+        self._out_schema = PackGroups(block_size, False)._schema(with_term=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nrows = len(batch)
+        if nrows == 0:
+            return self._out_schema.empty_table()
+        from ..functions.codecs import vbyte_decode
+
+        def _concat(col: str) -> bytes:
+            return b"".join(batch.column(col).to_pylist())
+
+        block_len = pc.list_flatten(batch.column("block_len")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        deltas = vbyte_decode(_concat("docs_bytes")).astype(np.int64)
+        tfs = vbyte_decode(_concat("tfs_bytes")).astype(np.int64)
+        dls = vbyte_decode(_concat("dls_bytes")).astype(np.int64)
+        bstarts = np.concatenate(([0], np.cumsum(block_len)[:-1]))
+        tot = np.cumsum(deltas)
+        base = tot[bstarts] - deltas[bstarts]
+        ids = tot - np.repeat(base, block_len)
+
+        th = batch.column("term_hash").to_numpy(zero_copy_only=False)
+        ch = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        row_breaks = np.concatenate(([0], np.flatnonzero(
+            (np.diff(th.view(np.int64)) != 0) | (np.diff(ch) != 0)) + 1))
+        post_off = np.concatenate(([0], np.cumsum(df)))
+        gs = post_off[row_breaks]
+        th_post = np.repeat(th, df)
+        ch_post = np.repeat(ch, df)
+        return _packed_runs_table(th_post, ch_post, ids, tfs, dls, gs,
+                                  self._out_schema, block_size=self.block_size)
 
 
 class PackGroups:
@@ -207,6 +318,7 @@ class PackGroups:
         row = {
             "term_hash": int(group.column("term_hash")[0].as_py()),
             "chunk": int(group.column("chunk")[0].as_py()),
+            "first_doc": int(doc_ids[0]) if doc_ids.size else -1,
             **packed,
         }
         if term is not None:
@@ -232,6 +344,7 @@ class PackGroups:
             *([("term", pa.string())] if with_term else []),
             ("term_hash", pa.uint64()),
             ("chunk", pa.int32()),
+            ("first_doc", pa.int64()),
             ("df", pa.int64()),
             ("cf", pa.int64()),
             ("docs_bytes", pa.binary()),
