@@ -418,21 +418,61 @@ def build_index(
         shutil.rmtree(tmp_root, ignore_errors=True)
     _v(f"tokens stage done ({len(pending)} shards built, {resumed} resumed)")
 
-    # ---- global stats (column-pruned read of the tokens table) ----
-    # NOTE: packing no longer needs avgdl (block metadata stores raw
-    # tf/dl extremes), so this pass COULD overlap the segments shuffle —
-    # but concurrent read_parquet resolves from two driver threads race
-    # on Ray's fsspec-http probe import (aiohttp absent in this env,
-    # ImportError escapes Ray's ModuleNotFoundError catch), so it runs
-    # sequentially here.
+    # ---- global stats + collision check OVERLAP the segments shuffle.
+    # Neither packing (block metadata stores raw tf/dl extremes, not
+    # avgdl-dependent weights) nor the chunk-bits choice (n_docs is known
+    # from the Parquet footers that planned the shards) depends on the
+    # stats aggregate, and the collision check reads only its own tiny
+    # sidecar columns — so all three are independent jobs over the tokens
+    # table.  Ray Data runs concurrent streaming executions fine, but the
+    # datasets must be PLANNED on the driver thread: concurrent
+    # read_parquet resolution races on Ray's fsspec-http probe import
+    # (aiohttp absent in this env, ImportError escapes Ray's
+    # ModuleNotFoundError catch).  Plan serially, execute in threads.
+    import threading
+
+    n_docs_meta = manifest.stats["n_docs"] if manifest.stats else \
+        sum(i.num_rows for i in items)
+    side_errs: list[BaseException] = []
+    side_threads: list[threading.Thread] = []
+
+    def _spawn(fn) -> None:
+        def _run():
+            try:
+                fn()
+            except BaseException as e:  # re-raised on the main thread below
+                side_errs.append(e)
+        t = threading.Thread(target=_run, daemon=True)
+        side_threads.append(t)
+        t.start()
+
+    side_results: dict = {}  # manifest is updated on the main thread only
+
     if manifest.stats is None:
         stats_ds = rd.read_parquet(tokens_root, columns=["doc_len"])
-        agg = stats_ds.aggregate(Sum("doc_len", alias_name="total_len"),
-                                 Count(alias_name="n_docs"))
-        manifest.set_stats(int(agg["n_docs"]), int(agg["total_len"]))
-    n_docs_meta = manifest.stats["n_docs"]
 
-    # ---- segments (the wide shuffle) ----
+        def _run_stats():
+            agg = stats_ds.aggregate(Sum("doc_len", alias_name="total_len"),
+                                     Count(alias_name="n_docs"))
+            side_results["stats"] = (int(agg["n_docs"]), int(agg["total_len"]))
+        _spawn(_run_stats)
+
+    hashcheck_dir = os.path.join(index_dir, "hashcheck")
+    if collision_check and not manifest.state.get("hashcheck_done"):
+        tmp_hc = os.path.join(index_dir, ".tmp_hashcheck")
+        shutil.rmtree(tmp_hc, ignore_errors=True)
+        import ray as _ray
+
+        n_cpu = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+        checked_ds = _hashcheck_aggregate(_hashcheck_pairs_ds(tokens_root, n_cpu))
+
+        def _run_hashcheck():
+            checked_ds.write_parquet(tmp_hc)
+            os.replace(tmp_hc, hashcheck_dir)
+            side_results["hashcheck_done"] = True
+        _spawn(_run_hashcheck)
+
+    # ---- segments (the wide shuffle; main thread) ----
     seg_dir = os.path.join(index_dir, "segments")
     n_rows = manifest.state.get("segments_rows", 0)
     if not manifest.segments_done:
@@ -457,12 +497,16 @@ def build_index(
             # are disjoint by construction; the query-side merge orders
             # them by (chunk, first doc) as it already does for
             # batch-edge fragments.
+            # batch_size coalesces each read task's per-file blocks into ONE
+            # pre-pack batch (fragment count scales with batch COUNT x vocab,
+            # so per-file batches would multiply fragments ~4x)
+            prepack_batch = -(-int(n_docs_meta) // shuffle_blocks)
             packed = rd.read_parquet(
                 _tokens_files_by_docid(tokens_root), columns=tok_cols,
                 override_num_blocks=shuffle_blocks,
             ).map_batches(
                 PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size),
-                batch_format="pyarrow", batch_size=None,
+                batch_format="pyarrow", batch_size=prepack_batch,
             ).sort(["term_hash", "chunk", "first_doc"])
         else:
             exploded = rd.read_parquet(
@@ -492,6 +536,17 @@ def build_index(
         manifest.mark_segments(n_rows)
     _v(f"segments done ({n_rows} posting rows)")
 
+    for t in side_threads:
+        t.join()
+    if side_errs:
+        raise side_errs[0]
+    if "stats" in side_results:
+        manifest.set_stats(*side_results["stats"])
+    if side_results.get("hashcheck_done"):
+        manifest.state["hashcheck_done"] = True
+        manifest.save()
+        _v("collision check done")
+
     stats = manifest.stats
     avgdl = stats["avg_doc_length"]
     _v(f"stats done (n_docs={stats['n_docs']}, avgdl={avgdl:.1f})")
@@ -509,24 +564,6 @@ def build_index(
         os.replace(tmp_vocab, vocab_dir)
         manifest.state["vocab_done"] = True
         manifest.save()
-        _v("vocab sidecar done")
-
-    # ---- default-on collision check: int-only dual-hash aggregate over
-    # per-batch-unique terms; pairs persist so appends re-check against
-    # the whole history without re-reading old shards' strings.
-    hashcheck_dir = os.path.join(index_dir, "hashcheck")
-    if collision_check and not manifest.state.get("hashcheck_done"):
-        tmp_hc = os.path.join(index_dir, ".tmp_hashcheck")
-        shutil.rmtree(tmp_hc, ignore_errors=True)
-        import ray as _ray
-
-        n_cpu = max(8, int(_ray.cluster_resources().get("CPU", 8)))
-        pairs = _hashcheck_pairs_ds(tokens_root, n_cpu)
-        _hashcheck_aggregate(pairs).write_parquet(tmp_hc)
-        os.replace(tmp_hc, hashcheck_dir)
-        manifest.state["hashcheck_done"] = True
-        manifest.save()
-        _v("collision check done")
         _v("vocab sidecar done")
 
     return IndexBuildResult(
@@ -621,11 +658,15 @@ def append_index(
     # pack ONLY the new shard into an additional segment directory
     tok_cols = ["doc_id", "doc_len", "terms", "tfs"] + (["positions"] if with_positions else [])
     if not with_positions:
+        import ray as _ray
+
+        n_new_docs = sum(i.num_rows for i in items)
+        ncpu = max(8, int(_ray.cluster_resources().get("CPU", 8)))
         packed = rd.read_parquet(
             _tokens_files_by_docid(dst), columns=tok_cols,
         ).map_batches(
             PrePackTokens(chunk_bits=eff_chunk_bits, block_size=config["block_size"]),
-            batch_format="pyarrow", batch_size=None,
+            batch_format="pyarrow", batch_size=max(1, -(-n_new_docs // ncpu)),
         ).sort(["term_hash", "chunk", "first_doc"])
     else:
         exploded = rd.read_parquet(dst, columns=tok_cols).map_batches(
