@@ -11,17 +11,21 @@ semantics, /root/reference/src/ir/index/incremental_builder.py:415-418):
 2. **stats**: ``n_docs`` / ``avg_doc_length`` from the tokens table
    reading ONLY the ``doc_len`` column (column pruning; the reference's
    global mean, bm25.py:176).
-3. **segments**: read tokens -> explode to (term_hash, chunk, doc, tf,
-   dl) -> sort([term_hash, chunk, doc_id]) -> vectorized multi-run pack -> posting
-   rows, delta+VByte blocks + block-max metadata -> ``segments/``
-   Parquet sorted by term_hash (the groupby's sort order), so query-time
-   term lookups prune row groups via Parquet statistics.
+3. **segments**: read tokens (files in doc-id order) -> PrePackTokens
+   (map-side combine: explode + local sort + pack per batch) ->
+   sort([term_hash, chunk, first_doc]) over compressed posting
+   FRAGMENTS -> ``segments/`` Parquet sorted by term_hash, so
+   query-time term lookups prune row groups via Parquet statistics.
+   The stats aggregate and the collision check execute concurrently
+   with this shuffle (independent jobs over the tokens table).
 
-Scale notes (100 TB design): the term shuffle moves one row per
-(doc, term) — pre-aggregated per doc in the tokenizer stage; heavy terms
-are chunk-split so no single task materializes a full stopword posting
-list; tokens/segments are partitioned Parquet so a failed run resumes
-per shard. At sandbox scale everything runs identically on one node.
+Scale notes (100 TB design): the term shuffle moves delta+VByte posting
+fragments, not raw (doc, term) rows — ~10x fewer exchanged bytes and a
+sort over ~vocab x n_batches rows instead of the token stream; heavy
+terms are chunk-split so no single task materializes a full stopword
+posting list; tokens/segments are partitioned Parquet so a failed run
+resumes per shard. At sandbox scale everything runs identically on one
+node.
 """
 
 from __future__ import annotations
