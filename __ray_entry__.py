@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": A.dedup_minhash,
         "dedup_simhash": A.dedup_simhash,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
+        "dedup_embedding": A.dedup_embedding,
+        "dedup_embedding_lsh": A.dedup_embedding_lsh,
         # similarity search
         "ann_topk": A.ann_topk,
         "ann_lsh": A.ann_lsh,
@@ -854,6 +856,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
                    count(*) AS n_docs
             FROM documents GROUP BY md5(text)""",
+        "dedup_embedding": """
+            WITH sims AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS c
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(c, 4) AS cos FROM sims
+            WHERE c >= 0.45 ORDER BY id_a, id_b""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
             sims AS (SELECT q.qid, e.vec_id,

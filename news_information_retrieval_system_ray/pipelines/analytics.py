@@ -1527,6 +1527,30 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
+def dedup_embedding(sf_dir: str, threshold: float = 0.45, n_blocks: int = 4) -> pd.DataFrame:
+    """EXACT embedding-cosine near-dup pairs (oracle-checked against a
+    DuckDB self-join).  Distributed block-pair join — see
+    stages/dedup.py:embedding_dup_pairs for the N*B shuffle design."""
+    import ray.data as rd
+
+    from ..stages.dedup import embedding_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=threshold, n_blocks=n_blocks)
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Approximate (banded hyperplane LSH) embedding near-dup — the scale
+    path; rows-only driver check, recall-vs-exact asserted in units."""
+    import ray.data as rd
+
+    from ..stages.dedup import embedding_dup_pairs_lsh
+
+    q, _ = _query_vectors(sf_dir, 1)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs_lsh(ds, dim=q.shape[1], threshold=threshold)
+
+
 # ------------------------------------------------------------------ facets / browse
 
 def facet_source_counts(sf_dir: str):

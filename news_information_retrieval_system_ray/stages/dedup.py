@@ -266,3 +266,171 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     if pairs.empty:
         return pairs
     return pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _pairs_frame(a=None, b=None, c=None) -> pd.DataFrame:
+    return pd.DataFrame({
+        "id_a": pd.Series(a if a is not None else [], dtype=np.int64),
+        "id_b": pd.Series(b if b is not None else [], dtype=np.int64),
+        "cos": pd.Series(c if c is not None else [], dtype=np.float64),
+    })
+
+
+def embedding_dup_pairs(ds, *, threshold: float = 0.45, n_blocks: int = 4,
+                        vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """EXACT embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold).
+
+    Distributed block-pair similarity join: every row is replicated to the
+    ``n_blocks`` pair-groups its block participates in (shuffle volume
+    N*B rows — no driver-side matrix, no full-corpus broadcast), then each
+    of the B*(B+1)/2 groups does ONE vectorized matmul over its two block
+    slices.  Each actual pair lands in exactly one group, so no global
+    dedup pass is needed.  Choose B so a (N/B, d) x (d, N/B) matmul fits a
+    task: total compute is the unavoidable exact O(N^2 d / 2), spread over
+    B^2/2 tasks.  At web scale exact all-pairs is infeasible by definition
+    — ``embedding_dup_pairs_lsh`` below is the scale path; this exact form
+    is the oracle/verification path and the per-bucket verify kernel.
+
+    The reference has no embedding dedup (its near-dup detector is
+    SimHash over text, deduplication.py:204-258); this extends the same
+    banded-LSH design to dense vectors.
+    """
+
+    def explode_block_pairs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = ids.size
+        vec = t.column(vec_col)
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        if n == 0:
+            return pa.table({"pair_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "blk": pa.array([], pa.int64()),
+                             vec_col: vec})
+        blk = ids % n_blocks
+        j = np.arange(n_blocks, dtype=np.int64)
+        bi = np.repeat(blk, n_blocks)
+        bj = np.tile(j, n)
+        lo, hi = np.minimum(bi, bj), np.maximum(bi, bj)
+        rep = np.repeat(np.arange(n, dtype=np.int64), n_blocks)
+        return pa.table({
+            "pair_key": pa.array(lo * n_blocks + hi),
+            id_col: pa.array(np.repeat(ids, n_blocks)),
+            "blk": pa.array(bi),
+            vec_col: vec.take(pa.array(rep)),
+        })
+
+    def block_cross(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy(dtype=np.int64)
+        if ids.size < 2:
+            return _pairs_frame()
+        blk = group["blk"].to_numpy(dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in group[vec_col]])
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        V = V / nrm
+        key = int(group["pair_key"].iloc[0])
+        a, b = key // n_blocks, key % n_blocks
+        if a == b:
+            S = V @ V.T
+            ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (S >= threshold))
+            return _pairs_frame(ids[ia], ids[ib], np.round(S[ia, ib], 4))
+        ma, mb = blk == a, blk == b
+        ids_a, ids_b = ids[ma], ids[mb]
+        if ids_a.size == 0 or ids_b.size == 0:
+            return _pairs_frame()
+        S = V[ma] @ V[mb].T
+        ia, ib = np.nonzero(S >= threshold)
+        id1, id2 = ids_a[ia], ids_b[ib]
+        return _pairs_frame(np.minimum(id1, id2), np.maximum(id1, id2),
+                            np.round(S[ia, ib], 4))
+
+    pairs = (ds.map_batches(explode_block_pairs, batch_format="pyarrow")
+               .groupby("pair_key")
+               .map_groups(block_cross, batch_format="pandas")
+               .to_pandas())
+    if pairs.empty:
+        return _pairs_frame()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+class EmbeddingLshStage:
+    """Random-hyperplane signature stage: planes drawn once per actor
+    (deterministic seed); emits each row exploded to its ``n_bands``
+    (band_key, id, vector) bucket rows."""
+
+    def __init__(self, dim: int, n_bands: int = 32, band_bits: int = 4,
+                 seed: int = 7, vec_col: str = "embedding", id_col: str = "vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_bands * band_bits, dim))
+        self.n_bands, self.band_bits = n_bands, band_bits
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import vecs_from_column
+
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vec = batch.column(self.vec_col)
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        n = ids.size
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             self.vec_col: vec})
+        V = vecs_from_column(vec)
+        bits = (V @ self.planes.T >= 0).reshape(n, self.n_bands, self.band_bits)
+        pow2 = (1 << np.arange(self.band_bits, dtype=np.int64))
+        bucket = (bits * pow2).sum(axis=2)                       # (n, n_bands)
+        band_key = (np.arange(self.n_bands, dtype=np.int64)
+                    << self.band_bits) + bucket                  # disjoint per band
+        rep = np.repeat(np.arange(n, dtype=np.int64), self.n_bands)
+        return pa.table({
+            "band_key": pa.array(band_key.reshape(-1)),
+            self.id_col: pa.array(np.repeat(ids, self.n_bands)),
+            self.vec_col: vec.take(pa.array(rep)),
+        })
+
+
+def embedding_dup_pairs_lsh(ds, *, dim: int, threshold: float = 0.45,
+                            n_bands: int = 32, band_bits: int = 4, seed: int = 7,
+                            vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """APPROXIMATE embedding near-dup — the 100-TB scale path.
+
+    Random-hyperplane banded LSH: rows shuffle once keyed by (band,
+    bucket); each bucket verifies candidates with an exact cosine matmul
+    (precision 1.0 by construction; recall is the tunable, measured vs
+    ``embedding_dup_pairs`` in the unit suite).  Collision odds per band
+    are (1 - theta/pi)^band_bits, so recall ≈ 1-(1-p^r)^b — at tau=0.45
+    (theta≈63°, p≈0.65) the default 32x4 gives >0.99.  At web scale grow
+    ``band_bits`` so buckets stay sparse and reuse minhash_pairs'
+    count-prune to skip singleton buckets.
+    """
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy(dtype=np.int64)
+        if ids.size < 2:
+            return _pairs_frame()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in group[vec_col]])
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        V = V / nrm
+        S = V @ V.T
+        ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (S >= threshold))
+        return _pairs_frame(ids[ia], ids[ib], np.round(S[ia, ib], 4))
+
+    pairs = (ds.map_batches(
+                 EmbeddingLshStage(dim=dim, n_bands=n_bands, band_bits=band_bits,
+                                   seed=seed, vec_col=vec_col, id_col=id_col),
+                 batch_format="pyarrow")
+               .groupby("band_key")
+               .map_groups(bucket_pairs, batch_format="pandas")
+               .to_pandas())
+    if pairs.empty:
+        return _pairs_frame()
+    return (pairs.drop_duplicates(["id_a", "id_b"])
+                 .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -331,3 +331,44 @@ def test_real_media_stage_pipeline(ray_session):
     assert (rs["width"] == 20).all() and (rs["height"] == 10).all()
     for p in rs["payload"]:
         assert decode_ppm(p).shape == (10, 20, 3)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def _exact_cosine_pairs(threshold):
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    V = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (S >= threshold))
+    return {(int(ids[i]), int(ids[j])): float(S[i, j]) for i, j in zip(ia, ib)}
+
+
+def test_embedding_dup_exact_matches_bruteforce(emb_ds):
+    from news_information_retrieval_system_ray.stages.dedup import embedding_dup_pairs
+
+    truth = _exact_cosine_pairs(0.45)
+    got = embedding_dup_pairs(emb_ds, threshold=0.45, n_blocks=3)
+    assert set(zip(got["id_a"], got["id_b"])) == set(truth)
+    for _, r in got.iterrows():
+        assert abs(r["cos"] - truth[(r["id_a"], r["id_b"])]) < 1e-3
+    # each pair lands in exactly one block-pair group: no duplicates
+    assert not got.duplicated(["id_a", "id_b"]).any()
+
+
+def test_embedding_dup_lsh_recall_and_precision(emb_ds):
+    from news_information_retrieval_system_ray.stages.dedup import embedding_dup_pairs_lsh
+
+    truth = _exact_cosine_pairs(0.45)
+    got = embedding_dup_pairs_lsh(emb_ds, dim=64, threshold=0.45)
+    gset = set(zip(got["id_a"], got["id_b"]))
+    # every reported pair is exact-verified in the bucket => precision 1.0
+    assert gset <= set(truth)
+    assert len(gset) / max(1, len(truth)) >= 0.9
