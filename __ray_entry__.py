@@ -847,6 +847,42 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(q.n_stop, 0) AS n_stop,
                    coalesce(q.sum_token_len, 0) AS sum_token_len
             FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id""",
+        "lang_id": _CTE + """,
+            cj AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE AS cjk,
+                          greatest(1, length(text))::DOUBLE AS nch
+                   FROM documents),
+            h AS (SELECT d.doc_id,
+                         coalesce(sum(CASE WHEN term IN ('the','and','of','to','in','is','a','for','with','news') THEN 1 ELSE 0 END), 0)::DOUBLE AS en,
+                         coalesce(sum(CASE WHEN term IN ('der','die','das','und','ist','nicht','mit','ein','zu') THEN 1 ELSE 0 END), 0)::DOUBLE AS de,
+                         coalesce(sum(CASE WHEN term IN ('le','la','les','et','est','une','pour','dans','que') THEN 1 ELSE 0 END), 0)::DOUBLE AS fr,
+                         coalesce(sum(CASE WHEN term IN ('el','los','las','es','una','para','con','por','como') THEN 1 ELSE 0 END), 0)::DOUBLE AS es
+                  FROM documents d LEFT JOIN ft ON d.doc_id = ft.doc_id
+                  GROUP BY d.doc_id),
+            sc AS (SELECT h.doc_id, h.en / dln.dl AS en, h.de / dln.dl AS de,
+                          h.fr / dln.dl AS fr, h.es / dln.dl AS es,
+                          cj.cjk / cj.nch AS zhr
+                   FROM h JOIN dln ON h.doc_id = dln.doc_id
+                          JOIN cj ON h.doc_id = cj.doc_id)
+            SELECT doc_id,
+                   CASE WHEN zhr > 0.2 THEN 'zh'
+                        WHEN en >= greatest(de, fr, es) THEN 'en'
+                        WHEN de >= greatest(fr, es) THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS pred_lang,
+                   round(CASE WHEN zhr > 0.2 THEN zhr
+                              ELSE greatest(en, de, fr, es) END, 4) AS confidence
+            FROM sc ORDER BY doc_id""",
+        "summarize_leadk": """
+            WITH sents AS (
+              SELECT doc_id,
+                     list_filter(list_transform(regexp_split_to_array(text, '[。！？.!?]'),
+                                                s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+                                 s -> s <> '') AS ss
+              FROM documents),
+            j AS (SELECT doc_id, array_to_string(ss[1:2], '。') AS summary FROM sents)
+            SELECT doc_id, summary, length(summary)::BIGINT AS summary_len
+            FROM j ORDER BY doc_id""",
         "token_counts": _CTE + """
             SELECT n.doc_id,
                    (SELECT count(*) FROM ft WHERE ft.doc_id = n.doc_id) AS n_ws_tokens,

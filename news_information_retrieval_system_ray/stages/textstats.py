@@ -60,6 +60,14 @@ class QualityStage:
         })
 
 
+def _round4_half_away(x: float) -> float:
+    """Half-away-from-zero 4-dp rounding (matches SQL ROUND, unlike
+    Python's banker's round — scores like 1/32 land exactly on .5)."""
+    import math
+
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
 class LangIdStage:
     """Marker-word + CJK-ratio heuristic -> (doc_id, pred_lang, confidence)."""
 
@@ -75,7 +83,7 @@ class LangIdStage:
             cjk = len(_CJK.findall(t))
             if cjk / n_chars > 0.2:
                 langs.append("zh")
-                confs.append(round(cjk / n_chars, 4))
+                confs.append(_round4_half_away(cjk / n_chars))
                 continue
             toks = self.tokenize(normalize_text(t))
             n = max(1, len(toks))
@@ -85,7 +93,7 @@ class LangIdStage:
                 if score > best:
                     best_lang, best = lang, score
             langs.append(best_lang)
-            confs.append(round(best, 4))
+            confs.append(_round4_half_away(best))
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "pred_lang": pa.array(langs, pa.string()),
