@@ -246,6 +246,45 @@ def oracle_sql() -> dict[str, str]:
                        FROM scores)"""
     bm25_sql = _CTE + bm25_rank_cte + """
             SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10"""
+    # snippet assembly: best sentence by distinct-term substring hits
+    # (first max wins), 180-char trim, highlight-count via the same
+    # longest-first alternation the pipeline compiles
+    pv = ", ".join(
+        "('{}', '{}')".format(qid, "|".join(sorted(set(ts), key=len, reverse=True)))
+        for qid, ts in A.FIXED_QUERIES.items())
+    snippets_sql = _CTE + bm25_rank_cte + f""",
+            qpat(qid, pat) AS (VALUES {pv}),
+            topk AS (SELECT qid, rank, doc_id FROM ranked WHERE rank <= 5),
+            sents0 AS (SELECT doc_id, text,
+                              list_filter(list_transform(regexp_split_to_array(text, '[。！？.!?]'),
+                                                         s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+                                          s -> s <> '') AS ss
+                       FROM documents),
+            sents AS (SELECT doc_id,
+                             CASE WHEN len(ss) = 0
+                                  THEN [trim(text, ' ' || chr(9) || chr(10) || chr(13))]
+                                  ELSE ss END AS ss
+                      FROM sents0),
+            sflat AS (SELECT t.qid, t.rank, t.doc_id,
+                             unnest(s.ss) AS sent,
+                             unnest(range(1, len(s.ss) + 1)) AS si
+                      FROM topk t JOIN sents s USING (doc_id)),
+            shits AS (SELECT f.*,
+                             (SELECT count(*) FROM qterms q
+                              WHERE q.qid = f.qid AND contains(lower(f.sent), q.term)) AS h
+                      FROM sflat f),
+            sbest AS (SELECT qid, rank, doc_id, sent,
+                             row_number() OVER (PARTITION BY qid, rank, doc_id
+                                                ORDER BY h DESC, si) AS rn
+                      FROM shits),
+            snip AS (SELECT qid, rank, doc_id,
+                            CASE WHEN length(sent) > 180
+                                 THEN substr(sent, 1, 180) || '…' ELSE sent END AS snippet
+                     FROM sbest WHERE rn = 1)
+            SELECT s.qid, s.rank, s.doc_id, s.snippet,
+                   len(regexp_extract_all(s.snippet, p.pat, 0, 'i'))::BIGINT AS n_marks
+            FROM snip s JOIN qpat p USING (qid)
+            ORDER BY s.qid, s.rank"""
     # per-query P@10 / R@10 / MRR@10: run AND binary qrels (doc relevant
     # iff it contains >= half the query's distinct terms) both derived
     # in SQL — mirrors analytics.eval_pr_at_k / _grade_qrels
@@ -398,6 +437,55 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_sql,
         "eval_pr_at_k": eval_pr_sql,
         "bm25_wand_topk": bm25_sql,
+        "search_snippets": snippets_sql,
+        # Rocchio PRF: tfidf top-5 as feedback -> q' = 1.0*q_hat +
+        # 0.75*centroid(normalized fb doc vectors) -> rescore by
+        # sum((1+log10 tf) * idf * q'[t]) — mirrors analytics.rocchio_topk
+        "rocchio_topk": _CTE + f""",
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            idf AS (SELECT term, ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+                    FROM dfs CROSS JOIN stats),
+            wd AS (SELECT tf.doc_id, tf.term, (1 + log10(tf.tf)) * idf.idf AS w
+                   FROM tf JOIN idf USING (term)),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wd GROUP BY doc_id),
+            qterms(qid, term) AS (VALUES {qv}),
+            qw AS (SELECT q.qid, q.term, idf.idf AS w FROM qterms q JOIN idf USING (term)),
+            qnorm AS (SELECT qid, sqrt(sum(w * w)) AS qn FROM qw GROUP BY qid),
+            tscores AS (SELECT qw.qid, wd.doc_id,
+                               sum((wd.w / norms.nrm) * (qw.w / qnorm.qn)) AS score
+                        FROM wd JOIN qw USING (term)
+                        JOIN norms ON wd.doc_id = norms.doc_id
+                        JOIN qnorm ON qw.qid = qnorm.qid
+                        GROUP BY qw.qid, wd.doc_id),
+            fb AS (SELECT qid, doc_id FROM
+                     (SELECT qid, doc_id,
+                             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                      FROM tscores WHERE score > 0)
+                   WHERE rank <= 5),
+            nfb AS (SELECT qid, count(*) AS nf FROM fb GROUP BY qid),
+            dvec AS (SELECT wd.doc_id, wd.term, wd.w / norms.nrm AS v
+                     FROM wd JOIN norms ON wd.doc_id = norms.doc_id
+                     WHERE wd.doc_id IN (SELECT doc_id FROM fb)),
+            cent AS (SELECT fb.qid, d.term, 0.75 * sum(d.v) / greatest(1, max(n.nf)) AS v
+                     FROM fb JOIN dvec d ON fb.doc_id = d.doc_id
+                             JOIN nfb n ON n.qid = fb.qid
+                     GROUP BY fb.qid, d.term),
+            qhat AS (SELECT qw.qid, qw.term, 1.0 * qw.w / qnorm.qn AS v
+                     FROM qw JOIN qnorm USING (qid)),
+            qexp AS (SELECT qid, term, sum(v) AS qv
+                     FROM (SELECT * FROM qhat UNION ALL SELECT * FROM cent)
+                     GROUP BY qid, term),
+            rescore AS (SELECT e.qid, tf.doc_id,
+                               sum((1 + log10(tf.tf)) * idf.idf * e.qv) AS score
+                        FROM qexp e JOIN tf ON tf.term = e.term
+                                    JOIN idf ON idf.term = e.term
+                        GROUP BY e.qid, tf.doc_id),
+            rr AS (SELECT qid, doc_id, round(score, 4) AS score,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY round(score, 4) DESC, doc_id) AS rank
+                   FROM rescore)
+            SELECT qid, rank, doc_id, score
+            FROM rr WHERE rank <= 10 ORDER BY qid, rank""",
         "explain_scores": _CTE + bm25_rank_cte + """,
             top1 AS (SELECT qid, doc_id FROM ranked WHERE rank = 1),
             dfs2 AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

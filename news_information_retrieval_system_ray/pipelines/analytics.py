@@ -1399,11 +1399,15 @@ def rocchio_topk(sf_dir: str, k: int = 10, alpha: float = 1.0, beta: float = 0.7
     sc = ex.map_batches(score, batch_format="pyarrow") \
            .groupby(["qid", "doc_id"]).aggregate(Sum("c", alias_name="score")).to_pandas()
     rows = []
+    # rank on the 4-dp-rounded score: distributed Sum aggregates in
+    # arbitrary block order, so raw floats carry summation-order noise
+    # in the last bits — ties must break deterministically (doc_id asc)
+    sc["score"] = sc["score"].map(round4)
     for qid in FIXED_QUERIES:
         g = sc[sc["qid"] == qid].sort_values(
             ["score", "doc_id"], ascending=[False, True]).head(k)
         for rank, (_, r) in enumerate(g.iterrows(), 1):
-            rows.append((qid, rank, int(r["doc_id"]), round4(float(r["score"]))))
+            rows.append((qid, rank, int(r["doc_id"]), float(r["score"])))
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
