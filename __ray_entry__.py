@@ -246,6 +246,63 @@ def oracle_sql() -> dict[str, str]:
                        FROM scores)"""
     bm25_sql = _CTE + bm25_rank_cte + """
             SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10"""
+    # shared sentence segmentation for the summarizer oracles
+    # (functions/summarize.segment_sentences: split on [.!?。！？]+, strip,
+    # keep 5..100-token sentences, positions count all non-empty raws;
+    # corpus is pure ASCII so the CJK-explode branch is identity)
+    summ_cte = """
+            WITH parts AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                                               '[.!?。！？]+'),
+                         s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+                                 s -> s <> '') AS ps
+              FROM documents),
+            raws AS (SELECT doc_id, unnest(ps) AS raw, unnest(range(0, len(ps))) AS pos
+                     FROM parts),
+            stoks AS (SELECT doc_id, raw, pos,
+                             list_filter(string_split_regex(
+                                 regexp_replace(lower(raw), '[^\\w\\s一-鿿]', ' ', 'g'),
+                                 '\\s+'), t -> t <> '') AS tk
+                      FROM raws),
+            kept AS (SELECT doc_id, raw, pos, tk, len(tk) AS ntok
+                     FROM stoks WHERE len(tk) BETWEEN 5 AND 100)"""
+    summ_tail = """
+            sel AS (SELECT doc_id, raw, pos,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, pos) AS rn
+                    FROM scored),
+            summ AS (SELECT doc_id, string_agg(raw, ' ' ORDER BY pos) AS summary
+                     FROM sel WHERE rn <= 2 GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(s.summary, '') AS summary,
+                   length(coalesce(s.summary, ''))::BIGINT AS summary_len
+            FROM documents d LEFT JOIN summ s USING (doc_id) ORDER BY d.doc_id"""
+    qfocus_sql = summ_cte + """,
+            scored AS (SELECT doc_id, raw, pos,
+                              CASE WHEN len(list_intersect(list_distinct(tk),
+                                                           ['slow', 'query', 'scan'])) > 0
+                                   THEN len(list_intersect(list_distinct(tk),
+                                                           ['slow', 'query', 'scan']))
+                                        / sqrt(3.0 * len(list_distinct(tk)))
+                                   ELSE 0.0 END AS sc
+                       FROM kept),""" + summ_tail
+    keysent_sql = summ_cte + """,
+            tokrows AS (SELECT doc_id, pos, unnest(tk) AS term FROM kept),
+            tfc AS (SELECT doc_id, term, count(*)::DOUBLE AS c
+                    FROM tokrows GROUP BY doc_id, term),
+            dfc AS (SELECT doc_id, term, count(DISTINCT pos)::DOUBLE AS d
+                    FROM tokrows GROUP BY doc_id, term),
+            nk AS (SELECT doc_id, count(*)::DOUBLE AS n FROM kept GROUP BY doc_id),
+            contrib AS (SELECT tr.doc_id, tr.pos, sum(tfc.c * ln(nk.n / dfc.d)) AS s
+                        FROM tokrows tr
+                        JOIN tfc ON tfc.doc_id = tr.doc_id AND tfc.term = tr.term
+                        JOIN dfc ON dfc.doc_id = tr.doc_id AND dfc.term = tr.term
+                        JOIN nk ON nk.doc_id = tr.doc_id
+                        GROUP BY tr.doc_id, tr.pos),
+            scored AS (SELECT k.doc_id, k.raw, k.pos,
+                              (coalesce(c.s, 0) / k.ntok) * (1 + 0.5 / (1 + k.pos)) AS sc
+                       FROM kept k LEFT JOIN contrib c
+                            ON k.doc_id = c.doc_id AND k.pos = c.pos),""" + summ_tail
     # snippet assembly: best sentence by distinct-term substring hits
     # (first max wins), 180-char trim, highlight-count via the same
     # longest-first alternation the pipeline compiles
@@ -438,6 +495,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_pr_at_k": eval_pr_sql,
         "bm25_wand_topk": bm25_sql,
         "search_snippets": snippets_sql,
+        "summarize_query_focused": qfocus_sql,
+        "summarize_key_sentences": keysent_sql,
         # Rocchio PRF: tfidf top-5 as feedback -> q' = 1.0*q_hat +
         # 0.75*centroid(normalized fb doc vectors) -> rescore by
         # sum((1+log10 tf) * idf * q'[t]) — mirrors analytics.rocchio_topk
