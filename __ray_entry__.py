@@ -277,6 +277,138 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(s.summary, '') AS summary,
                    length(coalesce(s.summary, ''))::BIGINT AS summary_len
             FROM documents d LEFT JOIN summ s USING (doc_id) ORDER BY d.doc_id"""
+    # RAKE: stopword-delimited phrases capped at 4 words (a longer run
+    # splits 4+4+...), deg/freq word scores, phrase score = member sum
+    from news_information_retrieval_system_ray.functions.stopwords import EN_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+    rake_sql = _CTE + f""",
+            tkl AS (SELECT doc_id,
+                           list_filter(string_split(t, ' '),
+                                       s -> s <> '' AND regexp_matches(s, '[a-z0-9_]')) AS tk
+                    FROM norm),
+            seq AS (SELECT doc_id, unnest(tk) AS term, unnest(range(0, len(tk))) AS idx
+                    FROM tkl),
+            flags AS (SELECT doc_id, term, idx,
+                             CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END AS st
+                      FROM seq),
+            runs AS (SELECT doc_id, term, idx, st,
+                            sum(st) OVER (PARTITION BY doc_id ORDER BY idx
+                                          ROWS UNBOUNDED PRECEDING) AS run_id
+                     FROM flags),
+            members AS (SELECT doc_id, term, idx, run_id,
+                               (row_number() OVER (PARTITION BY doc_id, run_id ORDER BY idx) - 1) // 4 AS sub
+                        FROM runs WHERE st = 0),
+            phr AS (SELECT doc_id, run_id, sub,
+                           string_agg(term, ' ' ORDER BY idx) AS phrase,
+                           count(*) AS plen
+                    FROM members GROUP BY doc_id, run_id, sub),
+            pm AS (SELECT m.doc_id, m.term, m.run_id, m.sub, p.plen, p.phrase
+                   FROM members m JOIN phr p
+                        ON p.doc_id = m.doc_id AND p.run_id = m.run_id AND p.sub = m.sub),
+            ws AS (SELECT doc_id, term, sum(plen)::DOUBLE / count(*) AS wscore
+                   FROM pm GROUP BY doc_id, term),
+            pscore AS (SELECT pm.doc_id, pm.run_id, pm.sub, any_value(pm.phrase) AS phrase,
+                              sum(ws.wscore) AS score
+                       FROM pm JOIN ws ON ws.doc_id = pm.doc_id AND ws.term = pm.term
+                       GROUP BY pm.doc_id, pm.run_id, pm.sub),
+            uniq AS (SELECT doc_id, phrase, any_value(score) AS score
+                     FROM pscore GROUP BY doc_id, phrase),
+            rranked AS (SELECT doc_id, phrase, score,
+                               row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY score DESC, phrase) AS rank
+                        FROM uniq)
+            SELECT doc_id, rank, phrase, round(score, 4) AS score
+            FROM rranked WHERE rank <= 5 ORDER BY doc_id, rank"""
+    # MinHash-LSH near-dup, replicated end-to-end: md5 3-gram shingles,
+    # the MinHasher(seed=1729) permutation table (a*x+b mod 2^64 via
+    # UHUGEINT), 16x8 banding via signature-slice equality (two docs
+    # share a band key iff the 8 sig values match), candidate pairwise
+    # signature-estimated Jaccard >= 0.8
+    import numpy as _np
+
+    from news_information_retrieval_system_ray.functions.hashing import MinHasher as _MH
+
+    _mh = _MH(num_perm=128, seed=1729)
+    perm_rows = ", ".join(f"({i}, {int(a)}, {int(b)})"
+                          for i, (a, b) in enumerate(zip(_mh.a, _mh.b)))
+    minhash_sql = _CTE + f""",
+            tkl AS (SELECT doc_id,
+                           list_filter(string_split(t, ' '),
+                                       s -> s <> '' AND regexp_matches(s, '[a-z0-9_]')) AS tk
+                    FROM norm),
+            ntk AS (SELECT doc_id, tk, len(tk) AS n FROM tkl),
+            shl AS (SELECT doc_id,
+                           CASE WHEN n >= 3
+                                THEN list_transform(range(0, n - 2),
+                                                    i -> array_to_string(tk[i+1:i+3], ' '))
+                                WHEN n > 0 THEN [array_to_string(tk, ' ')]
+                                ELSE [] END AS gs
+                    FROM ntk),
+            sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h
+                   FROM (SELECT doc_id, unnest(gs) AS g FROM shl)),
+            perm(pid, pa, pb) AS (VALUES {perm_rows}),
+            sig AS (SELECT doc_id, pid,
+                           min(((pa::UHUGEINT * h::UHUGEINT + pb::UHUGEINT)
+                                % 18446744073709551616::UHUGEINT)::UBIGINT) AS s
+                    FROM sh CROSS JOIN perm GROUP BY doc_id, pid),
+            bnd AS (SELECT doc_id, pid // 8 AS band_id,
+                           string_agg(lpad(to_hex(s), 16, '0'), '' ORDER BY pid) AS bkey
+                    FROM sig GROUP BY doc_id, pid // 8),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bnd a JOIN bnd b
+                          ON a.band_id = b.band_id AND a.bkey = b.bkey
+                             AND a.doc_id < b.doc_id),
+            estj AS (SELECT c.doc_a, c.doc_b,
+                            avg(CASE WHEN sa.s = sb.s THEN 1.0 ELSE 0.0 END) AS est_jaccard
+                     FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                                 JOIN sig sb ON sb.doc_id = c.doc_b AND sb.pid = sa.pid
+                     GROUP BY c.doc_a, c.doc_b)
+            SELECT doc_a, doc_b, est_jaccard FROM estj
+            WHERE est_jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+    # SimHash near-dup: same bit-vote simhash as the fingerprints oracle,
+    # 4x16-bit LSB-first bands, pairs sharing any band, Hamming<=3 verify
+    simhash_sql = _CTE + """,
+            hsh AS (SELECT doc_id, tf,
+                           ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+                    FROM tf),
+            votes AS (SELECT doc_id, r.b,
+                             sum(tf * (2 * ((h >> r.b) & 1)::BIGINT - 1)) AS v
+                      FROM hsh CROSS JOIN range(0, 64) r(b)
+                      GROUP BY doc_id, r.b),
+            sim AS (SELECT doc_id,
+                           bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                                       ELSE 0::UBIGINT END)::UBIGINT AS sh
+                    FROM votes GROUP BY doc_id),
+            sbnd AS (SELECT doc_id, r.b AS band_id,
+                            (sh >> (16 * r.b)) & 65535::UBIGINT AS bval
+                     FROM sim CROSS JOIN range(0, 4) r(b)),
+            spairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                       FROM sbnd a JOIN sbnd b
+                            ON a.band_id = b.band_id AND a.bval = b.bval
+                               AND a.doc_id < b.doc_id)
+            SELECT p.doc_a, p.doc_b,
+                   bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming
+            FROM spairs p JOIN sim sa ON sa.doc_id = p.doc_a
+                          JOIN sim sb ON sb.doc_id = p.doc_b
+            WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+            ORDER BY doc_a, doc_b"""
+    # exact word-3-gram Jaccard >= 0.6 over MinHash-LSH candidates
+    # (est >= 0.4): reuses the minhash sig/band replica, then exact
+    # set-intersection Jaccard over the md5 shingle hashes
+    ngram_jac_sql = minhash_sql[:minhash_sql.rindex("SELECT doc_a")] + """,
+            cand04 AS (SELECT doc_a, doc_b FROM estj WHERE est_jaccard >= 0.4),
+            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+                      FROM cand04 c JOIN sh a ON a.doc_id = c.doc_a
+                                    JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+                      GROUP BY c.doc_a, c.doc_b),
+            szs AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+            jac AS (SELECT i.doc_a, i.doc_b,
+                           i.ni::DOUBLE / (sa.ns + sb.ns - i.ni) AS j
+                    FROM inter i JOIN szs sa ON sa.doc_id = i.doc_a
+                                 JOIN szs sb ON sb.doc_id = i.doc_b)
+            SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM jac
+            WHERE j >= 0.6 ORDER BY doc_a, doc_b"""
     qfocus_sql = summ_cte + """,
             scored AS (SELECT doc_id, raw, pos,
                               CASE WHEN len(list_intersect(list_distinct(tk),
@@ -497,6 +629,58 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets": snippets_sql,
         "summarize_query_focused": qfocus_sql,
         "summarize_key_sentences": keysent_sql,
+        "rake_keywords": rake_sql,
+        "dedup_minhash": minhash_sql,
+        "dedup_simhash": simhash_sql,
+        "dedup_ngram_jaccard": ngram_jac_sql,
+        # SimHash64 (MD5 token hash, tf-weighted bit votes) + winnowing
+        # (k=5 rolling grams, window-4 mins, distinct) — functions/hashing
+        # replicated bit-for-bit: token_hash64 is the FIRST 8 md5 bytes
+        # big-endian == ('0x' || substr(md5(t),1,16))::UBIGINT
+        "fingerprints": _CTE + """,
+            tkl AS (SELECT doc_id,
+                           list_filter(string_split(t, ' '),
+                                       s -> s <> '' AND regexp_matches(s, '[a-z0-9_]')) AS tk
+                    FROM norm),
+            hsh AS (SELECT doc_id, tf,
+                           ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+                    FROM tf),
+            votes AS (SELECT doc_id, r.b,
+                             sum(tf * (2 * ((h >> r.b) & 1)::BIGINT - 1)) AS v
+                      FROM hsh CROSS JOIN range(0, 64) r(b)
+                      GROUP BY doc_id, r.b),
+            sim AS (SELECT doc_id,
+                           bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                                       ELSE 0::UBIGINT END)::UBIGINT AS simhash
+                    FROM votes GROUP BY doc_id),
+            nt AS (SELECT doc_id, tk, len(tk) AS n FROM tkl),
+            short AS (SELECT doc_id,
+                             ('0x' || substr(md5(array_to_string(tk, ' ')), 1, 16))::UBIGINT AS fp
+                      FROM nt WHERE n > 0 AND n < 5),
+            grams0 AS (SELECT doc_id, n - 4 AS m,
+                              list_transform(range(0, n - 4),
+                                  i -> ('0x' || substr(md5(array_to_string(tk[i+1:i+5], ' ')), 1, 16))::UBIGINT) AS hs
+                       FROM nt WHERE n >= 5),
+            gr AS (SELECT doc_id, m, unnest(hs) AS h, unnest(range(0, m)) AS i FROM grams0),
+            slid AS (SELECT doc_id, i, m,
+                            min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+                     FROM gr),
+            fps AS (SELECT DISTINCT doc_id, wm AS fp FROM slid WHERE m > 4 AND i <= m - 4
+                    UNION ALL
+                    SELECT doc_id, min(h) AS fp FROM gr WHERE m <= 4 GROUP BY doc_id
+                    UNION ALL
+                    SELECT doc_id, fp FROM short),
+            fstat AS (SELECT doc_id, count(DISTINCT fp)::BIGINT AS n_fingerprints,
+                             min(fp) AS min_fingerprint
+                      FROM fps GROUP BY doc_id)
+            SELECT d.doc_id,
+                   lower(lpad(to_hex(coalesce(s.simhash, 0::UBIGINT)), 16, '0')) AS simhash,
+                   coalesce(f.n_fingerprints, 0)::BIGINT AS n_fingerprints,
+                   lower(lpad(to_hex(coalesce(f.min_fingerprint, 0::UBIGINT)), 16, '0')) AS min_fingerprint
+            FROM documents d LEFT JOIN sim s USING (doc_id)
+                             LEFT JOIN fstat f USING (doc_id)
+            ORDER BY d.doc_id""",
         # Rocchio PRF: tfidf top-5 as feedback -> q' = 1.0*q_hat +
         # 0.75*centroid(normalized fb doc vectors) -> rescore by
         # sum((1+log10 tf) * idf * q'[t]) — mirrors analytics.rocchio_topk

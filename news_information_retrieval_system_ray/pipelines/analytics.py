@@ -1454,11 +1454,26 @@ def lang_id(sf_dir: str):
 
 
 def fingerprints(sf_dir: str):
-    """SimHash64 + winnowed fingerprints per doc (rows-only check)."""
+    """SimHash64 + winnowed fingerprints per doc, oracle-checked.
+
+    The 64-bit values travel as zero-padded hex STRINGS in this entry:
+    uint64 > 2^63 round-trips through pandas/DuckDB as float64 and loses
+    low bits, so exact-hash comparison needs a lossless encoding."""
     from ..stages.textstats import FingerprintStage
 
+    def to_hex(t: pa.Table) -> pa.Table:
+        sh = t.column("simhash").to_numpy(zero_copy_only=False)
+        mf = t.column("min_fingerprint").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "simhash": pa.array([format(int(x), "016x") for x in sh], pa.string()),
+            "n_fingerprints": t.column("n_fingerprints"),
+            "min_fingerprint": pa.array([format(int(x), "016x") for x in mf], pa.string()),
+        })
+
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        FingerprintStage(text_col="text"), batch_format="pyarrow")
+        FingerprintStage(text_col="text"), batch_format="pyarrow") \
+        .map_batches(to_hex, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ dedup
