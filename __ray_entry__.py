@@ -501,6 +501,101 @@ def oracle_sql() -> dict[str, str]:
             FROM need n LEFT JOIN hitsk h ON n.qid = h.qid
                         LEFT JOIN relcount rc ON n.qid = rc.qid
             ORDER BY n.qid"""
+    # Full metric battery (functions/metrics.evaluate_run) over the BM25
+    # top-10 run vs the synthetic GRADED qrels (grade 2 iff the doc holds
+    # ALL query terms, 1 iff >= half).  Every metric macro-averaged over
+    # the run's qids.  Notes: the qrels contain NO grade-0 judged docs, so
+    # bpref degenerates to recall (N=0 => zero penalty per relevant hit);
+    # ERR's sequential continue-product is exp(window-sum of ln(1-p)).
+    _metric_cols = [
+        ("P", "p"), ("R", "rcl"), ("F1", "f1"), ("P@10", "pk"),
+        ("R@10", "rcl"), ("MRR", "mrr"), ("nDCG@10", "ndcg"),
+        ("R-prec", "rpr"), ("ERR@10", "errv"), ("RBP", "rbp"),
+        ("bpref", "rcl"), ("success@10", "succ"), ("MAP", "ap"),
+    ]
+    unpivot = "\n              UNION ALL ".join(
+        f"SELECT '{name}' AS metric, avg({col}) AS value FROM f1q"
+        for name, col in _metric_cols)
+    eval_metrics_sql = _CTE + bm25_rank_cte + f""",
+            topk AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+            need AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
+            hitcount AS (
+              SELECT q.qid, t.doc_id, count(DISTINCT t.term) AS hit
+              FROM (SELECT DISTINCT doc_id, term FROM tf) t
+              JOIN qterms q USING (term)
+              GROUP BY q.qid, t.doc_id),
+            grades AS (SELECT h.qid, h.doc_id,
+                              CASE WHEN h.hit = n.n_terms THEN 2 ELSE 1 END AS g
+                       FROM hitcount h JOIN need n USING (qid)
+                       WHERE 2 * h.hit >= n.n_terms),
+            relstats AS (SELECT qid, count(*) AS n_rel, max(g) AS gmax
+                         FROM grades GROUP BY qid),
+            ideal AS (SELECT qid, g,
+                             row_number() OVER (PARTITION BY qid ORDER BY g DESC) AS rn
+                      FROM grades),
+            idcg AS (SELECT qid, sum(g / log2(rn + 1.0)) AS v
+                     FROM ideal WHERE rn <= 10 GROUP BY qid),
+            j AS (SELECT t.qid, t.rank, coalesce(g.g, 0) AS g,
+                         CASE WHEN coalesce(g.g, 0) > 0 THEN 1 ELSE 0 END AS rel
+                  FROM topk t LEFT JOIN grades g
+                       ON t.qid = g.qid AND t.doc_id = g.doc_id),
+            apcum AS (SELECT qid, rank, rel, g,
+                             sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS hits
+                      FROM j),
+            perq_base AS (
+              SELECT a.qid,
+                     count(*) AS nlen,
+                     sum(a.rel) AS relk,
+                     sum(CASE WHEN a.rel = 1 THEN a.hits * 1.0 / a.rank END) AS apnum,
+                     min(CASE WHEN a.rel = 1 THEN a.rank END) AS fr,
+                     sum(a.g / log2(a.rank + 1.0)) AS dcg,
+                     sum(a.rel * 0.2 * power(0.8, a.rank - 1)) AS rbp,
+                     max(a.rel) * 1.0 AS succ
+              FROM apcum a GROUP BY a.qid),
+            rprec AS (SELECT a.qid, sum(a.rel) AS hits_r
+                      FROM apcum a JOIN relstats r
+                           ON a.qid = r.qid AND a.rank <= r.n_rel
+                      GROUP BY a.qid),
+            errt AS (SELECT a.qid, a.rank,
+                            (power(2.0, a.g) - 1) / power(2.0, r.gmax) AS p
+                     FROM apcum a JOIN relstats r USING (qid)
+                     WHERE r.gmax > 0),
+            errc AS (SELECT qid, rank, p,
+                            coalesce(sum(ln(1 - p)) OVER (
+                                PARTITION BY qid ORDER BY rank
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                0) AS lpc
+                     FROM errt),
+            errq AS (SELECT qid, sum(exp(lpc) * p / rank) AS v
+                     FROM errc GROUP BY qid),
+            perq AS (
+              SELECT b.qid,
+                     b.relk * 1.0 / b.nlen AS p,
+                     CASE WHEN coalesce(r.n_rel, 0) = 0 THEN 0.0
+                          ELSE b.relk * 1.0 / r.n_rel END AS rcl,
+                     CASE WHEN coalesce(r.n_rel, 0) = 0 THEN 0.0
+                          ELSE coalesce(b.apnum, 0) / r.n_rel END AS ap,
+                     b.relk / 10.0 AS pk,
+                     coalesce(1.0 / b.fr, 0.0) AS mrr,
+                     CASE WHEN coalesce(i.v, 0) = 0 THEN 0.0
+                          ELSE b.dcg / i.v END AS ndcg,
+                     CASE WHEN coalesce(r.n_rel, 0) = 0 THEN 0.0
+                          ELSE coalesce(rp.hits_r, 0) * 1.0 / r.n_rel END AS rpr,
+                     coalesce(e.v, 0.0) AS errv,
+                     b.rbp AS rbp,
+                     b.succ AS succ
+              FROM perq_base b
+              LEFT JOIN relstats r USING (qid)
+              LEFT JOIN idcg i USING (qid)
+              LEFT JOIN rprec rp USING (qid)
+              LEFT JOIN errq e USING (qid)),
+            f1q AS (SELECT *, CASE WHEN p + rcl = 0 THEN 0.0
+                                   ELSE 2 * p * rcl / (p + rcl) END AS f1
+                    FROM perq),
+            allm AS ({unpivot}
+              UNION ALL SELECT 'GMAP', exp(avg(ln(greatest(ap, 0.00001)))) FROM f1q
+              UNION ALL SELECT 'n_queries', count(*) * 1.0 FROM f1q)
+            SELECT metric, round(value, 4) AS value FROM allm ORDER BY metric"""
     field_boost_sql = _CTE + f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -625,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
                    round((SELECT sum(dl)::DOUBLE FROM dln) / (SELECT count(*) FROM documents), 4) AS avg_doc_len""",
         "bm25_topk": bm25_sql,
         "eval_pr_at_k": eval_pr_sql,
+        "eval_metrics": eval_metrics_sql,
         "bm25_wand_topk": bm25_sql,
         "search_snippets": snippets_sql,
         "summarize_query_focused": qfocus_sql,

@@ -664,7 +664,8 @@ def eval_metrics(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Metric battery (metrics.py:84-872) of the BM25 run against a
     deterministic synthetic qrels: doc is relevant (grade 2) iff it
     contains ALL the query's terms, grade 1 iff >= half; graded from the
-    same exploded table (rows-only check; kernels unit-tested)."""
+    same exploded table. Oracle-checked: the full battery (AP/nDCG/ERR/
+    RBP/bpref/GMAP...) is replicated in window-function SQL."""
     from ray.data.aggregate import Count
 
     from ..functions.metrics import evaluate_run
