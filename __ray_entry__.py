@@ -226,6 +226,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _ann_lsh_sql() -> str:
+    """DuckDB replica of analytics.ann_lsh (stages/ann.LshSignStage +
+    lsh_topk, n_planes=8, n_tables=4, seed=99, multiprobe=1, k=10)."""
+    import numpy as np
+
+    planes = np.random.default_rng(99).standard_normal((4, 8, 64))
+    plane_rows = ", ".join(
+        f"({t},{p},{j},{float(planes[t, p, j])!r})"
+        for t in range(4) for p in range(8) for j in range(64))
+    return f"""
+        WITH planes(t, p, j, w) AS (VALUES {plane_rows}),
+        ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                      unnest(range(0, 64)) AS j
+               FROM embeddings),
+        dots AS (SELECT e.vec_id, pl.t, pl.p, sum(e.x * pl.w) AS d
+                 FROM ev e JOIN planes pl ON pl.j = e.j
+                 GROUP BY e.vec_id, pl.t, pl.p),
+        bits AS (SELECT vec_id, t,
+                        sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) + (t << 9) AS bucket
+                 FROM dots GROUP BY vec_id, t),
+        qb AS (SELECT t, bucket FROM bits WHERE vec_id < 5),
+        probe AS (SELECT DISTINCT bucket FROM qb
+                  UNION
+                  SELECT DISTINCT xor(bucket - (t << 9), 1 << r.i) + (t << 9)
+                  FROM qb CROSS JOIN range(0, 8) r(i)),
+        cand AS (SELECT DISTINCT b.vec_id FROM bits b
+                 JOIN probe pr ON b.bucket = pr.bucket),
+        sims AS (SELECT q.vec_id AS qid, e.vec_id,
+                        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) AS score
+                 FROM embeddings q
+                 CROSS JOIN (SELECT em.* FROM embeddings em JOIN cand USING (vec_id)) e
+                 WHERE q.vec_id < 5),
+        ranked AS (SELECT qid, vec_id, score,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY score DESC, vec_id) AS rank
+                   FROM sims)
+        SELECT qid, rank, vec_id, round(score, 4) AS score
+        FROM ranked WHERE rank <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     qv = _qterms_values()
     bm25_rank_cte = f""",
@@ -1336,6 +1377,18 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
                        FROM sims)
             SELECT qid, rank, vec_id, round(score, 4) AS score FROM ranked WHERE rank <= 10""",
+        # LSH ANN end-to-end: the seeded LshSignStage plane matrix (4
+        # tables x 8 planes x 64 dims, default_rng(99)) is embedded as
+        # literals; buckets = sign-bit packing + (t << 9) table offset;
+        # probe set = the 5 query buckets plus every 1-bit flip
+        # (multiprobe=1); candidates = rows sharing ANY probe bucket
+        # (GLOBAL set, shared across queries — lsh_topk filters once);
+        # exact cosine top-10 over the candidate set
+        "ann_lsh": _ann_lsh_sql(),
+        # the bucketed LAYOUT path computes the identical result through
+        # hive-partition pruning (unit-pinned equal to the scan path), so
+        # it shares the scan path's oracle
+        "ann_lsh_bucketed": _ann_lsh_sql(),
         "embedding_nn_within_label": """
             WITH sims AS (SELECT a.vec_id, b.vec_id AS nn_vec_id,
                                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
