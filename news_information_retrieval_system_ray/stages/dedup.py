@@ -127,18 +127,42 @@ def simhash_pairs(ds, engine: str = DEFAULT_ENGINE, text_col: str = "text",
         sh = t.column("simhash").to_numpy(zero_copy_only=False)
         bands = np.stack([t.column(f"band_{i}").to_numpy(zero_copy_only=False)
                           for i in range(4)], axis=1)  # (n, 4)
+        # one combined int64 key: (band_id << 16) | 16-bit band value —
+        # a single-column shuffle key covering all four bands
+        key = (np.tile(np.arange(4, dtype=np.int64), n) << 16) \
+            | bands.reshape(-1).astype(np.int64)
         return pa.table({
-            "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
-            "band_key": pa.array(bands.reshape(-1).astype(np.int64)),
+            "band_key": pa.array(key),
             "doc_id": pa.array(np.repeat(doc, 4)),
             "simhash": pa.array(np.repeat(sh, 4)),
         })
 
-    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
-    allp = exploded.groupby(["band_id", "band_key"]) \
-                   .map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    # same candidate-prefilter shape as minhash_pairs: buckets are almost
+    # all singletons, so find multi-occupant (band, key) buckets with the
+    # partial-sum pattern (no per-row aggregate, no per-singleton group
+    # dispatch) and verify only the O(dups) candidates driver-side.
+    from ..pipelines.analytics import _sum_by
+
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+        {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
+    counts = _sum_by(exploded.select_columns(["band_key"]),
+                     ("band_key",), (), counts=("n",))
+    multi = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("n"), 1)).select(["band_key"]),
+        batch_format="pyarrow",
+    ).take_all()
+    if not multi:
+        return empty
+    mset = pa.array(np.array(sorted(row["band_key"] for row in multi), dtype=np.int64))
+    cand = exploded.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("band_key"), value_set=mset)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    allp = cand.groupby("band_key", sort=True, group_keys=False)[
+        ["doc_id", "simhash"]].apply(bucket_pairs)
     if allp.empty:
-        return allp
+        return empty
     return allp.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -168,7 +192,8 @@ class MinHashStage:
 
 def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
                   num_perm: int = 128, n_bands: int = 16, shingle_n: int = 3,
-                  threshold: float = 0.8, seed: int = 1729) -> "pd.DataFrame":
+                  threshold: float = 0.8, seed: int = 1729,
+                  num_buckets: int = 1) -> "pd.DataFrame":
     """Near-dup pairs with signature-estimated Jaccard >= threshold.
 
     signature stage (actor pool) -> explode to (band_hash, doc_id, sig)
@@ -176,30 +201,28 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     generation ~O(dups) instead of O(n^2) (deduplication.py:238-248's
     suggested scalable design).
     """
-    mh = MinHasher(num_perm=num_perm, seed=seed)
     sigs = ds.map_batches(
         MinHashStage(engine=engine, text_col=text_col, num_perm=num_perm,
                      shingle_n=shingle_n, seed=seed),
         batch_format="pyarrow",
-    )
+    ).materialize()
     r = num_perm // n_bands
 
-    def explode_bands(batch: pa.Table) -> pa.Table:
-        # vectorized FNV-style band mixing over the (n, n_bands, r)
-        # signature cube — the per-(row, band) md5 loop dominated this
-        # stage's profile; only key EQUALITY matters, so any good 64-bit
-        # mix is equivalent (uint64 ops wrap modulo 2^64 in NumPy)
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        # (band_key, doc_id) ONLY — the 1 KB signatures never enter a
+        # shuffle (they are fetched later for just the O(dups) candidate
+        # docs).  Vectorized FNV-style band mixing over the
+        # (n, n_bands, r) signature cube; only key EQUALITY matters, so
+        # any good 64-bit mix is equivalent (uint64 wraps mod 2^64).
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         sig_col = batch.column("sig")
         if isinstance(sig_col, pa.ChunkedArray):
             sig_col = sig_col.combine_chunks()
-        sig_bytes = sig_col.to_pylist()
         n = doc_ids.size
         if n == 0:
             return pa.table({"band_key": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "sig": pa.array([], pa.binary())})
-        mat = np.frombuffer(b"".join(sig_bytes), dtype=np.uint64).reshape(n, num_perm)
+                             "doc_id": pa.array([], pa.int64())})
+        mat = np.frombuffer(b"".join(sig_col.to_pylist()), dtype=np.uint64).reshape(n, num_perm)
         cube = mat.reshape(n, n_bands, r)
         prime = np.uint64(0x100000001B3)
         key = (np.uint64(0xCBF29CE484222325)
@@ -207,65 +230,65 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
         key = np.broadcast_to(key, (n, n_bands)).copy()
         for j in range(r):
             key = (key ^ cube[:, :, j]) * prime
-        rep = np.repeat(np.arange(n, dtype=np.int64), n_bands)
         return pa.table({
             # int64 bit-cast: Ray hash-shuffle aggregates mishandle
             # uint64 keys > 2^63 (see index_build.vocab_uniq_terms)
             "band_key": pa.array(key.reshape(-1).view(np.int64)),
             "doc_id": pa.array(np.repeat(doc_ids, n_bands).astype(np.int64)),
-            "sig": sig_col.take(pa.array(rep)),
         })
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["doc_id"].to_numpy()
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                                 "doc_b": pd.Series(dtype=np.int64),
-                                 "est_jaccard": pd.Series(dtype=np.float64)})
-        sig_mat = np.stack([np.frombuffer(b, dtype=np.uint64) for b in group["sig"]])
-        order = np.argsort(ids)
-        ids, sig_mat = ids[order], sig_mat[order]
-        a_out, b_out, j_out = [], [], []
-        for i in range(ids.size):
-            if ids[i + 1:].size == 0:
-                break
-            est = (sig_mat[i + 1:] == sig_mat[i]).mean(axis=1)
-            hit = np.nonzero(est >= threshold)[0]
-            for j in hit:
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[i + 1 + j]))
-                j_out.append(float(est[j]))
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out})
+    # nearly every bucket is a singleton (that is the point of LSH):
+    # Ray's sort-based Count aggregate pays ~7 us/exploded-row, so the
+    # multi-occupant buckets are found with the partial-sum pattern
+    # (per-batch C-speed shrink -> tiny merge; num_buckets>1 is the
+    # web-scale bucketed finish).  Everything downstream is O(dups).
+    from ..pipelines.analytics import _sum_by
 
-    from ray.data.aggregate import Count
-
-    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
-    # nearly every bucket is a singleton (that is the point of LSH) —
-    # running map_groups over them pays Ray's per-group overhead for
-    # nothing.  A cheap count aggregate finds the multi-occupant buckets
-    # (O(near-dups), tiny) and only those flow into the pairwise verify.
-    counts = exploded.groupby("band_key").aggregate(Count(alias_name="n"))
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                          "doc_b": pd.Series(dtype=np.int64),
+                          "est_jaccard": pd.Series(dtype=np.float64)})
+    keys_ds = sigs.map_batches(explode_keys, batch_format="pyarrow").materialize()
+    counts = _sum_by(keys_ds, ("band_key",), (), counts=("n",),
+                     num_buckets=num_buckets)
     multi = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t.column("n"), 1)).select(["band_key"]),
         batch_format="pyarrow",
     ).take_all()
     if not multi:
-        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                             "doc_b": pd.Series(dtype=np.int64),
-                             "est_jaccard": pd.Series(dtype=np.float64)})
-    mset = pa.array(np.array(sorted(r["band_key"] for r in multi), dtype=np.int64))
-    cand = exploded.map_batches(
+        return empty
+    mset = pa.array(np.array(sorted(row["band_key"] for row in multi), dtype=np.int64))
+    cand = keys_ds.map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("band_key"), value_set=mset)),
         batch_format="pyarrow",
-    )
-    pairs = (
-        cand.groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if pairs.empty:
-        return pairs
-    return pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    ).to_pandas()
+    dset = pa.array(np.unique(cand["doc_id"].to_numpy()))
+    csig = sigs.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=dset)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    sig_of = {int(d): np.frombuffer(b, dtype=np.uint64)
+              for d, b in zip(csig["doc_id"], csig["sig"])}
+    a_out: list[int] = []
+    b_out: list[int] = []
+    j_out: list[float] = []
+    seen: set[tuple[int, int]] = set()
+    for _, grp in cand.groupby("band_key", sort=True):
+        ids = np.sort(grp["doc_id"].to_numpy())
+        m = np.stack([sig_of[int(d)] for d in ids])
+        for i in range(ids.size - 1):
+            est = (m[i + 1:] == m[i]).mean(axis=1)
+            for j in np.nonzero(est >= threshold)[0]:
+                pair = (int(ids[i]), int(ids[i + 1 + j]))
+                if pair in seen:
+                    continue
+                seen.add(pair)
+                a_out.append(pair[0])
+                b_out.append(pair[1])
+                j_out.append(float(est[j]))
+    if not a_out:
+        return empty
+    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
