@@ -267,6 +267,54 @@ def _ann_lsh_sql() -> str:
         FROM ranked WHERE rank <= 10"""
 
 
+def _kmeans_sql() -> str:
+    """DuckDB replica of analytics.embedding_kmeans (stages/ann.kmeans:
+    k=8, n_iter=8, seed=17): Lloyd's iterations UNROLLED as chained CTEs.
+
+    Init replicates take_batch(64) + default_rng(17).choice(64, 8,
+    replace=False) — the embeddings parquet is written in vec_id order,
+    so the first batch's row i IS vec_id i.  Assignment ties break to
+    the lowest cid (numpy argmin); empty clusters keep their previous
+    centroid (coalesce)."""
+    import numpy as np
+
+    idx = np.random.default_rng(17).choice(64, size=8, replace=False)
+    init_rows = ", ".join(f"({c}, {int(v)})" for c, v in enumerate(idx))
+    parts = [f"""
+        WITH initidx(cid, vid) AS (VALUES {init_rows}),
+        ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                      unnest(range(0, 64)) AS j
+               FROM embeddings),
+        cent0 AS (SELECT i.cid, e.j, e.x AS w
+                  FROM initidx i JOIN ev e ON e.vec_id = i.vid)"""]
+    prev = "cent0"
+    for i in range(1, 9):
+        parts.append(f""",
+        d{i} AS (SELECT e.vec_id, c.cid, sum((e.x - c.w) * (e.x - c.w)) AS d2
+                 FROM ev e JOIN {prev} c ON c.j = e.j
+                 GROUP BY e.vec_id, c.cid),
+        l{i} AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cid) AS rn
+                   FROM d{i}) WHERE rn = 1),
+        u{i} AS (SELECT l.cid, e.j, avg(e.x) AS w
+                 FROM l{i} l JOIN ev e USING (vec_id) GROUP BY l.cid, e.j),
+        cent{i} AS (SELECT c.cid, c.j, coalesce(u.w, c.w) AS w
+                    FROM {prev} c LEFT JOIN u{i} u
+                         ON u.cid = c.cid AND u.j = c.j)""")
+        prev = f"cent{i}"
+    parts.append(f""",
+        df AS (SELECT e.vec_id, c.cid, sum((e.x - c.w) * (e.x - c.w)) AS d2
+               FROM ev e JOIN {prev} c ON c.j = e.j
+               GROUP BY e.vec_id, c.cid)
+        SELECT vec_id, cid AS cluster, round(d2, 4) AS dist2 FROM (
+          SELECT vec_id, cid, d2,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM df) WHERE rn = 1 ORDER BY vec_id""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     qv = _qterms_values()
     bm25_rank_cte = f""",
@@ -1389,6 +1437,8 @@ def oracle_sql() -> dict[str, str]:
         # hive-partition pruning (unit-pinned equal to the scan path), so
         # it shares the scan path's oracle
         "ann_lsh_bucketed": _ann_lsh_sql(),
+        # distributed k-means, 8 seeded Lloyd iterations unrolled in SQL
+        "embedding_kmeans": _kmeans_sql(),
         "embedding_nn_within_label": """
             WITH sims AS (SELECT a.vec_id, b.vec_id AS nn_vec_id,
                                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
