@@ -267,18 +267,19 @@ def _ann_lsh_sql() -> str:
         FROM ranked WHERE rank <= 10"""
 
 
-def _kmeans_sql() -> str:
-    """DuckDB replica of analytics.embedding_kmeans (stages/ann.kmeans:
-    k=8, n_iter=8, seed=17): Lloyd's iterations UNROLLED as chained CTEs.
+def _kmeans_cte(k: int, n_iter: int = 8, seed: int = 17) -> str:
+    """WITH-chain replicating stages/ann.kmeans: seeded init + ``n_iter``
+    Lloyd iterations UNROLLED as chained CTEs, final centroids in
+    ``cent{n_iter}`` and the unnested vectors in ``ev``.
 
-    Init replicates take_batch(64) + default_rng(17).choice(64, 8,
+    Init replicates take_batch(64) + default_rng(seed).choice(64, k,
     replace=False) — the embeddings parquet is written in vec_id order,
     so the first batch's row i IS vec_id i.  Assignment ties break to
     the lowest cid (numpy argmin); empty clusters keep their previous
     centroid (coalesce)."""
     import numpy as np
 
-    idx = np.random.default_rng(17).choice(64, size=8, replace=False)
+    idx = np.random.default_rng(seed).choice(64, size=k, replace=False)
     init_rows = ", ".join(f"({c}, {int(v)})" for c, v in enumerate(idx))
     parts = [f"""
         WITH initidx(cid, vid) AS (VALUES {init_rows}),
@@ -288,7 +289,7 @@ def _kmeans_sql() -> str:
         cent0 AS (SELECT i.cid, e.j, e.x AS w
                   FROM initidx i JOIN ev e ON e.vec_id = i.vid)"""]
     prev = "cent0"
-    for i in range(1, 9):
+    for i in range(1, n_iter + 1):
         parts.append(f""",
         d{i} AS (SELECT e.vec_id, c.cid, sum((e.x - c.w) * (e.x - c.w)) AS d2
                  FROM ev e JOIN {prev} c ON c.j = e.j
@@ -304,15 +305,56 @@ def _kmeans_sql() -> str:
                     FROM {prev} c LEFT JOIN u{i} u
                          ON u.cid = c.cid AND u.j = c.j)""")
         prev = f"cent{i}"
-    parts.append(f""",
+    return "".join(parts)
+
+
+def _kmeans_sql() -> str:
+    """DuckDB replica of analytics.embedding_kmeans (k=8, n_iter=8,
+    seed=17): final assignment + squared distance per vector."""
+    return _kmeans_cte(8) + """,
         df AS (SELECT e.vec_id, c.cid, sum((e.x - c.w) * (e.x - c.w)) AS d2
-               FROM ev e JOIN {prev} c ON c.j = e.j
+               FROM ev e JOIN cent8 c ON c.j = e.j
                GROUP BY e.vec_id, c.cid)
         SELECT vec_id, cid AS cluster, round(d2, 4) AS dist2 FROM (
           SELECT vec_id, cid, d2,
                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-          FROM df) WHERE rn = 1 ORDER BY vec_id""")
-    return "".join(parts)
+          FROM df) WHERE rn = 1 ORDER BY vec_id"""
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB replica of analytics.ann_ivf (stages/ann.ivf_build +
+    ivf_topk: n_lists=16, n_iter=8, seed=17, nprobe=4, k=10): the same
+    unrolled-kmeans quantizer, every row assigned to its nearest final
+    centroid (inverted list), the 5 queries probing the UNION of their
+    4 nearest lists, exact cosine top-10 over the candidate union."""
+    return _kmeans_cte(16) + """,
+        df AS (SELECT e.vec_id, c.cid, sum((e.x - c.w) * (e.x - c.w)) AS d2
+               FROM ev e JOIN cent8 c ON c.j = e.j
+               GROUP BY e.vec_id, c.cid),
+        assignf AS (SELECT vec_id, cid AS ivf_list FROM (
+                      SELECT vec_id, cid,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY d2, cid) AS rn
+                      FROM df) WHERE rn = 1),
+        probe AS (SELECT DISTINCT cid FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cid) AS rn
+                    FROM df WHERE vec_id < 5) WHERE rn <= 4),
+        cand AS (SELECT a.vec_id FROM assignf a
+                 JOIN probe p ON p.cid = a.ivf_list),
+        sims AS (SELECT q.vec_id AS qid, e.vec_id,
+                        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) AS score
+                 FROM embeddings q
+                 CROSS JOIN (SELECT em.* FROM embeddings em JOIN cand USING (vec_id)) e
+                 WHERE q.vec_id < 5),
+        ranked AS (SELECT qid, vec_id, score,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY score DESC, vec_id) AS rank
+                   FROM sims)
+        SELECT qid, rank, vec_id, round(score, 4) AS score
+        FROM ranked WHERE rank <= 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1439,6 +1481,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": _ann_lsh_sql(),
         # distributed k-means, 8 seeded Lloyd iterations unrolled in SQL
         "embedding_kmeans": _kmeans_sql(),
+        # IVF ANN: unrolled-kmeans quantizer + nprobe-union + cosine rerank
+        "ann_ivf": _ann_ivf_sql(),
         "embedding_nn_within_label": """
             WITH sims AS (SELECT a.vec_id, b.vec_id AS nn_vec_id,
                                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
