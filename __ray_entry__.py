@@ -357,6 +357,43 @@ def _ann_ivf_sql() -> str:
         FROM ranked WHERE rank <= 10"""
 
 
+def _dedup_embedding_lsh_sql() -> str:
+    """DuckDB replica of analytics.dedup_embedding_lsh
+    (stages/dedup.EmbeddingLshStage + embedding_dup_pairs_lsh: 32 bands
+    x 4 bits, seed=7, threshold=0.45): the seeded 128x64 hyperplane
+    matrix embedded as literals; band_key = (band << 4) | sign-bits;
+    candidate pairs share any band key; exact cosine verify."""
+    import numpy as np
+
+    planes = np.random.default_rng(7).standard_normal((128, 64))
+    plane_rows = ", ".join(
+        f"({i},{j},{float(planes[i, j])!r})"
+        for i in range(128) for j in range(64))
+    return f"""
+        WITH planes(i, j, w) AS (VALUES {plane_rows}),
+        ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                      unnest(range(0, 64)) AS j
+               FROM embeddings),
+        dots AS (SELECT e.vec_id, pl.i, sum(e.x * pl.w) AS d
+                 FROM ev e JOIN planes pl ON pl.j = e.j
+                 GROUP BY e.vec_id, pl.i),
+        keys AS (SELECT vec_id,
+                        (band << 4) + sum(CASE WHEN d >= 0
+                                               THEN 1 << bit ELSE 0 END) AS band_key
+                 FROM (SELECT vec_id, i // 4 AS band, i % 4 AS bit, d FROM dots)
+                 GROUP BY vec_id, band),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM keys a JOIN keys b
+                      ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+        sims AS (SELECT c.id_a, c.id_b,
+                        list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                               CAST(eb.embedding AS DOUBLE[])) AS cos
+                 FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+                             JOIN embeddings eb ON eb.vec_id = c.id_b)
+        SELECT id_a, id_b, round(cos, 4) AS cos FROM sims
+        WHERE cos >= 0.45 ORDER BY id_a, id_b"""
+
+
 def oracle_sql() -> dict[str, str]:
     qv = _qterms_values()
     bm25_rank_cte = f""",
@@ -1450,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
                    count(*) AS n_docs
             FROM documents GROUP BY md5(text)""",
+        "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
         "dedup_embedding": """
             WITH sims AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
