@@ -372,3 +372,15 @@ def test_embedding_dup_lsh_recall_and_precision(emb_ds):
     # every reported pair is exact-verified in the bucket => precision 1.0
     assert gset <= set(truth)
     assert len(gset) / max(1, len(truth)) >= 0.9
+
+
+def test_minhash_bucketed_finish_matches_default(pages_ds):
+    """num_buckets>1 (the web-scale hash-bucketed count finish) must
+    produce the identical pair set as the single-partition merge."""
+    from news_information_retrieval_system_ray.stages.dedup import minhash_pairs
+
+    a = minhash_pairs(pages_ds, engine="cjk_bigram", threshold=0.9)
+    b = minhash_pairs(pages_ds, engine="cjk_bigram", threshold=0.9,
+                      num_buckets=4)
+    assert a.equals(b)
+    assert len(a) > 0
