@@ -38,7 +38,8 @@ from dataclasses import dataclass
 
 from ..sources.readers import RowGroupItem, list_input_files, plan_row_groups, read_with_doc_ids
 from ..stages.extract import ExtractNormalize
-from ..stages.indexing import ExplodeTokens, PackGroups, PackRuns, PrePackTokens
+from ..stages.indexing import (ExplodeTokens, PackGroups, PackRuns,
+                               PrePackTokens, RepackFragments)
 from ..stages.tokenizer import TokenizeStage
 from ..state.manifest import BuildManifest
 
@@ -501,17 +502,26 @@ def build_index(
             # are disjoint by construction; the query-side merge orders
             # them by (chunk, first doc) as it already does for
             # batch-edge fragments.
-            # batch_size coalesces each read task's per-file blocks into ONE
-            # pre-pack batch (fragment count scales with batch COUNT x vocab,
-            # so per-file batches would multiply fragments ~4x)
-            prepack_batch = -(-int(n_docs_meta) // shuffle_blocks)
+            # batch_size is CAPPED at a constant: a pre-pack call over
+            # n_docs/shuffle_blocks docs grows with the corpus, and on
+            # this host a >~8k-doc explode+lexsort falls off an allocator
+            # cliff under full concurrency (measured 2 s -> 29 s per call
+            # at 32-way; host_alloc_scaling 0.27).  Constant per-task
+            # memory is also the only shape that survives 100 TB.  The
+            # resulting fragment inflation (count scales with batch COUNT
+            # x vocab) is undone by RepackFragments after the sort, which
+            # restores the dense ~vocab x chunks block layout.
+            prepack_batch = min(4096, -(-int(n_docs_meta) // shuffle_blocks))
             packed = rd.read_parquet(
                 _tokens_files_by_docid(tokens_root), columns=tok_cols,
                 override_num_blocks=shuffle_blocks,
             ).map_batches(
                 PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size),
                 batch_format="pyarrow", batch_size=prepack_batch,
-            ).sort(["term_hash", "chunk", "first_doc"])
+            ).sort(["term_hash", "chunk", "first_doc"]).map_batches(
+                RepackFragments(block_size=block_size),
+                batch_format="pyarrow", batch_size=8192,
+            )
         else:
             exploded = rd.read_parquet(
                 tokens_root, columns=tok_cols, override_num_blocks=shuffle_blocks,
@@ -670,8 +680,13 @@ def append_index(
             _tokens_files_by_docid(dst), columns=tok_cols,
         ).map_batches(
             PrePackTokens(chunk_bits=eff_chunk_bits, block_size=config["block_size"]),
-            batch_format="pyarrow", batch_size=max(1, -(-n_new_docs // ncpu)),
-        ).sort(["term_hash", "chunk", "first_doc"])
+            batch_format="pyarrow",
+            # same constant cap as the main build (allocator cliff)
+            batch_size=min(4096, max(1, -(-n_new_docs // ncpu))),
+        ).sort(["term_hash", "chunk", "first_doc"]).map_batches(
+            RepackFragments(block_size=config["block_size"]),
+            batch_format="pyarrow", batch_size=8192,
+        )
     else:
         exploded = rd.read_parquet(dst, columns=tok_cols).map_batches(
             ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
