@@ -249,9 +249,11 @@ def build_index(
                                              # many tiny blocks inflate the
                                              # sort's coordination overhead)
     tokenize_batch_size: int | None = None,  # None -> one batch per row-group
-                                             # block; a number here rebatches and,
-                                             # via operator fusion, also gates the
-                                             # upstream loader's task granularity
+                                             # block (the stage slices itself
+                                             # into constant 1024-doc kernel
+                                             # calls internally — Ray-level
+                                             # rebatching here would gate the
+                                             # fused loader and serialize reads)
     tokenize_concurrency: int | None = None,
     resume: bool = True,
     build_vocab: bool = False,           # (term_hash, term) STRING sidecar
