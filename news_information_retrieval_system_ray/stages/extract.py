@@ -30,17 +30,50 @@ class ExtractNormalize:
         self.use_html = use_html
         self.keep_cols = keep_cols
 
+    # rows made ONLY of ASCII + CJK-basic + '。' are "simple": NFKC is the
+    # identity on every such codepoint, Python \s reduces to the ASCII
+    # class, and RE2 can run the whole extraction chain vectorized
+    _SIMPLE = r"^[\x00-\x7f\x{4e00}-\x{9fff}\x{3002}]*$"
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if self.use_html and self.html_col in batch.column_names:
+            # extraction stays a compiled-regex Python loop: the Arrow
+            # regex chain for the same semantics measured SLOWER (1.95 s
+            # vs 1.63 s per 6250 docs) because it rewrites the large
+            # HTML buffers four times
             htmls = batch.column(self.html_col).to_pylist()
             texts = [extract_text_from_html(h.decode("utf-8") if isinstance(h, (bytes, bytearray)) else (h or "")) for h in htmls]
         else:
             texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
-        norms = [normalize_text(t) for t in texts]
+        texts_arr = pa.array(texts, pa.string())
+        # normalize vectorizes on "simple" rows (ASCII + CJK-basic + 。):
+        # NFKC is the identity on every such codepoint, so the chain is
+        # 臺→台 + lower + ASCII-\s collapse + strip — Arrow kernels, no
+        # per-doc unicodedata.normalize
+        simple = pc.match_substring_regex(texts_arr, self._SIMPLE)
+        if pc.all(simple).as_py():
+            norms_arr = self._normalize_vec(texts_arr)
+        else:
+            smask = simple.to_pylist()
+            vec = self._normalize_vec(texts_arr).to_pylist()
+            norms_arr = pa.array(
+                [vec[i] if ok else normalize_text(texts[i])
+                 for i, ok in enumerate(smask)], pa.string())
         cols: dict[str, pa.Array] = {}
         for c in self.keep_cols:
             if c in batch.column_names:
                 cols[c] = batch.column(c)
-        cols["text"] = pa.array(texts, pa.string())
-        cols["text_norm"] = pa.array(norms, pa.string())
+        cols["text"] = texts_arr
+        cols["text_norm"] = norms_arr
         return pa.table(cols)
+
+    @staticmethod
+    def _normalize_vec(texts: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+
+        t = pc.replace_substring(texts, "臺", "台")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, "[\\t\\n\\x0b\\f\\r ]+", " ")
+        return pc.utf8_trim(t, " ")
