@@ -250,6 +250,26 @@ def _topk_group(k: int):
     return topk
 
 
+def _topk_by_qid(scores, k: int) -> pd.DataFrame:
+    """Distributed per-qid top-k WITHOUT a sort shuffle: a per-batch
+    partial top-k (a row outside its batch's per-qid top-k can never be
+    in the global top-k) then a tiny driver merge — both with the
+    canonical (-score, doc_id) tie-break.  Replaces
+    groupby("qid").map_groups(_topk_group) at ~1 s less per query on
+    this host (the groupby is a full sort exchange of all scored rows;
+    the partial ships <= k x n_qids rows per batch)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", "doc_id"], ascending=[False, True]) \
+                 .groupby("qid", sort=False).head(k)
+
+    parts = scores.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["score", "doc_id"], ascending=[False, True])
+    out = parts.groupby("qid", sort=False).head(k).copy()
+    out["rank"] = (out.groupby("qid").cumcount() + 1).astype(np.int64)
+    return out
+
+
 def _bm25_scores(sf_dir: str, n_docs: int, avgdl: float,
                  term_to_qids: dict[str, list[str]] | None = None):
     """Dataset (qid, doc_id, score) of BM25 scores for the fixed queries
@@ -305,7 +325,7 @@ def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Fixed-query BM25 top-k, distributed scoring."""
     n_docs, avgdl = _corpus_stats(sf_dir)
     scores = _bm25_scores(sf_dir, n_docs, avgdl)
-    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out = _topk_by_qid(scores, k)
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
 
@@ -447,7 +467,7 @@ def lm_jm_topk(sf_dir: str, k: int = 10, lam: float = LAMBDA_JM) -> pd.DataFrame
         return df[["qid", "doc_id", "score"]]
 
     scores = agg.map_batches(score_rows, batch_format="pandas")
-    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out = _topk_by_qid(scores, k)
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
 
@@ -514,7 +534,7 @@ def lm_dirichlet_topk(sf_dir: str, k: int = 10, mu: float = MU) -> pd.DataFrame:
         return df[["qid", "doc_id", "score"]]
 
     scores = agg.map_batches(score_rows, batch_format="pandas")
-    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out = _topk_by_qid(scores, k)
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
 
@@ -556,7 +576,7 @@ def bim_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     scores = ex.map_batches(weigh, batch_format="pyarrow") \
                .groupby(["qid", "doc_id"]).aggregate(Sum("w", alias_name="score"))
-    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out = _topk_by_qid(scores, k)
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
 
@@ -655,7 +675,7 @@ def facet_filtered_search(sf_dir: str, k: int = 10, lang: str = FACET_LANG) -> p
     )
     scores = _bm25_scores(sf_dir, n_docs, avgdl)
     filt = scores.join(allowed, "left_semi", num_partitions=8, on=("doc_id",))
-    out = filt.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out = _topk_by_qid(filt, k)
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
 
@@ -1090,7 +1110,7 @@ def phonetic_search(sf_dir: str, threshold: float = 0.72, expand_k: int = 8,
                         qids.append(qid)
     n_docs, avgdl = _corpus_stats(sf_dir)
     scores = _bm25_scores(sf_dir, n_docs, avgdl, term_to_qids=term_to_qids)
-    out = scores.groupby("qid").map_groups(_topk_group(k), batch_format="pandas").to_pandas()
+    out = _topk_by_qid(scores, k)
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[
         ["qid", "rank", "doc_id", "score"]]
@@ -2463,9 +2483,7 @@ def unified_search(sf_dir: str, k: int = 10) -> pd.DataFrame:
         if mode == "simple":
             n_docs, avgdl = _corpus_stats(sf_dir)
             t2q = {t: [qid] for t in set(qtext.split())}
-            out = (_bm25_scores(sf_dir, n_docs, avgdl, t2q)
-                   .groupby("qid").map_groups(_topk_group(k), batch_format="pandas")
-                   .to_pandas())
+            out = _topk_by_qid(_bm25_scores(sf_dir, n_docs, avgdl, t2q), k)
             for _, r in out.iterrows():
                 rows.append((qid, mode, int(r["rank"]), int(r["doc_id"]),
                              round4(float(r["score"]))))
