@@ -764,6 +764,76 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'GMAP', exp(avg(ln(greatest(ap, 0.00001)))) FROM f1q
               UNION ALL SELECT 'n_queries', count(*) * 1.0 FROM f1q)
             SELECT metric, round(value, 4) AS value FROM allm ORDER BY metric"""
+    # Distributed logistic-regression training (pipelines/ltr.ltr_train,
+    # 60 full-batch GD epochs, lr=0.5, zero init) UNROLLED: the feature
+    # table is the (already-green) ltr_features replica; each epoch is
+    # one aggregate over the standardized rows producing the next weight
+    # row, which also carries the PREVIOUS weights' loss/accuracy so
+    # _loss_first (at w0), _loss_last and _train_accuracy (both at w59)
+    # fall out of w1/w60 exactly as the Python loop reports them.  GD at
+    # a stable lr is contractive, so sub-ulp exp/sum differences between
+    # numpy and DuckDB stay far below the round4 reporting precision.
+    ltr_feats_cte = bm25_rank_cte + """,
+            cand AS (SELECT q.qid, tf.doc_id, count(*) AS match_count,
+                            min(dln.dl) AS doc_len
+                     FROM tf JOIN qterms q USING (term)
+                             JOIN dln USING (doc_id)
+                     GROUP BY 1, 2),
+            qtc AS (SELECT qid, count(*) AS qtc FROM qterms GROUP BY qid),
+            feats AS (SELECT c.qid, c.doc_id, qtc.qtc AS query_term_count,
+                             c.match_count,
+                             round(coalesce(s.score, 0), 4) AS bm25_score,
+                             c.doc_len,
+                             CASE WHEN c.match_count = qtc.qtc THEN 2
+                                  WHEN 2 * c.match_count >= qtc.qtc THEN 1
+                                  ELSE 0 END AS grade
+                      FROM cand c JOIN qtc USING (qid)
+                      LEFT JOIN scores s ON s.qid = c.qid AND s.doc_id = c.doc_id)"""
+    _fcols = ["query_term_count", "match_count", "bm25_score", "doc_len"]
+    _zparts = " + ".join(f"w2.w{j} * x{j}" for j in range(1, 5))
+    ltr_parts = [_CTE + ltr_feats_cte + ",\n            fx AS (SELECT "
+                 + ", ".join(f"{c}::DOUBLE AS f{j}"
+                             for j, c in enumerate(_fcols, 1))
+                 + ", CASE WHEN round(grade / 3.0, 6) >= 0.5 THEN 1.0 ELSE 0.0 END AS y FROM feats),"
+                 + "\n            mom AS (SELECT "
+                 + ", ".join(f"avg(f{j}) AS m{j}, avg(f{j} * f{j}) AS s{j}"
+                             for j in range(1, 5)) + " FROM fx),"
+                 + "\n            xs AS MATERIALIZED (SELECT "
+                 + ", ".join(
+                     f"(f{j} - m{j}) / sqrt(greatest(s{j} - m{j} * m{j}, 1e-12)) AS x{j}"
+                     for j in range(1, 5))
+                 + ", y FROM fx CROSS JOIN mom),"
+                 + "\n            w0(b, w1, w2, w3, w4, loss, acc) AS "
+                 "MATERIALIZED (SELECT 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)"]
+    for i in range(1, 61):
+        grads = ", ".join(f"avg((p - y) * x{j}) AS g{j}" for j in range(1, 5))
+        wups = ", ".join(f"w.w{j} - 0.5 * g.g{j} AS w{j}" for j in range(1, 5))
+        # MATERIALIZED is load-bearing: each step references its
+        # predecessor twice, and CTE inlining would re-evaluate the
+        # whole chain exponentially (observed as fd exhaustion)
+        ltr_parts.append(f""",
+            w{i} AS MATERIALIZED (SELECT w.b - 0.5 * g.g0 AS b, {wups},
+                            g.loss AS loss, g.acc AS acc
+                     FROM w{i - 1} w CROSS JOIN (
+                       SELECT avg(p - y) AS g0, {grads},
+                              -avg(y * ln(p + 1e-12)
+                                   + (1 - y) * ln(1 - p + 1e-12)) AS loss,
+                              avg(CASE WHEN (p >= 0.5) = (y >= 0.5)
+                                       THEN 1.0 ELSE 0.0 END) AS acc
+                       FROM (SELECT xs.*,
+                                    1.0 / (1.0 + exp(-(w2.b + {_zparts}))) AS p
+                             FROM xs CROSS JOIN w{i - 1} w2)) g)""")
+    _dirsel = "CASE WHEN {v} >= 0 THEN 'positive' ELSE 'negative' END"
+    finals = [f"SELECT '{c}' AS feature, round(w{60}.w{j}, 4) AS coefficient, "
+              + _dirsel.format(v=f"w{60}.w{j}") + f" AS direction FROM w{60}"
+              for j, c in enumerate(_fcols, 1)]
+    finals.append(f"SELECT '_intercept', round(w{60}.b, 4), "
+                  + _dirsel.format(v=f"w{60}.b") + f" FROM w{60}")
+    finals.append(f"SELECT '_train_accuracy', round(w{60}.acc, 4), '' FROM w{60}")
+    finals.append("SELECT '_loss_first', round(w1.loss, 4), '' FROM w1")
+    finals.append(f"SELECT '_loss_last', round(w{60}.loss, 4), '' FROM w{60}")
+    ltr_train_sql = "".join(ltr_parts) + "\n            " + \
+        "\n            UNION ALL ".join(finals)
     field_boost_sql = _CTE + f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -1012,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
                    round(bd.idf, 4) AS idf, round(bd.c, 4) AS contribution,
                    round(tot.total, 4) AS total_score
             FROM bd JOIN tot USING (qid) ORDER BY bd.qid, bd.term""",
+        "ltr_train": ltr_train_sql,
         "ltr_features": _CTE + bm25_rank_cte + """,
             cand AS (SELECT q.qid, tf.doc_id, count(*) AS match_count,
                             min(dln.dl) AS doc_len
