@@ -791,7 +791,9 @@ def oracle_sql() -> dict[str, str]:
                       LEFT JOIN scores s ON s.qid = c.qid AND s.doc_id = c.doc_id)"""
     _fcols = ["query_term_count", "match_count", "bm25_score", "doc_len"]
     _zparts = " + ".join(f"w2.w{j} * x{j}" for j in range(1, 5))
-    ltr_parts = [_CTE + ltr_feats_cte + ",\n            fx AS (SELECT "
+
+    def _ltr_chain(epochs: int) -> str:
+        parts = [_CTE + ltr_feats_cte + ",\n            fx AS MATERIALIZED (SELECT qid, doc_id, "
                  + ", ".join(f"{c}::DOUBLE AS f{j}"
                              for j, c in enumerate(_fcols, 1))
                  + ", CASE WHEN round(grade / 3.0, 6) >= 0.5 THEN 1.0 ELSE 0.0 END AS y FROM feats),"
@@ -805,13 +807,13 @@ def oracle_sql() -> dict[str, str]:
                  + ", y FROM fx CROSS JOIN mom),"
                  + "\n            w0(b, w1, w2, w3, w4, loss, acc) AS "
                  "MATERIALIZED (SELECT 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)"]
-    for i in range(1, 61):
-        grads = ", ".join(f"avg((p - y) * x{j}) AS g{j}" for j in range(1, 5))
-        wups = ", ".join(f"w.w{j} - 0.5 * g.g{j} AS w{j}" for j in range(1, 5))
-        # MATERIALIZED is load-bearing: each step references its
-        # predecessor twice, and CTE inlining would re-evaluate the
-        # whole chain exponentially (observed as fd exhaustion)
-        ltr_parts.append(f""",
+        for i in range(1, epochs + 1):
+            grads = ", ".join(f"avg((p - y) * x{j}) AS g{j}" for j in range(1, 5))
+            wups = ", ".join(f"w.w{j} - 0.5 * g.g{j} AS w{j}" for j in range(1, 5))
+            # MATERIALIZED is load-bearing: each step references its
+            # predecessor twice, and CTE inlining would re-evaluate the
+            # whole chain exponentially (observed as fd exhaustion)
+            parts.append(f""",
             w{i} AS MATERIALIZED (SELECT w.b - 0.5 * g.g0 AS b, {wups},
                             g.loss AS loss, g.acc AS acc
                      FROM w{i - 1} w CROSS JOIN (
@@ -823,6 +825,8 @@ def oracle_sql() -> dict[str, str]:
                        FROM (SELECT xs.*,
                                     1.0 / (1.0 + exp(-(w2.b + {_zparts}))) AS p
                              FROM xs CROSS JOIN w{i - 1} w2)) g)""")
+        return "".join(parts)
+
     _dirsel = "CASE WHEN {v} >= 0 THEN 'positive' ELSE 'negative' END"
     finals = [f"SELECT '{c}' AS feature, round(w{60}.w{j}, 4) AS coefficient, "
               + _dirsel.format(v=f"w{60}.w{j}") + f" AS direction FROM w{60}"
@@ -832,8 +836,31 @@ def oracle_sql() -> dict[str, str]:
     finals.append(f"SELECT '_train_accuracy', round(w{60}.acc, 4), '' FROM w{60}")
     finals.append("SELECT '_loss_first', round(w1.loss, 4), '' FROM w1")
     finals.append(f"SELECT '_loss_last', round(w{60}.loss, 4), '' FROM w{60}")
-    ltr_train_sql = "".join(ltr_parts) + "\n            " + \
+    ltr_train_sql = _ltr_chain(60) + "\n            " + \
         "\n            UNION ALL ".join(finals)
+    # serving loop (pipelines/ltr.ltr_rerank, epochs=40): score every
+    # candidate with the ROUNDED trained coefficients; standardization
+    # here is numpy mean / std clamped at 1e-6 (two-pass variance)
+    _rz = " + ".join(
+        f"coef.c{j} * (f.f{j} - mu2.am{j}) / sd2.sd{j}" for j in range(1, 5))
+    ltr_rerank_sql = _ltr_chain(40) + f""",
+            coef AS MATERIALIZED (SELECT round(b, 4) AS b,
+                   {', '.join(f'round(w{40}.w{j}, 4) AS c{j}' for j in range(1, 5))}
+                   FROM w{40}),
+            mu2 AS MATERIALIZED (SELECT
+                   {', '.join(f'avg(f{j}) AS am{j}' for j in range(1, 5))} FROM fx),
+            sd2 AS MATERIALIZED (SELECT
+                   {', '.join(f'greatest(sqrt(avg((f{j} - am{j}) * (f{j} - am{j}))), 1e-6) AS sd{j}' for j in range(1, 5))}
+                   FROM fx CROSS JOIN mu2),
+            prob AS (SELECT f.qid, f.doc_id,
+                            1.0 / (1.0 + exp(-(coef.b + {_rz}))) AS prob
+                     FROM fx f CROSS JOIN coef CROSS JOIN mu2 CROSS JOIN sd2),
+            rr AS (SELECT qid, doc_id, prob,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY prob DESC, doc_id) AS rank
+                   FROM prob)
+            SELECT qid, rank, doc_id, round(prob, 4) AS prob
+            FROM rr WHERE rank <= 10 ORDER BY qid, rank"""
     field_boost_sql = _CTE + f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -1083,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
                    round(tot.total, 4) AS total_score
             FROM bd JOIN tot USING (qid) ORDER BY bd.qid, bd.term""",
         "ltr_train": ltr_train_sql,
+        "ltr_rerank": ltr_rerank_sql,
         "ltr_features": _CTE + bm25_rank_cte + """,
             cand AS (SELECT q.qid, tf.doc_id, count(*) AS match_count,
                             min(dln.dl) AS doc_len
