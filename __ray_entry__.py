@@ -445,6 +445,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(s.summary, '') AS summary,
                    length(coalesce(s.summary, ''))::BIGINT AS summary_len
             FROM documents d LEFT JOIN summ s USING (doc_id) ORDER BY d.doc_id"""
+    # multi-doc summary (functions/summarize.multi_doc_summary, k=3 over
+    # per-source groups): sentence segmentation as in summ_cte but with
+    # source carried; GLOBAL (per-source) tf-idf over sentences; greedy
+    # diversity selection UNROLLED as 3 chained argmax steps — valid
+    # because a candidate rejected against an earlier pick stays
+    # rejected (the selected set only grows), so "min ord passing the
+    # Jaccard test against every pick so far" IS the greedy scan.
+    multidoc_sql = """
+            WITH parts AS (
+              SELECT doc_id, source,
+                     list_filter(list_transform(
+                         regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                                               '[.!?。！？]+'),
+                         s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+                                 s -> s <> '') AS ps
+              FROM documents),
+            raws AS (SELECT doc_id, source, unnest(ps) AS raw,
+                            unnest(range(0, len(ps))) AS pos
+                     FROM parts),
+            stoks AS (SELECT doc_id, source, raw, pos,
+                             list_filter(string_split_regex(
+                                 regexp_replace(lower(raw), '[^\\w\\s一-鿿]', ' ', 'g'),
+                                 '\\s+'), t -> t <> '') AS tk
+                      FROM raws),
+            kept AS (SELECT doc_id, source, raw, pos, tk, len(tk) AS ntok,
+                            list_distinct(tk) AS dk
+                     FROM stoks WHERE len(tk) BETWEEN 5 AND 100),
+            nst AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+            tokrows AS (SELECT source, doc_id, pos, unnest(tk) AS t FROM kept),
+            gtf AS (SELECT source, t, count(*) AS tf FROM tokrows GROUP BY source, t),
+            gdf AS (SELECT source, t, count(*) AS df
+                    FROM (SELECT DISTINCT source, doc_id, pos, t FROM tokrows)
+                    GROUP BY source, t),
+            w AS (SELECT g.source, g.t, g.tf * ln(nst.n * 1.0 / d.df) AS wgt
+                  FROM gtf g JOIN gdf d USING (source, t) JOIN nst USING (source)),
+            ssc AS (SELECT k.source, k.doc_id, k.pos,
+                           sum(w.wgt) / any_value(k.ntok) AS sc
+                    FROM kept k JOIN tokrows tr
+                         ON tr.source = k.source AND tr.doc_id = k.doc_id
+                            AND tr.pos = k.pos
+                    JOIN w ON w.source = k.source AND w.t = tr.t
+                    GROUP BY k.source, k.doc_id, k.pos),
+            scored AS (SELECT k.source, k.doc_id, k.pos, k.raw, k.dk,
+                              coalesce(s.sc, 0.0) AS sc,
+                              row_number() OVER (PARTITION BY k.source
+                                                 ORDER BY coalesce(s.sc, 0.0) DESC,
+                                                          k.doc_id, k.pos) AS ord
+                       FROM kept k LEFT JOIN ssc s
+                            ON s.source = k.source AND s.doc_id = k.doc_id
+                               AND s.pos = k.pos),
+            s1 AS (SELECT * FROM scored WHERE ord = 1),
+            s2 AS (SELECT * FROM (
+                     SELECT c.*, row_number() OVER (PARTITION BY c.source
+                                                    ORDER BY c.ord) AS r
+                     FROM scored c JOIN s1 ON s1.source = c.source
+                     WHERE c.ord > s1.ord
+                       AND len(list_intersect(c.dk, s1.dk)) * 2.0 <=
+                           len(c.dk) + len(s1.dk) - len(list_intersect(c.dk, s1.dk)))
+                   WHERE r = 1),
+            s3 AS (SELECT * FROM (
+                     SELECT c.*, row_number() OVER (PARTITION BY c.source
+                                                    ORDER BY c.ord) AS r
+                     FROM scored c
+                     JOIN s1 ON s1.source = c.source
+                     JOIN s2 ON s2.source = c.source
+                     WHERE c.ord <> s1.ord AND c.ord <> s2.ord
+                       AND len(list_intersect(c.dk, s1.dk)) * 2.0 <=
+                           len(c.dk) + len(s1.dk) - len(list_intersect(c.dk, s1.dk))
+                       AND len(list_intersect(c.dk, s2.dk)) * 2.0 <=
+                           len(c.dk) + len(s2.dk) - len(list_intersect(c.dk, s2.dk)))
+                   WHERE r = 1),
+            picks AS (SELECT source, doc_id, pos, raw FROM s1
+                      UNION ALL SELECT source, doc_id, pos, raw FROM s2
+                      UNION ALL SELECT source, doc_id, pos, raw FROM s3)
+            SELECT source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id, pos) AS rank,
+                   doc_id, raw AS sentence
+            FROM picks ORDER BY source, rank"""
     # RAKE: stopword-delimited phrases capped at 4 words (a longer run
     # splits 4+4+...), deg/freq word scores, phrase score = member sum
     from news_information_retrieval_system_ray.functions.stopwords import EN_STOPWORDS
@@ -990,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets": snippets_sql,
         "summarize_query_focused": qfocus_sql,
         "summarize_key_sentences": keysent_sql,
+        "summarize_multidoc": multidoc_sql,
         "rake_keywords": rake_sql,
         "dedup_minhash": minhash_sql,
         "dedup_simhash": simhash_sql,

@@ -1121,7 +1121,7 @@ def summarize_multidoc(sf_dir: str, k: int = 3) -> pd.DataFrame:
     TF-IDF + greedy Jaccard-diversity selection).  Each source group is
     small (facet cardinality), so the per-group kernel runs inside
     ``groupby(source).map_groups`` — the shuffle co-locates a source's
-    docs; rows-only."""
+    docs; oracle-checked (greedy selection unrolled in SQL)."""
     import ray.data as rd
 
     from ..functions.summarize import multi_doc_summary
