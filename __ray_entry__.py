@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": A.search_snippets,
         "kwic_fixed": A.kwic_contexts_query,
         "textrank_keywords": A.textrank_keywords,
+        "textrank_fixed_topk": A.textrank_fixed_topk,
         "summarize_leadk": A.summarize_leadk,
         "summarize_key_sentences": A.summarize_key_sentences,
         "summarize_query_focused": A.summarize_query_focused,
@@ -906,6 +907,70 @@ def oracle_sql() -> dict[str, str]:
                              FROM xs CROSS JOIN w{i - 1} w2)) g)""")
         return "".join(parts)
 
+    def _textrank_sql(iters: int = 30, k: int = 5, window: int = 5) -> str:
+        """TextRank (functions/keywords.textrank_scores: window-5
+        co-occurrence graph, damping 0.85) with the power iteration
+        UNROLLED as ``iters`` chained CTEs — exact because the Ray-side
+        ``textrank_fixed_topk`` runs tol=0 / max_iter=iters and both
+        sides rank on the ROUNDED score (round4 desc, term asc)."""
+        head = f"""
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            fl AS (
+              SELECT doc_id, list_filter(string_split(t, ' '),
+                     x -> regexp_matches(x, '[a-z0-9_]')) AS toks
+              FROM norm),
+            seq AS (
+              SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+              FROM fl WHERE len(toks) > 0),
+            pairs AS (
+              SELECT s1.doc_id, s1.term AS a, s2.term AS b
+              FROM seq s1 JOIN seq s2
+                ON s1.doc_id = s2.doc_id
+               AND s2.pos - s1.pos BETWEEN 1 AND {window - 1}
+               AND s1.term <> s2.term),
+            edges AS MATERIALIZED (
+              SELECT doc_id, a, b, CAST(count(*) AS DOUBLE) AS w FROM (
+                SELECT doc_id, a, b FROM pairs
+                UNION ALL
+                SELECT doc_id, b AS a, a AS b FROM pairs)
+              GROUP BY doc_id, a, b),
+            vocab AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM seq),
+            nd AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM vocab
+                                GROUP BY doc_id),
+            dg AS MATERIALIZED (SELECT doc_id, a AS term, sum(w) AS deg
+                                FROM edges GROUP BY doc_id, a),
+            r0 AS (SELECT v.doc_id, v.term, 1.0 / nd.n AS r
+                   FROM vocab v JOIN nd USING (doc_id))"""
+        steps = []
+        for i in range(1, iters + 1):
+            steps.append(f""",
+            r{i} AS MATERIALIZED (
+              SELECT v.doc_id, v.term,
+                     0.15 / nd.n + 0.85 * coalesce(s.acc, 0.0) AS r
+              FROM vocab v JOIN nd USING (doc_id)
+              LEFT JOIN (
+                SELECT e.doc_id, e.b AS term, sum(e.w / dg.deg * p.r) AS acc
+                FROM edges e
+                JOIN dg ON e.doc_id = dg.doc_id AND e.a = dg.term
+                JOIN r{i - 1} p ON e.doc_id = p.doc_id AND e.a = p.term
+                GROUP BY e.doc_id, e.b) s
+                ON v.doc_id = s.doc_id AND v.term = s.term)""")
+        tail = f""",
+            scored AS (
+              SELECT rr.doc_id, rr.term,
+                     CASE WHEN nd.n = 1 THEN 1.0 ELSE round(rr.r, 4) END AS sc
+              FROM r{iters} rr JOIN nd ON rr.doc_id = nd.doc_id),
+            ranked AS (
+              SELECT doc_id, term, sc,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY sc DESC, term) AS rank
+              FROM scored)
+            SELECT doc_id, rank, term, sc AS score
+            FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank"""
+        return head + "".join(steps) + tail
+
     _dirsel = "CASE WHEN {v} >= 0 THEN 'positive' ELSE 'negative' END"
     finals = [f"SELECT '{c}' AS feature, round(w{60}.w{j}, 4) AS coefficient, "
               + _dirsel.format(v=f"w{60}.w{j}") + f" AS direction FROM w{60}"
@@ -1071,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "summarize_key_sentences": keysent_sql,
         "summarize_multidoc": multidoc_sql,
         "rake_keywords": rake_sql,
+        "textrank_fixed_topk": _textrank_sql(30),
         "dedup_minhash": minhash_sql,
         "dedup_simhash": simhash_sql,
         "dedup_ngram_jaccard": ngram_jac_sql,

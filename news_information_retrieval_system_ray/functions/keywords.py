@@ -17,10 +17,13 @@ DAMPING = 0.85
 WINDOW = 5
 
 
-def textrank_keywords(tokens: list[str], k: int = 5, window: int = WINDOW,
-                      damping: float = DAMPING, max_iter: int = 50,
-                      tol: float = 1e-6) -> list[tuple[str, float]]:
-    """Top-k (term, score) by TextRank over the token sequence."""
+def textrank_scores(tokens: list[str], window: int = WINDOW,
+                    damping: float = DAMPING, max_iter: int = 50,
+                    tol: float = 1e-6) -> list[tuple[str, float]]:
+    """Full (term, score) TextRank vector over the token sequence (vocab
+    order, unranked).  ``tol=0.0`` disables early stopping so exactly
+    ``max_iter`` power iterations run — the deterministic form the SQL
+    oracle unrolls."""
     if not tokens:
         return []
     vocab = sorted(set(tokens))
@@ -42,10 +45,23 @@ def textrank_keywords(tokens: list[str], k: int = 5, window: int = WINDOW,
     r = np.full(n, 1.0 / n)
     for _ in range(max_iter):
         r_new = (1.0 - damping) / n + damping * (trans.T @ r)
-        if np.abs(r_new - r).max() < tol:
+        if tol > 0.0 and np.abs(r_new - r).max() < tol:
             r = r_new
             break
         r = r_new
+    return [(t, float(r[idx[t]])) for t in vocab]
+
+
+def textrank_keywords(tokens: list[str], k: int = 5, window: int = WINDOW,
+                      damping: float = DAMPING, max_iter: int = 50,
+                      tol: float = 1e-6) -> list[tuple[str, float]]:
+    """Top-k (term, score) by TextRank over the token sequence."""
+    scored = textrank_scores(tokens, window=window, damping=damping,
+                             max_iter=max_iter, tol=tol)
+    if not scored:
+        return []
+    vocab = [t for t, _ in scored]
+    r = np.array([s for _, s in scored])
     order = np.lexsort((np.array(vocab), -r))  # (-score, term asc)
     return [(vocab[i], float(r[i])) for i in order[:k]]
 

@@ -811,6 +811,43 @@ def textrank_keywords(sf_dir: str, k: int = 5) -> pd.DataFrame:
                .sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def textrank_fixed_topk(sf_dir: str, k: int = 5, iters: int = 30) -> pd.DataFrame:
+    """Oracle-determinstic TextRank variant: exactly ``iters`` power
+    iterations (tol=0, no early stop) and ranking on the ROUNDED
+    (4-decimal) score so float summation-order jitter between the NumPy
+    kernel and the SQL unroll cannot flip a rank at the top-k boundary.
+    Same graph/damping semantics as :func:`textrank_keywords`
+    (reference textrank.py:85-737)."""
+    from ..functions.keywords import textrank_scores
+
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def kw(t: pa.Table) -> pa.Table:
+        doc_out, rank_out, term_out, score_out = [], [], [], []
+        for row in t.to_pylist():
+            seq: list[tuple[int, str]] = []
+            for term, poss in zip(row["terms"], row["positions"]):
+                seq.extend((p, term) for p in poss)
+            seq.sort()
+            scored = textrank_scores([w for _, w in seq], max_iter=iters, tol=0.0)
+            ranked = sorted(((round4(s), term) for term, s in scored),
+                            key=lambda x: (-x[0], x[1]))[:k]
+            for rank, (score, term) in enumerate(ranked, 1):
+                doc_out.append(row["doc_id"])
+                rank_out.append(rank)
+                term_out.append(term)
+                score_out.append(score)
+        return pa.table({
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "term": pa.array(term_out, pa.string()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+    return toks.map_batches(kw, batch_format="pyarrow").to_pandas() \
+               .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def rake_keywords(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Per-doc RAKE keyphrases (rake_extractor.py:84-246 — stopword-
     delimited phrases, degree/frequency word scores) as a map_batches

@@ -68,6 +68,23 @@ def test_textrank_deterministic():
     assert textrank_keywords(toks, k=4) == textrank_keywords(toks, k=4)
 
 
+def test_textrank_scores_fixed_iters_sum_to_one():
+    # tol=0 runs exactly max_iter power iterations; scores stay a
+    # probability-ish vector (sum -> 1 as the chain mixes) and the
+    # top-k ranking from the full vector matches textrank_keywords
+    from news_information_retrieval_system_ray.functions.keywords import textrank_scores
+
+    toks = ["hub", "a", "hub", "b", "hub", "c", "hub", "d", "x", "y"]
+    scored = textrank_scores(toks, max_iter=30, tol=0.0)
+    assert abs(sum(s for _, s in scored) - 1.0) < 1e-6
+    again = textrank_scores(toks, max_iter=30, tol=0.0)
+    assert scored == again
+    # early-stop path (default tol) agrees with the converged fixed run
+    conv = dict(textrank_scores(toks, max_iter=200, tol=0.0))
+    dflt = dict(textrank_scores(toks))
+    assert all(abs(conv[t] - dflt[t]) < 1e-4 for t in conv)
+
+
 def test_frequency_keywords_tiebreak():
     assert frequency_keywords(["b", "a", "b", "a", "c"], k=2) == [("a", 2), ("b", 2)]
 
