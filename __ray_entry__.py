@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": A.media_features,
         "media_features_real": A.media_features_real,
         "video_frame_features": A.video_frame_features,
+        "video_frame_features_real": A.video_frame_features_real,
         # recommenders (events interactions + documents content)
         "cf_item_similar": RC.cf_item_similar,
         "cf_user_recs": RC.cf_user_recs,

@@ -2238,6 +2238,25 @@ def video_frame_features(sf_dir: str) -> pd.DataFrame:
         .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def video_frame_features_real(sf_dir: str) -> pd.DataFrame:
+    """REAL video decode path: synthetic uncompressed AVI payloads
+    (RIFF/DIB, pure struct+numpy — no ffmpeg) decoded frame-by-frame,
+    every-2nd frame scored with the same real image-feature kernel the
+    PPM path uses (stages/multimodal.RealFrameSampleStage).  Rows-only
+    check; codec roundtrip and feature values unit-tested."""
+    import ray.data as rd
+
+    from ..stages.multimodal import RealFrameSampleStage, make_real_video_table
+
+    ds = rd.from_arrow(make_real_video_table(n=8, seed=5))
+    out = ds.map_batches(RealFrameSampleStage(every_n=2), batch_format="pyarrow",
+                         batch_size=4, concurrency=2).to_pandas()
+    out["feat_norm"] = out["feature"].map(lambda f: round4(float(np.linalg.norm(f))))
+    out["feat_dim"] = out["feature"].map(len)
+    return out[["media_id", "frame_idx", "feat_dim", "feat_norm"]] \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def embedding_nn_within_label(sf_dir: str) -> pd.DataFrame:
     """Nearest neighbor per vector within its label group (the
     embedding-cosine near-dup operator with label blocking; emits the

@@ -332,3 +332,168 @@ def make_real_media_table(n: int = 32, seed: int = 5) -> pa.Table:
         "height": pa.array(heights, pa.int32()),
         "duration_ms": pa.array(durs, pa.int32()),
     })
+
+
+# ------------------------------------------------- REAL video (AVI/DIB)
+#
+# ffmpeg is absent, but UNCOMPRESSED AVI needs none of it: the container
+# is plain RIFF and each frame is a raw bottom-up BGR DIB — both parse
+# with struct/numpy.  This gives the video path the same honest
+# decode -> frame-sample -> feature chain the WAV/PPM paths have; the
+# compressed codecs (h264/vp9/...) stay NotImplementedError stubs.
+
+import struct
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """uint8 [n, h, w, 3] RGB frames -> uncompressed RIFF AVI bytes
+    ('vids'/'DIB ' stream, BITMAPINFOHEADER biCompression=0: bottom-up
+    BGR rows padded to 4-byte stride)."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("frames must be uint8 [n, h, w, 3] RGB")
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        body = kind + payload
+        return b"LIST" + struct.pack("<I", len(body)) + body
+
+    avih = struct.pack(
+        "<14I", int(1_000_000 / fps), frame_bytes * fps, 0, 0x10,  # HASINDEX-free, AVIF_WASCAPTUREFILE-ish flags
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + struct.pack("<10I4h", 0, 0, 0, 1, fps, 0, n,
+                                           frame_bytes, 0xFFFFFFFF, 0,
+                                           0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_frames = []
+    pad_cols = stride - w * 3
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up rows, RGB->BGR
+        rows = bgr.reshape(h, w * 3)
+        if pad_cols:
+            rows = np.concatenate(
+                [rows, np.zeros((h, pad_cols), dtype=np.uint8)], axis=1)
+        movi_frames.append(chunk(b"00db", rows.tobytes()))
+    movi = lst(b"movi", b"".join(movi_frames))
+
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed RIFF AVI bytes -> (uint8 [n, h, w, 3] RGB, fps).
+
+    A real RIFF walk: verifies the RIFF/AVI magic, reads w/h/bitcount
+    from the strf BITMAPINFOHEADER, fps from the strh scale/rate pair,
+    and collects every 00db/00dc frame chunk under LIST movi."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+    w = h = bitcount = 0
+    fps = 0
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, off: int, end: int) -> None:
+        nonlocal w, h, bitcount, fps
+        while off + 8 <= end:
+            fourcc = buf[off:off + 4]
+            (size,) = struct.unpack_from("<I", buf, off + 4)
+            data_off = off + 8
+            if fourcc == b"LIST":
+                walk(buf, data_off + 4, data_off + size)
+            elif fourcc == b"strh":
+                scale, rate = struct.unpack_from("<II", buf, data_off + 20)
+                if scale:
+                    fps = rate // scale
+            elif fourcc == b"strf":
+                _, w, h, _, bitcount = struct.unpack_from("<IiiHH", buf, data_off)
+            elif fourcc in (b"00db", b"00dc"):
+                frames_raw.append(buf[data_off:data_off + size])
+            off = data_off + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if not frames_raw or w <= 0 or h <= 0:
+        raise ValueError("no decodable frames in AVI payload")
+    if bitcount != 24:
+        raise NotImplementedError(f"only 24-bit DIB frames supported, got {bitcount}")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(h, stride)
+        out[i] = rows[:, :w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR -> RGB
+    return out, fps
+
+
+class RealFrameSampleStage:
+    """AVI payload -> every-Nth REAL frame with real image features.
+
+    Same output schema as the stubbed FrameSampleStage (media_id,
+    frame_idx, feature) so pipelines swap stages without plumbing
+    changes; decode is the pure-numpy RIFF/DIB parse above and the
+    per-frame feature is the same kernel the PPM path uses."""
+
+    def __init__(self, every_n: int = 2, out_dim: int = 16, max_frames: int = 32):
+        self.every_n = every_n
+        self.out_dim = out_dim
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, feats = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            frames, _fps = decode_avi(payload)
+            sampled = range(0, min(len(frames), self.max_frames * self.every_n),
+                            self.every_n)
+            for fi in sampled:
+                ids.append(mid)
+                idxs.append(fi)
+                feats.append(image_features(frames[fi], self.out_dim).tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+        })
+
+
+def make_real_video_table(n: int = 8, seed: int = 5) -> pa.Table:
+    """Deterministic REAL video table: short uncompressed AVIs of a
+    bright block orbiting a gradient background (size/speed/frame count
+    vary by id).  Synthesized in-process — no external data."""
+    payloads, widths, heights, durs = [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 99_991 + i)
+        w, h = 24 + (i % 3) * 8, 16 + (i % 2) * 8
+        n_frames = 6 + (i % 5) * 3
+        fps = 10
+        gx = np.linspace(0, 200, w)[None, :]
+        gy = np.linspace(0, 200, h)[:, None]
+        base = (gx + gy) / 2
+        frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+        for f in range(n_frames):
+            img = np.stack([base, base[::-1], np.full_like(base, 40.0 + 10.0 * (i % 5))],
+                           axis=2).astype(np.float64)
+            cx = int((f * (2 + i % 3)) % max(1, w - 6))
+            cy = int((f * (1 + i % 2)) % max(1, h - 6))
+            img[cy:cy + 6, cx:cx + 6, :] = 250.0
+            img += rng.integers(0, 6, size=img.shape)
+            frames[f] = np.clip(img, 0, 255).astype(np.uint8)
+        payloads.append(encode_avi(frames, fps))
+        widths.append(w); heights.append(h)
+        durs.append(int(n_frames / fps * 1000))
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array(["video"] * n),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["video/avi"] * n),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    })

@@ -333,6 +333,58 @@ def test_real_media_stage_pipeline(ray_session):
         assert decode_ppm(p).shape == (10, 20, 3)
 
 
+def test_avi_codec_roundtrip():
+    import numpy as np
+
+    from news_information_retrieval_system_ray.stages.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    # odd width exercises the 4-byte DIB row-stride padding
+    frames = (np.arange(4 * 6 * 5 * 3, dtype=np.uint32).reshape(4, 6, 5, 3)
+              * 7 % 256).astype(np.uint8)
+    payload = encode_avi(frames, fps=12)
+    back, fps = decode_avi(payload)
+    assert fps == 12
+    assert back.shape == frames.shape
+    assert (back == frames).all()
+    with pytest.raises(ValueError):
+        decode_avi(b"nonsense" * 4)
+
+
+def test_real_video_stage_pipeline(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.stages.multimodal import (
+        RealFrameSampleStage,
+        decode_avi,
+        image_features,
+        make_real_video_table,
+    )
+
+    t = make_real_video_table(n=8, seed=5)
+    out = rd.from_arrow(t).map_batches(
+        RealFrameSampleStage(every_n=2, out_dim=16), batch_format="pyarrow",
+        batch_size=4, concurrency=2).to_pandas().sort_values(
+        ["media_id", "frame_idx"]).reset_index(drop=True)
+    # every video emits ceil(n_frames / 2) sampled frames
+    for mid in range(8):
+        frames, _ = decode_avi(t.column("payload")[mid].as_py())
+        got = out[out["media_id"] == mid]
+        assert list(got["frame_idx"]) == list(range(0, len(frames), 2))
+        # feature of the first frame matches the direct kernel computation
+        expect = image_features(frames[0], 16)
+        assert np.allclose(np.array(got.iloc[0]["feature"]), expect, atol=1e-6)
+    # deterministic across runs
+    again = rd.from_arrow(make_real_video_table(n=8, seed=5)).map_batches(
+        RealFrameSampleStage(every_n=2, out_dim=16), batch_format="pyarrow",
+        batch_size=4, concurrency=2).to_pandas().sort_values(
+        ["media_id", "frame_idx"]).reset_index(drop=True)
+    assert all(np.allclose(a, b) for a, b in zip(out["feature"], again["feature"]))
+
+
 @pytest.fixture(scope="module")
 def emb_ds(ray_session):
     import ray.data as rd
