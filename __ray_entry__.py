@@ -201,7 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_nn_within_label": A.embedding_nn_within_label,
         "embedding_kmeans": A.embedding_kmeans,
         "doc_hac_clusters": A.doc_hac_clusters,
-        "term_star_clusters": A.term_star_clusters,
+        # threshold 0.3 (not the reference's 0.7 default) so the tiny
+        # synthetic vocab actually forms multi-member stars and the
+        # greedy absorb path is exercised end-to-end by the oracle
+        "term_star_clusters": lambda sf: A.term_star_clusters(sf, threshold=0.3),
         "term_cooccurrence_clusters": A.term_cooccurrence_clusters,
         "lda_topics": T.lda_topics,
         "lda_doc_topics": T.lda_doc_topics,
@@ -908,6 +911,55 @@ def oracle_sql() -> dict[str, str]:
                              FROM xs CROSS JOIN w{i - 1} w2)) g)""")
         return "".join(parts)
 
+    def _star_sql(top_n: int = 150, threshold: float = 0.7) -> str:
+        """Greedy star clustering (functions/cluster.star_clusters over
+        edit-distance similarity) replicated EXACTLY in SQL.  The greedy
+        loop uses a STATIC potential (neighbor count, never updated), so
+        the selected centers are precisely the lexicographically-first
+        maximal independent set along the fixed (potential DESC, term)
+        order — computed by a recursive CTE that walks that order one
+        term per step, carrying the centers list; every non-center then
+        joins the EARLIEST-selected adjacent center, which is exactly
+        the absorb step of the Python loop."""
+        return _CTE.replace("WITH norm", "WITH RECURSIVE norm", 1) + f""",
+            cfs AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+            topv AS (SELECT term FROM cfs ORDER BY cf DESC, term LIMIT {top_n}),
+            edges AS MATERIALIZED (
+              SELECT a.term AS a, b.term AS b
+              FROM topv a JOIN topv b ON a.term <> b.term
+              WHERE 1.0 - levenshtein(a.term, b.term)
+                          / greatest(length(a.term), length(b.term)) >= {threshold}),
+            nbrs AS (
+              SELECT t.term,
+                     coalesce((SELECT list(e.b) FROM edges e WHERE e.a = t.term),
+                              CAST([] AS VARCHAR[])) AS nb,
+                     (SELECT count(*) FROM edges e WHERE e.a = t.term) AS ndeg
+              FROM topv t),
+            ordered AS MATERIALIZED (
+              SELECT term, nb, row_number() OVER (ORDER BY ndeg DESC, term) AS rn
+              FROM nbrs),
+            step AS (
+              SELECT 0 AS i, CAST([] AS VARCHAR[]) AS centers
+              UNION ALL
+              SELECT s.i + 1,
+                     CASE WHEN NOT list_has_any(o.nb, s.centers)
+                          THEN list_append(s.centers, o.term) ELSE s.centers END
+              FROM step s JOIN ordered o ON o.rn = s.i + 1),
+            fin AS (SELECT centers FROM step ORDER BY i DESC LIMIT 1),
+            cent AS (SELECT unnest(centers) AS center,
+                            generate_subscripts(centers, 1) AS ord FROM fin),
+            memb AS (
+              SELECT e.a AS term, min(c.ord) AS ord
+              FROM edges e JOIN cent c ON c.center = e.b
+              WHERE e.a NOT IN (SELECT center FROM cent)
+              GROUP BY e.a)
+            SELECT CAST(ord - 1 AS BIGINT) AS cluster_id, center, center AS term
+            FROM cent
+            UNION ALL
+            SELECT CAST(m.ord - 1 AS BIGINT), c.center, m.term
+            FROM memb m JOIN cent c ON c.ord = m.ord
+            ORDER BY cluster_id, term"""
+
     def _textrank_sql(iters: int = 30, k: int = 5, window: int = 5) -> str:
         """TextRank (functions/keywords.textrank_scores: window-5
         co-occurrence graph, damping 0.85) with the power iteration
@@ -1138,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         "summarize_multidoc": multidoc_sql,
         "rake_keywords": rake_sql,
         "textrank_fixed_topk": _textrank_sql(30),
+        "term_star_clusters": _star_sql(150, threshold=0.3),
         "dedup_minhash": minhash_sql,
         "dedup_simhash": simhash_sql,
         "dedup_ngram_jaccard": ngram_jac_sql,
