@@ -205,7 +205,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # synthetic vocab actually forms multi-member stars and the
         # greedy absorb path is exercised end-to-end by the oracle
         "term_star_clusters": lambda sf: A.term_star_clusters(sf, threshold=0.3),
-        "term_cooccurrence_clusters": A.term_cooccurrence_clusters,
+        # min_cooc 330 sits at the ~90th percentile of the synthetic
+        # corpus's pair-doc counts, so the greedy walk exercises BOTH
+        # paths: some centers absorb members, others stay singletons
+        "term_cooccurrence_clusters":
+            lambda sf: A.term_cooccurrence_clusters(sf, min_cooccurrence=330),
         "lda_topics": T.lda_topics,
         "lda_doc_topics": T.lda_doc_topics,
         "lda_perplexity": T.lda_perplexity,
@@ -960,6 +964,56 @@ def oracle_sql() -> dict[str, str]:
             FROM memb m JOIN cent c ON c.ord = m.ord
             ORDER BY cluster_id, term"""
 
+    def _cooc_sql(top_n: int = 100, min_cooc: int = 2) -> str:
+        """Greedy co-occurrence clustering
+        (functions/cluster.cooccurrence_clusters): same recursive
+        lexicographic-first-MIS shape as _star_sql, but the walk order
+        is plain lexicographic and the edge relation is 'appears in >=
+        min_cooc common docs' (distinct doc-level presence, matching
+        the set(tokens) pair counting in the Ray stage)."""
+        return _CTE.replace("WITH norm", "WITH RECURSIVE norm", 1) + f""",
+            cfs AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+            topv AS (SELECT term FROM cfs ORDER BY cf DESC, term LIMIT {top_n}),
+            pres AS (SELECT DISTINCT tf.doc_id, tf.term
+                     FROM tf JOIN topv USING (term)),
+            co AS (SELECT p1.term AS a, p2.term AS b, count(*) AS n
+                   FROM pres p1 JOIN pres p2
+                     ON p1.doc_id = p2.doc_id AND p1.term < p2.term
+                   GROUP BY p1.term, p2.term),
+            edges AS MATERIALIZED (
+              SELECT a, b FROM co WHERE n >= {min_cooc}
+              UNION ALL
+              SELECT b, a FROM co WHERE n >= {min_cooc}),
+            nbrs AS (
+              SELECT t.term,
+                     coalesce((SELECT list(e.b) FROM edges e WHERE e.a = t.term),
+                              CAST([] AS VARCHAR[])) AS nb
+              FROM topv t),
+            ordered AS MATERIALIZED (
+              SELECT term, nb, row_number() OVER (ORDER BY term) AS rn
+              FROM nbrs),
+            step AS (
+              SELECT 0 AS i, CAST([] AS VARCHAR[]) AS centers
+              UNION ALL
+              SELECT s.i + 1,
+                     CASE WHEN NOT list_has_any(o.nb, s.centers)
+                          THEN list_append(s.centers, o.term) ELSE s.centers END
+              FROM step s JOIN ordered o ON o.rn = s.i + 1),
+            fin AS (SELECT centers FROM step ORDER BY i DESC LIMIT 1),
+            cent AS (SELECT unnest(centers) AS center,
+                            generate_subscripts(centers, 1) AS ord FROM fin),
+            memb AS (
+              SELECT e.a AS term, min(c.ord) AS ord
+              FROM edges e JOIN cent c ON c.center = e.b
+              WHERE e.a NOT IN (SELECT center FROM cent)
+              GROUP BY e.a)
+            SELECT CAST(ord - 1 AS BIGINT) AS cluster_id, center, center AS term
+            FROM cent
+            UNION ALL
+            SELECT CAST(m.ord - 1 AS BIGINT), c.center, m.term
+            FROM memb m JOIN cent c ON c.ord = m.ord
+            ORDER BY cluster_id, term"""
+
     def _textrank_sql(iters: int = 30, k: int = 5, window: int = 5) -> str:
         """TextRank (functions/keywords.textrank_scores: window-5
         co-occurrence graph, damping 0.85) with the power iteration
@@ -1191,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": rake_sql,
         "textrank_fixed_topk": _textrank_sql(30),
         "term_star_clusters": _star_sql(150, threshold=0.3),
+        "term_cooccurrence_clusters": _cooc_sql(100, 330),
         "dedup_minhash": minhash_sql,
         "dedup_simhash": simhash_sql,
         "dedup_ngram_jaccard": ngram_jac_sql,
