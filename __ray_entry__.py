@@ -201,6 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_nn_within_label": A.embedding_nn_within_label,
         "embedding_kmeans": A.embedding_kmeans,
         "doc_hac_clusters": A.doc_hac_clusters,
+        # oracle-checkable HAC variant: smaller doc set + sims rounded
+        # to 9dp on both sides so FP summation order can't flip a merge
+        "doc_hac_fixed":
+            lambda sf: A.doc_hac_clusters(sf, n_docs=40, k=6, sim_decimals=9),
         # threshold 0.3 (not the reference's 0.7 default) so the tiny
         # synthetic vocab actually forms multi-member stars and the
         # greedy absorb path is exercised end-to-end by the oracle
@@ -964,6 +968,95 @@ def oracle_sql() -> dict[str, str]:
             FROM memb m JOIN cent c ON c.ord = m.ord
             ORDER BY cluster_id, term"""
 
+    def _hac_sql(n_docs: int = 40, k: int = 6) -> str:
+        """Complete-linkage HAC (functions/cluster.hac, reference
+        doc_cluster.py:252-376) simulated EXACTLY in SQL: the flat
+        pairwise TF-IDF-cosine matrix is carried as a list into a
+        recursive CTE that replays the merge loop one step per
+        iteration — candidate pairs, the complete-linkage min over the
+        member cross product, and the first-strictly-best argmax (ties
+        by insertion-order scan position) are all pure list lambdas, so
+        no aggregation appears in the recursive term.  Both sides round
+        sims to 9dp before the loop (see doc_hac_fixed) so summation
+        order can't flip an argmax; min-of-rounded == rounded-min keeps
+        complete linkage semantics intact."""
+        return _CTE.replace("WITH norm", "WITH RECURSIVE norm", 1) + f""",
+            hdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            hw AS (
+              SELECT tf.doc_id, tf.term,
+                     (1.0 + log10(tf.tf))
+                     * ln(1.0 + ((SELECT n FROM stats) - hdf.df + 0.5)
+                                / (hdf.df + 0.5)) AS w
+              FROM tf JOIN hdf USING (term) WHERE tf.doc_id < {n_docs}),
+            hnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                      FROM hw GROUP BY doc_id),
+            hwn AS (SELECT hw.doc_id, hw.term,
+                           hw.w / (CASE WHEN hnorm.nrm = 0 THEN 1.0
+                                        ELSE hnorm.nrm END) AS wn
+                    FROM hw JOIN hnorm USING (doc_id)),
+            hp AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                          round(sum(a.wn * b.wn), 9) AS sim
+                   FROM hwn a JOIN hwn b
+                     ON a.term = b.term AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+            hidx AS MATERIALIZED (
+              SELECT d AS doc_id, row_number() OVER (ORDER BY d) AS i,
+                     count(*) OVER () AS m
+              FROM (SELECT d1 AS d FROM hp UNION SELECT d2 FROM hp)),
+            hsym AS (
+              SELECT i1.i AS i, i2.i AS j, hp.sim
+              FROM hp JOIN hidx i1 ON hp.d1 = i1.doc_id
+                      JOIN hidx i2 ON hp.d2 = i2.doc_id
+              UNION ALL
+              SELECT i2.i, i1.i, hp.sim
+              FROM hp JOIN hidx i1 ON hp.d1 = i1.doc_id
+                      JOIN hidx i2 ON hp.d2 = i2.doc_id),
+            hmat AS MATERIALIZED (
+              SELECT g.m, list(coalesce(s.sim, 0.0) ORDER BY g.i, g.j) AS mat
+              FROM (SELECT a.i AS i, b.i AS j, a.m FROM hidx a, hidx b) g
+              LEFT JOIN hsym s ON s.i = g.i AND s.j = g.j
+              GROUP BY g.m),
+            hstep AS (
+              SELECT 0 AS it, range(1, m + 1) AS ords,
+                     range(1, m + 1) AS assign, mat, m
+              FROM hmat
+              UNION ALL
+              SELECT it + 1,
+                     list_append(list_filter(ords, c -> c <> best.a AND c <> best.b),
+                                 m + it + 1),
+                     list_transform(assign, c -> CASE WHEN c = best.a OR c = best.b
+                                                      THEN m + it + 1 ELSE c END),
+                     mat, m
+              FROM (
+                SELECT it, ords, assign, mat, m,
+                       (list_sort(list_transform(
+                          flatten(list_transform(range(1, len(ords) + 1), i ->
+                            list_transform(range(i + 1, len(ords) + 1),
+                                           j -> {{'i': i, 'j': j}}))),
+                          p -> {{'negl': -list_min(flatten(list_transform(
+                                    list_filter(range(1, m + 1),
+                                                d -> assign[d] = ords[p.i]), x ->
+                                      list_transform(
+                                        list_filter(range(1, m + 1),
+                                                    d -> assign[d] = ords[p.j]),
+                                        y -> mat[(x - 1) * m + y])))),
+                                'pi': p.i, 'pj': p.j}})))[1] AS sel
+                FROM hstep WHERE len(ords) > {k}
+              ) s, LATERAL (SELECT {{'a': s.ords[s.sel.pi],
+                                    'b': s.ords[s.sel.pj]}} AS best) l),
+            hfin AS (SELECT assign, m FROM hstep ORDER BY it DESC LIMIT 1),
+            hassign AS (SELECT unnest(assign) AS cid,
+                               generate_subscripts(assign, 1) AS i FROM hfin),
+            hmemb AS (SELECT h.cid, x.doc_id FROM hassign h JOIN hidx x USING (i)),
+            hrank AS (SELECT cid, min(doc_id) AS mn, count(*) AS cluster_size
+                      FROM hmemb GROUP BY cid),
+            hlabel AS (SELECT cid, row_number() OVER (ORDER BY mn) - 1 AS cluster_id,
+                              cluster_size
+                       FROM hrank)
+            SELECT d.doc_id, CAST(f.cluster_id AS BIGINT) AS cluster_id,
+                   CAST(f.cluster_size AS BIGINT) AS cluster_size
+            FROM hmemb d JOIN hlabel f USING (cid) ORDER BY d.doc_id"""
+
     def _cooc_sql(top_n: int = 100, min_cooc: int = 2) -> str:
         """Greedy co-occurrence clustering
         (functions/cluster.cooccurrence_clusters): same recursive
@@ -1246,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_fixed_topk": _textrank_sql(30),
         "term_star_clusters": _star_sql(150, threshold=0.3),
         "term_cooccurrence_clusters": _cooc_sql(100, 330),
+        "doc_hac_fixed": _hac_sql(40, 6),
         "dedup_minhash": minhash_sql,
         "dedup_simhash": simhash_sql,
         "dedup_ngram_jaccard": ngram_jac_sql,

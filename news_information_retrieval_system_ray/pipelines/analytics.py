@@ -2038,7 +2038,8 @@ def embedding_kmeans(sf_dir: str, k: int = 8) -> pd.DataFrame:
 
 
 def doc_hac_clusters(sf_dir: str, n_docs: int = 60, k: int = 8,
-                     linkage: str = "complete") -> pd.DataFrame:
+                     linkage: str = "complete",
+                     sim_decimals: int | None = None) -> pd.DataFrame:
     """Hierarchical agglomerative doc clustering (doc_cluster.py:252-376:
     complete/single/average linkage over pairwise cosine of TF-IDF
     vectors; naive O(n^3) merge loop with 0-sim for disjoint docs).
@@ -2097,6 +2098,14 @@ def doc_hac_clusters(sf_dir: str, n_docs: int = 60, k: int = 8,
                   .groupby("term").map_groups(pair_contrib, batch_format="pandas")
     sims = _sum_by(contrib, ("d1", "d2"), ("p",)).to_pandas() \
         .rename(columns={"p": "sim"})
+    if sim_decimals is not None:
+        # oracle-determinism mode: the merge loop takes argmax over raw
+        # float sims, so distributed-vs-SQL summation-order jitter
+        # (~1e-16) could flip a merge decision; rounding both sides to
+        # the same precision BEFORE the loop removes that degree of
+        # freedom (min-of-rounded == rounded-min for complete/single
+        # linkage, so the loop semantics are unchanged)
+        sims["sim"] = sims["sim"].round(sim_decimals)
     ids = sorted(set(sims["d1"]) | set(sims["d2"]))
     pos = {d: i for i, d in enumerate(ids)}
     S = np.zeros((len(ids), len(ids)))
