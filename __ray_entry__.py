@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cf_item_similar": RC.cf_item_similar,
         "cf_user_recs": RC.cf_user_recs,
         "cf_als": RC.cf_als,
+        "cf_als_fixed": RC.cf_als_fixed,
         "recommend_similar": RC.recommend_similar,
         "hybrid_recommend": RC.hybrid_recommend,
         # PAT-tree keyword extraction (corpus term-stats scoring)
@@ -968,6 +969,61 @@ def oracle_sql() -> dict[str, str]:
             FROM memb m JOIN cent c ON c.ord = m.ord
             ORDER BY cluster_id, term"""
 
+    def _als_sql(iters: int = 3, reg: float = 0.1) -> str:
+        """Rank-2 ALS (pipelines/recommend.cf_als_fixed): the arithmetic
+        factor init and explicit Cramer 2x2 ridge solves are replicated
+        term-for-term; each alternation is two join-aggregate CTE layers
+        (user solve from fixed items, item solve from fresh users) and
+        RMSE is computed after every alternation, matching the Ray
+        variant at round4."""
+
+        def init(col: str, j: int) -> str:
+            return (f"(({col} * 2654435761 + {j * 40503}) % 1000003)"
+                    f" / 1000003.0 * 0.2 - 0.1")
+
+        def solve(dst: str, own: str, other: str, src: str) -> str:
+            return f""",
+            {dst}s AS (
+              SELECT i.{own},
+                     sum(f.f1 * f.f1) + {reg} AS s11,
+                     sum(f.f2 * f.f2) + {reg} AS s22,
+                     sum(f.f1 * f.f2) AS s12,
+                     sum(i.r * f.f1) AS b1,
+                     sum(i.r * f.f2) AS b2
+              FROM inter i JOIN {src} f USING ({other})
+              GROUP BY i.{own}),
+            {dst} AS (
+              SELECT {own},
+                     (b1 * s22 - b2 * s12) / (s11 * s22 - s12 * s12) AS f1,
+                     (b2 * s11 - b1 * s12) / (s11 * s22 - s12 * s12) AS f2
+              FROM {dst}s)"""
+
+        def rmse(tag: str, usrc: str, isrc: str) -> str:
+            return f""",
+            rmse{tag} AS (
+              SELECT sqrt(sum((i.r - (u.f1 * v.f1 + u.f2 * v.f2))
+                              * (i.r - (u.f1 * v.f1 + u.f2 * v.f2))) / count(*)) AS e
+              FROM inter i JOIN {usrc} u USING (user_id) JOIN {isrc} v USING (item))"""
+
+        parts = [f"""
+            WITH inter AS (
+              SELECT user_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item,
+                     sum(value) AS r
+              FROM events GROUP BY 1, 2),
+            u0 AS (SELECT DISTINCT user_id, {init('user_id', 1)} AS f1,
+                          {init('user_id', 2)} AS f2 FROM inter),
+            v0 AS (SELECT DISTINCT item, {init('item', 1)} AS f1,
+                          {init('item', 2)} AS f2 FROM inter)"""]
+        parts.append(rmse("0", "u0", "v0"))
+        for t in range(1, iters + 1):
+            parts.append(solve(f"u{t}", "user_id", "item", f"v{t - 1}"))
+            parts.append(solve(f"v{t}", "item", "user_id", f"u{t}"))
+            parts.append(rmse(str(t), f"u{t}", f"v{t}"))
+        finals = [f"SELECT CAST({t} AS BIGINT) AS iteration, round(e, 4) AS rmse "
+                  f"FROM rmse{t}" for t in range(0, iters + 1)]
+        return "".join(parts) + "\n            " + \
+            "\n            UNION ALL ".join(finals) + "\n            ORDER BY iteration"
+
     def _hac_sql(n_docs: int = 40, k: int = 6) -> str:
         """Complete-linkage HAC (functions/cluster.hac, reference
         doc_cluster.py:252-376) simulated EXACTLY in SQL: the flat
@@ -1340,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         "term_star_clusters": _star_sql(150, threshold=0.3),
         "term_cooccurrence_clusters": _cooc_sql(100, 330),
         "doc_hac_fixed": _hac_sql(40, 6),
+        "cf_als_fixed": _als_sql(3, 0.1),
         "dedup_minhash": minhash_sql,
         "dedup_simhash": simhash_sql,
         "dedup_ngram_jaccard": ngram_jac_sql,

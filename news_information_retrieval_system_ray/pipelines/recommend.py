@@ -464,3 +464,78 @@ def cf_als(sf_dir: str, n_factors: int = 8, n_iterations: int = 4,
         item_f = solve_side("item", "user_id", user_f)
         hist.append({"iteration": it, "rmse": round4(rmse())})
     return pd.DataFrame(hist)
+
+
+def _als_init(entity_id: int, j: int) -> float:
+    """Arithmetic deterministic factor init — pure integer ops both
+    NumPy and SQL evaluate exactly (all intermediates < 2^53):
+    ((id*2654435761 + j*40503) % 1000003) / 1000003 * 0.2 - 0.1."""
+    return ((entity_id * 2654435761 + j * 40503) % 1000003) / 1000003.0 * 0.2 - 0.1
+
+
+def cf_als_fixed(sf_dir: str, n_iterations: int = 3, reg: float = 0.1) -> pd.DataFrame:
+    """Oracle-deterministic rank-2 ALS (the cf_als alternation with the
+    two SQL-blocking pieces swapped out): factor init is the arithmetic
+    `_als_init` formula instead of a NumPy RNG, and each ridge solve is
+    the explicit 2x2 Cramer rule instead of LAPACK — so the oracle can
+    unroll the full alternation in SQL and match RMSE at round4.
+    Distributed shape is cf_als's exactly: fixed side broadcast,
+    per-entity solves in groupby().map_groups, RMSE as partial sums
+    (collaborative_filtering.py:522-584 semantics)."""
+    from ray.data.aggregate import Sum
+
+    inter = _interactions_ds(sf_dir)
+
+    def init_factors(key: str) -> dict[int, np.ndarray]:
+        ids = [int(r[key]) for r in
+               inter.groupby(key).aggregate(Sum("rating", alias_name="s")).take_all()]
+        return {i: np.array([_als_init(i, 1), _als_init(i, 2)]) for i in ids}
+
+    user_f = init_factors("user_id")
+    item_f = init_factors("item")
+
+    def solve_side(own_key: str, other_key: str,
+                   other_f: dict[int, np.ndarray]) -> dict[int, np.ndarray]:
+        def solve(g: pd.DataFrame) -> pd.DataFrame:
+            oid = int(g[own_key].iloc[0])
+            V = np.stack([other_f[int(x)] for x in g[other_key]])
+            r = g["rating"].to_numpy(dtype=np.float64)
+            s11 = float(np.sum(V[:, 0] * V[:, 0])) + reg
+            s22 = float(np.sum(V[:, 1] * V[:, 1])) + reg
+            s12 = float(np.sum(V[:, 0] * V[:, 1]))
+            b1 = float(np.sum(r * V[:, 0]))
+            b2 = float(np.sum(r * V[:, 1]))
+            det = s11 * s22 - s12 * s12
+            f = [(b1 * s22 - b2 * s12) / det, (b2 * s11 - b1 * s12) / det]
+            return pd.DataFrame({"id": [oid], "f": [f]})
+
+        rows = inter.groupby(own_key).map_groups(solve, batch_format="pandas").take_all()
+        return {int(r["id"]): np.asarray(r["f"], dtype=np.float64) for r in rows}
+
+    def rmse() -> float:
+        u_ids = sorted(user_f)
+        i_ids = sorted(item_f)
+        U = np.stack([user_f[u] for u in u_ids])
+        V = np.stack([item_f[i] for i in i_ids])
+        u_row = {u: j for j, u in enumerate(u_ids)}
+        i_row = {i: j for j, i in enumerate(i_ids)}
+
+        def se(t: pa.Table) -> pa.Table:
+            ui = pd.Series(t.column("user_id").to_numpy()).map(u_row).to_numpy()
+            vi = pd.Series(t.column("item").to_numpy()).map(i_row).to_numpy()
+            r = t.column("rating").to_numpy()
+            pred = np.einsum("ij,ij->i", U[ui], V[vi])
+            err = (r - pred) ** 2
+            return pa.table({"se": pa.array([float(err.sum())], pa.float64()),
+                             "n": pa.array([len(err)], pa.int64())})
+
+        agg = inter.map_batches(se, batch_format="pyarrow").aggregate(
+            Sum("se", alias_name="se"), Sum("n", alias_name="n"))
+        return math.sqrt(float(agg["se"]) / float(agg["n"]))
+
+    hist = [{"iteration": 0, "rmse": round4(rmse())}]
+    for it in range(1, n_iterations + 1):
+        user_f = solve_side("user_id", "item", item_f)
+        item_f = solve_side("item", "user_id", user_f)
+        hist.append({"iteration": it, "rmse": round4(rmse())})
+    return pd.DataFrame(hist)

@@ -100,6 +100,16 @@ def test_als_rmse_decreases(ray_session, sf_dir):
     assert (np.diff(rmse) < 0).all()  # each alternation is an exact descent
 
 
+def test_als_fixed_rmse_decreases_and_deterministic(ray_session, sf_dir):
+    hist = R.cf_als_fixed(sf_dir, n_iterations=3)
+    rmse = hist["rmse"].to_numpy()
+    assert len(rmse) == 4
+    assert (np.diff(rmse) < 0).all()
+    # arithmetic init -> identical across runs (no RNG anywhere)
+    again = R.cf_als_fixed(sf_dir, n_iterations=3)
+    assert (hist["rmse"].to_numpy() == again["rmse"].to_numpy()).all()
+
+
 def test_pat_keywords_methods_consistent(ray_session, sf_dir):
     out = A.pat_keywords(sf_dir, k=10)
     assert set(out["method"]) == set(A.PAT_METHODS)
