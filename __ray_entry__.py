@@ -2255,9 +2255,22 @@ def oracle_sql() -> dict[str, str]:
                        FROM m)
             SELECT method, rank, term, frequency, doc_frequency, round(score, 4) AS score
             FROM ranked WHERE rank <= 20 ORDER BY method, rank""",
-        # rows-only (non-SQL-expressible): lang_id, fingerprints,
-        # dedup_minhash, dedup_simhash, dedup_ngram_jaccard, ann_lsh,
-        # media_features, eval_metrics (metric battery; kernels
-        # unit-tested in tests/test_metrics.py), cf_als (iterative
-        # factorization — no SQL equivalent)
+        # Remaining rows-only entries, each with a stated reason and an
+        # oracle-checked sibling where one exists:
+        # - lda_topics / lda_doc_topics / lda_perplexity: variational EM
+        #   with DATA-DEPENDENT per-doc inner-loop iteration counts and
+        #   digamma-heavy updates — no fixed unroll exists; kernels are
+        #   golden-tested (tests/test_lda.py) and the distributed
+        #   sufficient-stats reduction is exercised end-to-end.
+        # - cf_als (RNG init + LAPACK solves) -> oracle-checked sibling
+        #   cf_als_fixed; doc_hac_clusters (raw-float argmax) ->
+        #   doc_hac_fixed; textrank_keywords (tol early-stop) ->
+        #   textrank_fixed_topk; yake_keywords (phrase variant) ->
+        #   yake_unigram_topk.
+        # - media_features / video_frame_features (declared fake-decode
+        #   plumbing) and media_features_real / video_frame_features_real
+        #   (REAL wav/ppm/avi decodes): binary codec work has no SQL
+        #   form; codecs are roundtrip-unit-tested bit-exactly.
+        # - svo_triples: tree walk over a declared fake parse (model
+        #   absent); walk semantics unit-tested on hand-built edges.
     }
