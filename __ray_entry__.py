@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence_clusters":
             lambda sf: A.term_cooccurrence_clusters(sf, min_cooccurrence=330),
         "lda_topics": T.lda_topics,
+        "lda_fixed_topics": T.lda_fixed_topics,
         "lda_doc_topics": T.lda_doc_topics,
         "lda_perplexity": T.lda_perplexity,
         # multimodal: stubbed plumbing + REAL wav/ppm decode path
@@ -969,6 +970,102 @@ def oracle_sql() -> dict[str, str]:
             FROM memb m JOIN cent c ON c.ord = m.ord
             ORDER BY cluster_id, term"""
 
+    def _lda_sql(n_topics: int = 3, passes: int = 2, inner: int = 5,
+                 eta: float = 0.01, top_n: int = 10) -> str:
+        """Batch variational LDA (pipelines/topics.lda_fixed_topics):
+        both EM passes AND the fixed 5-iteration per-doc E-step are
+        unrolled as chained CTEs over the (doc, vid, k) relations, and
+        functions/lda.py's hand-rolled digamma (6 guarded recurrence
+        shifts + 5-term asymptotic series — the container has no scipy,
+        so NumPy and SQL evaluate the SAME formula) is inlined wherever
+        psi() appears.  Lambda init is the arithmetic _lam_init_fixed
+        formula (integer-exact both sides); ranking is on round4
+        normalized weights."""
+        alpha = repr(1.0 / n_topics)
+
+        def psi(x: str) -> str:
+            shifts = " ".join(
+                f"- (CASE WHEN {x} + {t} < 6 THEN 1.0 / ({x} + {t}) ELSE 0.0 END)"
+                for t in range(6))
+            x6 = f"({x} + greatest(0.0, ceil(6.0 - {x})))"
+            inv2 = f"(1.0 / ({x6} * {x6}))"
+            coefs = (-1.0 / 12, 1.0 / 120, -1.0 / 252, 1.0 / 240, -1.0 / 132)
+            series = " + ".join(f"({c!r}) * pow({inv2}, {p})"
+                                for p, c in enumerate(coefs, 1))
+            return (f"(0.0 {shifts} + ln({x6}) - 0.5 / {x6} + ({series}))")
+
+        parts = [_CTE + f""",
+            ldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            lvocab AS MATERIALIZED (
+              SELECT term, row_number() OVER (ORDER BY term) - 1 AS vid
+              FROM ldf WHERE df >= 2 AND df <= 1.0 * (SELECT n FROM stats)),
+            bow AS MATERIALIZED (
+              SELECT tf.doc_id, v.vid, CAST(tf.tf AS DOUBLE) AS cts
+              FROM tf JOIN lvocab v USING (term)),
+            ltop AS (SELECT unnest(range(0, {n_topics})) AS k),
+            lnd AS (SELECT doc_id, sum(cts) AS ndl FROM bow GROUP BY doc_id),
+            lam0 AS MATERIALIZED (
+              SELECT t.k, v.vid,
+                     1.0 + (((t.k + 1) * 131071 + (v.vid + 1) * 524287) % 1000003)
+                           / 1000003.0 * 0.1 - 0.05 AS lam
+              FROM ltop t, lvocab v)"""]
+        for p in range(passes):
+            parts.append(f""",
+            ls{p} AS (SELECT k, sum(lam) AS s FROM lam{p} GROUP BY k),
+            xb{p} AS MATERIALIZED (
+              SELECT l.k, l.vid, exp({psi('l.lam')} - {psi('ls.s')}) AS xb
+              FROM lam{p} l JOIN ls{p} ls USING (k)),
+            g{p}_0 AS (SELECT lnd.doc_id, t.k, {alpha} + lnd.ndl / {n_topics} AS g
+                       FROM lnd, ltop t)""")
+            for t in range(inner + 1):
+                # et/pn for state t; then (if t < inner) gamma update t+1
+                parts.append(f""",
+            gs{p}_{t} AS (SELECT doc_id, sum(g) AS s FROM g{p}_{t} GROUP BY doc_id),
+            et{p}_{t} AS MATERIALIZED (
+              SELECT g.doc_id, g.k, exp({psi('g.g')} - {psi('gs.s')}) AS et
+              FROM g{p}_{t} g JOIN gs{p}_{t} gs USING (doc_id)),
+            pn{p}_{t} AS MATERIALIZED (
+              SELECT b.doc_id, b.vid, sum(e.et * x.xb) + 1e-100 AS pn
+              FROM bow b JOIN et{p}_{t} e USING (doc_id)
+                   JOIN xb{p} x ON x.k = e.k AND x.vid = b.vid
+              GROUP BY b.doc_id, b.vid)""")
+                if t < inner:
+                    parts.append(f""",
+            g{p}_{t + 1} AS (
+              SELECT e.doc_id, e.k, {alpha} + e.et * coalesce(s.acc, 0.0) AS g
+              FROM et{p}_{t} e LEFT JOIN (
+                SELECT b.doc_id, x.k, sum(x.xb * b.cts / pn.pn) AS acc
+                FROM bow b JOIN pn{p}_{t} pn
+                       ON pn.doc_id = b.doc_id AND pn.vid = b.vid
+                     JOIN xb{p} x ON x.vid = b.vid
+                GROUP BY b.doc_id, x.k) s
+                ON s.doc_id = e.doc_id AND s.k = e.k)""")
+            parts.append(f""",
+            ss{p} AS (
+              SELECT e.k, b.vid, sum(e.et * b.cts / pn.pn) AS raw
+              FROM bow b JOIN pn{p}_{inner} pn
+                     ON pn.doc_id = b.doc_id AND pn.vid = b.vid
+                   JOIN et{p}_{inner} e ON e.doc_id = b.doc_id
+              GROUP BY e.k, b.vid),
+            lam{p + 1} AS MATERIALIZED (
+              SELECT l.k, l.vid,
+                     {eta} + coalesce(x.xb * s.raw, 0.0) AS lam
+              FROM lam{p} l
+              LEFT JOIN ss{p} s ON s.k = l.k AND s.vid = l.vid
+              LEFT JOIN xb{p} x ON x.k = l.k AND x.vid = l.vid)""")
+        parts.append(f""",
+            lsumf AS (SELECT k, sum(lam) AS s FROM lam{passes} GROUP BY k),
+            lprob AS (SELECT l.k, v.term, round(l.lam / ls.s, 4) AS w
+                      FROM lam{passes} l JOIN lsumf ls USING (k)
+                           JOIN lvocab v USING (vid)),
+            lrank AS (SELECT k AS topic_id, term, w,
+                             row_number() OVER (PARTITION BY k
+                                                ORDER BY w DESC, term) AS rank
+                      FROM lprob)
+            SELECT CAST(topic_id AS BIGINT) AS topic_id, rank, term, w AS weight
+            FROM lrank WHERE rank <= {top_n} ORDER BY topic_id, rank""")
+        return "".join(parts)
+
     def _als_sql(iters: int = 3, reg: float = 0.1) -> str:
         """Rank-2 ALS (pipelines/recommend.cf_als_fixed): the arithmetic
         factor init and explicit Cramer 2x2 ridge solves are replicated
@@ -1397,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "term_cooccurrence_clusters": _cooc_sql(100, 330),
         "doc_hac_fixed": _hac_sql(40, 6),
         "cf_als_fixed": _als_sql(3, 0.1),
+        "lda_fixed_topics": _lda_sql(3, 2, 5),
         "dedup_minhash": minhash_sql,
         "dedup_simhash": simhash_sql,
         "dedup_ngram_jaccard": ngram_jac_sql,
@@ -2258,10 +2356,12 @@ def oracle_sql() -> dict[str, str]:
         # Remaining rows-only entries, each with a stated reason and an
         # oracle-checked sibling where one exists:
         # - lda_topics / lda_doc_topics / lda_perplexity: variational EM
-        #   with DATA-DEPENDENT per-doc inner-loop iteration counts and
-        #   digamma-heavy updates — no fixed unroll exists; kernels are
-        #   golden-tested (tests/test_lda.py) and the distributed
-        #   sufficient-stats reduction is exercised end-to-end.
+        #   with DATA-DEPENDENT per-doc inner-loop iteration counts
+        #   (tol=1e-3 early stop) and an RNG Gamma lambda init — but the
+        #   algorithm itself IS oracle-checked via the fixed sibling
+        #   lda_fixed_topics (tol=0, arithmetic init, full EM + digamma
+        #   series unrolled in SQL); kernels golden-tested in
+        #   tests/test_lda.py.
         # - cf_als (RNG init + LAPACK solves) -> oracle-checked sibling
         #   cf_als_fixed; doc_hac_clusters (raw-float argmax) ->
         #   doc_hac_fixed; textrank_keywords (tol early-stop) ->

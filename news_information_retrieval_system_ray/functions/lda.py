@@ -89,7 +89,7 @@ def e_step_doc(term_ids: np.ndarray, counts: np.ndarray,
         gammad = alpha + expelogthetad * (betad @ (cts / phinorm))
         expelogthetad = np.exp(dirichlet_expectation(gammad))
         phinorm = expelogthetad @ betad + 1e-100
-        if np.abs(gammad - last).mean() < tol:
+        if tol > 0.0 and np.abs(gammad - last).mean() < tol:
             break
     sstats = np.outer(expelogthetad, cts / phinorm)  # K x n
     return gammad, sstats
@@ -97,11 +97,15 @@ def e_step_doc(term_ids: np.ndarray, counts: np.ndarray,
 
 def e_step_batch(docs: list[tuple[np.ndarray, np.ndarray]],
                  lam: np.ndarray, alpha: float,
+                 max_iters: int = 100, tol: float = 1e-3,
                  ) -> tuple[np.ndarray, np.ndarray]:
     """E-step over a list of (term_ids, counts) docs.
 
     Returns (gamma [n_docs x K], sstats [K x V]); sstats already
-    multiplied by exp(E[log beta]) — ready to sum into the M-step."""
+    multiplied by exp(E[log beta]) — ready to sum into the M-step.
+    ``tol=0`` disables the per-doc early stop so exactly ``max_iters``
+    inner iterations run (the deterministic form the SQL oracle
+    unrolls)."""
     exp_elogbeta = np.exp(dirichlet_expectation(lam))
     k, v = lam.shape
     sstats = np.zeros((k, v))
@@ -110,7 +114,8 @@ def e_step_batch(docs: list[tuple[np.ndarray, np.ndarray]],
         if len(ids) == 0:
             gammas[i] = alpha
             continue
-        gammad, part = e_step_doc(ids, cts, exp_elogbeta, alpha)
+        gammad, part = e_step_doc(ids, cts, exp_elogbeta, alpha,
+                                  max_iters=max_iters, tol=tol)
         gammas[i] = gammad
         np.add.at(sstats, (slice(None), ids), part)
     sstats *= exp_elogbeta

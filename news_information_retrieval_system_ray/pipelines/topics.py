@@ -204,3 +204,69 @@ def lda_perplexity(sf_dir: str, n_topics: int = 6) -> pd.DataFrame:
         "n_tokens": fit["n_tokens"],
         "perplexity": round(fit["perplexity"], 4),
     }])
+
+
+# ------------------------------------------------ oracle-fixed variant
+
+def _lam_init_fixed(k: int, v: int) -> float:
+    """Arithmetic lambda init (integer-exact in both NumPy and SQL, all
+    intermediates < 2^53): 1 + hash-ish uniform in [-0.05, 0.05)."""
+    return 1.0 + (((k + 1) * 131071 + (v + 1) * 524287) % 1000003) \
+        / 1000003.0 * 0.1 - 0.05
+
+
+def lda_fixed_topics(sf_dir: str, n_topics: int = 3, passes: int = 2,
+                     inner_iters: int = 5, eta: float = 0.01,
+                     top_n_words: int = 10) -> pd.DataFrame:
+    """Oracle-deterministic LDA: same batch VB-EM and distributed shape
+    as fit_lda (broadcast lambda, per-batch partial sstats), with the
+    three SQL-blocking degrees of freedom pinned — arithmetic lambda
+    init instead of the RNG Gamma draw, tol=0 so every doc runs exactly
+    ``inner_iters`` E-step iterations, and ranking on ROUND4 topic-word
+    weights.  The oracle unrolls both passes (and the hand-rolled
+    digamma series of functions/lda.py, which scipy-free NumPy and SQL
+    compute identically) as chained CTEs."""
+    from .analytics import _corpus_stats, round4, term_stats
+
+    n_docs, _ = _corpus_stats(sf_dir)
+    ts = term_stats(sf_dir).to_pandas()
+    keep = ts[(ts["df"] >= 2) & (ts["df"] <= 1.0 * n_docs)]
+    vocab = sorted(keep["term"])
+    k, v = n_topics, len(vocab)
+    alpha = 1.0 / n_topics
+    lam = np.array([[_lam_init_fixed(ki, vi) for vi in range(v)]
+                    for ki in range(k)])
+    bow = _bow_ds(sf_dir, vocab)
+
+    def partial_sstats(t: pa.Table, lam_ref) -> pa.Table:
+        cur = ray.get(lam_ref)
+        docs = _batch_docs(t)
+        _, sstats = e_step_batch(docs, cur, alpha,
+                                 max_iters=inner_iters, tol=0.0)
+        part = int(pa.compute.min(t.column("doc_id")).as_py()) if t.num_rows else -1
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "sstats": pa.array([sstats.ravel().tolist()], pa.list_(pa.float64())),
+        })
+
+    for _ in range(passes):
+        lam_ref = ray.put(lam)
+        rows = bow.map_batches(
+            lambda t, r=lam_ref: partial_sstats(t, r),
+            batch_format="pyarrow").take_all()
+        rows.sort(key=lambda r: r["part"])
+        sstats = np.zeros((k, v))
+        for r in rows:
+            sstats += np.asarray(r["sstats"], dtype=np.float64).reshape(k, v)
+        lam = m_step(sstats, eta)
+
+    vocab_arr = np.asarray(vocab)
+    probs = lam / lam.sum(axis=1, keepdims=True)
+    out = []
+    for topic in range(k):
+        ranked = sorted(((round4(float(p)), t)
+                         for p, t in zip(probs[topic], vocab_arr)),
+                        key=lambda x: (-x[0], x[1]))[:top_n_words]
+        for rank, (w, t) in enumerate(ranked, 1):
+            out.append((topic, rank, t, w))
+    return pd.DataFrame(out, columns=["topic_id", "rank", "term", "weight"])

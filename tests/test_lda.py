@@ -143,3 +143,34 @@ def test_lda_pipeline_deterministic(ray_session, sf_dir):
     topics._LDA_MEMO.clear()
     b = topics.lda_topics(sf_dir)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_lda_fixed_topics_shape_and_determinism(ray_session, sf_dir):
+    from news_information_retrieval_system_ray.pipelines.topics import lda_fixed_topics
+
+    a = lda_fixed_topics(sf_dir)
+    assert list(a.columns) == ["topic_id", "rank", "term", "weight"]
+    assert a["topic_id"].nunique() == 3
+    assert (a.groupby("topic_id")["rank"].max() == 10).all()
+    # tol=0 + arithmetic init -> bit-identical across runs
+    b = lda_fixed_topics(sf_dir)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_e_step_tol_zero_runs_fixed_iters():
+    import numpy as np
+
+    from news_information_retrieval_system_ray.functions.lda import (
+        dirichlet_expectation,
+        e_step_doc,
+    )
+
+    lam = np.array([[1.1, 0.9, 1.0], [0.95, 1.05, 1.0]])
+    xb = np.exp(dirichlet_expectation(lam))
+    ids = np.array([0, 2])
+    cts = np.array([3.0, 1.0])
+    g1, _ = e_step_doc(ids, cts, xb, alpha=0.5, max_iters=1, tol=0.0)
+    g5, _ = e_step_doc(ids, cts, xb, alpha=0.5, max_iters=5, tol=0.0)
+    g5b, _ = e_step_doc(ids, cts, xb, alpha=0.5, max_iters=5, tol=0.0)
+    assert not np.allclose(g1, g5)  # more fixed iterations move gamma
+    assert (g5 == g5b).all()
