@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: A.term_cooccurrence_clusters(sf, min_cooccurrence=330),
         "lda_topics": T.lda_topics,
         "lda_fixed_topics": T.lda_fixed_topics,
+        "lda_fixed_doc_topics": T.lda_fixed_doc_topics,
+        "lda_fixed_perplexity": T.lda_fixed_perplexity,
         "lda_doc_topics": T.lda_doc_topics,
         "lda_perplexity": T.lda_perplexity,
         # multimodal: stubbed plumbing + REAL wav/ppm decode path
@@ -971,7 +973,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cluster_id, term"""
 
     def _lda_sql(n_topics: int = 3, passes: int = 2, inner: int = 5,
-                 eta: float = 0.01, top_n: int = 10) -> str:
+                 eta: float = 0.01, top_n: int = 10,
+                 output: str = "topics") -> str:
         """Batch variational LDA (pipelines/topics.lda_fixed_topics):
         both EM passes AND the fixed 5-iteration per-doc E-step are
         unrolled as chained CTEs over the (doc, vid, k) relations, and
@@ -1009,7 +1012,11 @@ def oracle_sql() -> dict[str, str]:
                      1.0 + (((t.k + 1) * 131071 + (v.vid + 1) * 524287) % 1000003)
                            / 1000003.0 * 0.1 - 0.05 AS lam
               FROM ltop t, lvocab v)"""]
-        for p in range(passes):
+        # passes 0..passes-1 update lambda; the extra chain at p=passes
+        # (emitted for the doc_topics/perplexity outputs) is the FINAL
+        # fixed-iteration E-step against the fitted lambda
+        n_chains = passes if output == "topics" else passes + 1
+        for p in range(n_chains):
             parts.append(f""",
             ls{p} AS (SELECT k, sum(lam) AS s FROM lam{p} GROUP BY k),
             xb{p} AS MATERIALIZED (
@@ -1040,7 +1047,8 @@ def oracle_sql() -> dict[str, str]:
                      JOIN xb{p} x ON x.vid = b.vid
                 GROUP BY b.doc_id, x.k) s
                 ON s.doc_id = e.doc_id AND s.k = e.k)""")
-            parts.append(f""",
+            if p < passes:
+                parts.append(f""",
             ss{p} AS (
               SELECT e.k, b.vid, sum(e.et * b.cts / pn.pn) AS raw
               FROM bow b JOIN pn{p}_{inner} pn
@@ -1053,7 +1061,8 @@ def oracle_sql() -> dict[str, str]:
               FROM lam{p} l
               LEFT JOIN ss{p} s ON s.k = l.k AND s.vid = l.vid
               LEFT JOIN xb{p} x ON x.k = l.k AND x.vid = l.vid)""")
-        parts.append(f""",
+        if output == "topics":
+            parts.append(f""",
             lsumf AS (SELECT k, sum(lam) AS s FROM lam{passes} GROUP BY k),
             lprob AS (SELECT l.k, v.term, round(l.lam / ls.s, 4) AS w
                       FROM lam{passes} l JOIN lsumf ls USING (k)
@@ -1064,6 +1073,36 @@ def oracle_sql() -> dict[str, str]:
                       FROM lprob)
             SELECT CAST(topic_id AS BIGINT) AS topic_id, rank, term, w AS weight
             FROM lrank WHERE rank <= {top_n} ORDER BY topic_id, rank""")
+        elif output == "doc_topics":
+            parts.append(f""",
+            gnorm AS (SELECT g.doc_id, g.k, round(g.g / gs.s, 4) AS p
+                      FROM g{passes}_{inner} g
+                      JOIN gs{passes}_{inner} gs USING (doc_id))
+            SELECT doc_id, CAST(k AS BIGINT) AS topic_id, p AS prob
+            FROM gnorm WHERE p >= 0.01 ORDER BY doc_id, topic_id""")
+        else:  # perplexity — Hoffman eq.4 word term, max-stabilized LSE
+            parts.append(f""",
+            eltF AS (SELECT g.doc_id, g.k, {psi('g.g')} - {psi('gs.s')} AS elt
+                     FROM g{passes}_{inner} g
+                     JOIN gs{passes}_{inner} gs USING (doc_id)),
+            elbF AS (SELECT l.k, l.vid, {psi('l.lam')} - {psi('ls.s')} AS elb
+                     FROM lam{passes} l JOIN ls{passes} ls USING (k)),
+            mrel AS MATERIALIZED (
+              SELECT b.doc_id, b.vid, b.cts, e.k, t.elt + e.elb AS m
+              FROM bow b JOIN elbF e ON e.vid = b.vid
+                   JOIN eltF t ON t.doc_id = b.doc_id AND t.k = e.k),
+            mxr AS (SELECT doc_id, vid, max(m) AS mx
+                    FROM mrel GROUP BY doc_id, vid),
+            lse AS (SELECT m.doc_id, m.vid, any_value(m.cts) AS cts,
+                           ln(sum(exp(m.m - x.mx))) + any_value(x.mx) AS l
+                    FROM mrel m JOIN mxr x
+                      ON x.doc_id = m.doc_id AND x.vid = m.vid
+                    GROUP BY m.doc_id, m.vid),
+            tot AS (SELECT sum(cts * l) AS loglik,
+                           CAST(sum(cts) AS BIGINT) AS n_tokens FROM lse)
+            SELECT (SELECT n FROM stats) AS n_docs, n_tokens,
+                   round(exp(-loglik / n_tokens), 4) AS perplexity
+            FROM tot""")
         return "".join(parts)
 
     def _als_sql(iters: int = 3, reg: float = 0.1) -> str:
@@ -1495,6 +1534,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_hac_fixed": _hac_sql(40, 6),
         "cf_als_fixed": _als_sql(3, 0.1),
         "lda_fixed_topics": _lda_sql(3, 2, 5),
+        "lda_fixed_doc_topics": _lda_sql(3, 2, 5, output="doc_topics"),
+        "lda_fixed_perplexity": _lda_sql(3, 2, 5, output="perplexity"),
         "dedup_minhash": minhash_sql,
         "dedup_simhash": simhash_sql,
         "dedup_ngram_jaccard": ngram_jac_sql,

@@ -215,18 +215,21 @@ def _lam_init_fixed(k: int, v: int) -> float:
         / 1000003.0 * 0.1 - 0.05
 
 
-def lda_fixed_topics(sf_dir: str, n_topics: int = 3, passes: int = 2,
-                     inner_iters: int = 5, eta: float = 0.01,
-                     top_n_words: int = 10) -> pd.DataFrame:
-    """Oracle-deterministic LDA: same batch VB-EM and distributed shape
-    as fit_lda (broadcast lambda, per-batch partial sstats), with the
-    three SQL-blocking degrees of freedom pinned — arithmetic lambda
-    init instead of the RNG Gamma draw, tol=0 so every doc runs exactly
-    ``inner_iters`` E-step iterations, and ranking on ROUND4 topic-word
-    weights.  The oracle unrolls both passes (and the hand-rolled
-    digamma series of functions/lda.py, which scipy-free NumPy and SQL
-    compute identically) as chained CTEs."""
-    from .analytics import _corpus_stats, round4, term_stats
+def fit_lda_fixed(sf_dir: str, n_topics: int = 3, passes: int = 2,
+                  inner_iters: int = 5, eta: float = 0.01) -> dict:
+    """Oracle-deterministic LDA fit: same batch VB-EM and distributed
+    shape as fit_lda (broadcast lambda, per-batch partial sstats), with
+    the three SQL-blocking degrees of freedom pinned — arithmetic
+    lambda init instead of the RNG Gamma draw, tol=0 so every doc runs
+    exactly ``inner_iters`` E-step iterations, and round4 ranking in
+    the query layer.  Returns {vocab, lam, gamma_df, perplexity,
+    n_tokens, n_docs, alpha}; memoized per parameter set."""
+    from .analytics import _corpus_stats, term_stats
+
+    key = ("fixed", sf_dir, n_topics, passes, inner_iters, eta)
+    hit = _LDA_MEMO.get(key)
+    if hit is not None:
+        return hit
 
     n_docs, _ = _corpus_stats(sf_dir)
     ts = term_stats(sf_dir).to_pandas()
@@ -260,13 +263,89 @@ def lda_fixed_topics(sf_dir: str, n_topics: int = 3, passes: int = 2,
             sstats += np.asarray(r["sstats"], dtype=np.float64).reshape(k, v)
         lam = m_step(sstats, eta)
 
-    vocab_arr = np.asarray(vocab)
+    # final fixed-iteration E-step: per-doc gamma + bound partials
+    lam_ref = ray.put(lam)
+
+    def final_pass(t: pa.Table, lam_ref=lam_ref) -> pa.Table:
+        cur = ray.get(lam_ref)
+        docs = _batch_docs(t)
+        gammas, _ = e_step_batch(docs, cur, alpha,
+                                 max_iters=inner_iters, tol=0.0)
+        loglik, n_tok = bound_batch(docs, gammas, cur, alpha)
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "gamma": pa.array([g.tolist() for g in gammas],
+                              pa.list_(pa.float64())),
+            "loglik": pa.array([loglik] + [0.0] * (n - 1), pa.float64()),
+            "n_tok": pa.array([n_tok] + [0] * (n - 1), pa.int64()),
+        })
+
+    fin = bow.map_batches(final_pass, batch_format="pyarrow").to_pandas()
+    loglik = float(fin["loglik"].sum())
+    n_tokens = int(fin["n_tok"].sum())
+    hit = {"vocab": vocab, "lam": lam,
+           "gamma_df": fin[["doc_id", "gamma"]].sort_values("doc_id")
+                                               .reset_index(drop=True),
+           "perplexity": float(np.exp(-loglik / max(1, n_tokens))),
+           "n_tokens": n_tokens, "n_docs": n_docs, "alpha": alpha}
+    if len(_LDA_MEMO) >= 4:
+        _LDA_MEMO.clear()
+    _LDA_MEMO[key] = hit
+    return hit
+
+
+def lda_fixed_topics(sf_dir: str, n_topics: int = 3, passes: int = 2,
+                     inner_iters: int = 5, eta: float = 0.01,
+                     top_n_words: int = 10) -> pd.DataFrame:
+    """(topic_id, rank, term, weight): top-N words per topic from the
+    fixed fit, ranked on ROUND4 normalized weights (ties by term) so
+    the SQL unroll can match exactly."""
+    from .analytics import round4
+
+    fit = fit_lda_fixed(sf_dir, n_topics, passes, inner_iters, eta)
+    vocab = np.asarray(fit["vocab"])
+    lam = fit["lam"]
     probs = lam / lam.sum(axis=1, keepdims=True)
     out = []
-    for topic in range(k):
+    for topic in range(lam.shape[0]):
         ranked = sorted(((round4(float(p)), t)
-                         for p, t in zip(probs[topic], vocab_arr)),
+                         for p, t in zip(probs[topic], vocab)),
                         key=lambda x: (-x[0], x[1]))[:top_n_words]
         for rank, (w, t) in enumerate(ranked, 1):
             out.append((topic, rank, t, w))
     return pd.DataFrame(out, columns=["topic_id", "rank", "term", "weight"])
+
+
+def lda_fixed_doc_topics(sf_dir: str, n_topics: int = 3, passes: int = 2,
+                         inner_iters: int = 5, eta: float = 0.01,
+                         min_prob: float = 0.01) -> pd.DataFrame:
+    """(doc_id, topic_id, prob): normalized final-E-step gamma, pruned
+    at min_prob ON THE ROUNDED value (round4 both sides, so an FP-jitter
+    boundary can't flip a row in or out)."""
+    from .analytics import round4
+
+    fit = fit_lda_fixed(sf_dir, n_topics, passes, inner_iters, eta)
+    rows = []
+    for _, r in fit["gamma_df"].iterrows():
+        g = np.asarray(r["gamma"], dtype=np.float64)
+        p = g / g.sum()
+        for topic in range(len(p)):
+            w = round4(float(p[topic]))
+            if w >= min_prob:
+                rows.append((int(r["doc_id"]), topic, w))
+    return pd.DataFrame(rows, columns=["doc_id", "topic_id", "prob"])
+
+
+def lda_fixed_perplexity(sf_dir: str, n_topics: int = 3, passes: int = 2,
+                         inner_iters: int = 5, eta: float = 0.01) -> pd.DataFrame:
+    """Single row (n_docs, n_tokens, perplexity): token-normalized
+    variational-bound perplexity of the fixed fit."""
+    from .analytics import round4
+
+    fit = fit_lda_fixed(sf_dir, n_topics, passes, inner_iters, eta)
+    return pd.DataFrame([{
+        "n_docs": fit["n_docs"],
+        "n_tokens": fit["n_tokens"],
+        "perplexity": round4(fit["perplexity"]),
+    }])
