@@ -1532,6 +1532,23 @@ def oracle_sql() -> dict[str, str]:
         "term_star_clusters": _star_sql(150, threshold=0.3),
         "term_cooccurrence_clusters": _cooc_sql(100, 330),
         "doc_hac_fixed": _hac_sql(40, 6),
+        # svo_triples: the declared fake parse (functions/svo.fake_parse:
+        # token1=root verb, token0=nsubj, token2=dobj) + the reference
+        # tree walk (parser.py:450-511) collapse to a pure per-doc
+        # expression over the RAW whitespace split of text, so the
+        # stubbed-parser pipeline is oracle-checkable end-to-end
+        "svo_triples": """
+            WITH lf AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+              FROM documents),
+            t3 AS (SELECT doc_id, tk[1] AS subject, tk[2] AS verb,
+                          CASE WHEN len(tk) >= 3 THEN tk[3] END AS object,
+                          len(tk) AS n
+                   FROM lf)
+            SELECT doc_id, subject, verb, object,
+                   CASE WHEN object IS NULL THEN 0.7 ELSE 1.0 END AS confidence
+            FROM t3 WHERE n >= 2 ORDER BY doc_id LIMIT 200""",
         "cf_als_fixed": _als_sql(3, 0.1),
         "lda_fixed_topics": _lda_sql(3, 2, 5),
         "lda_fixed_doc_topics": _lda_sql(3, 2, 5, output="doc_topics"),
@@ -2412,6 +2429,6 @@ def oracle_sql() -> dict[str, str]:
         #   plumbing) and media_features_real / video_frame_features_real
         #   (REAL wav/ppm/avi decodes): binary codec work has no SQL
         #   form; codecs are roundtrip-unit-tested bit-exactly.
-        # - svo_triples: tree walk over a declared fake parse (model
-        #   absent); walk semantics unit-tested on hand-built edges.
+        # (svo_triples graduated to oracle-checked: the fake parse +
+        # tree walk collapse to a per-doc SQL expression.)
     }
