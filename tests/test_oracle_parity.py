@@ -12,6 +12,10 @@ SUBSET = [
     "doc_stats", "term_stats", "corpus_stats", "bm25_topk", "boolean_and",
     "phrase_match", "facet_source_counts", "top_terms", "dedup_exact",
     "ann_topk", "doc_quality",
+    # round-2 unroll/recursion oracles: exercise the fixed-iteration,
+    # recursive-CTE and closed-form-solve SQL machinery from pytest too
+    "textrank_fixed_topk", "term_star_clusters", "doc_hac_fixed",
+    "cf_als_fixed", "lda_fixed_topics", "svo_triples",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
