@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": A.rake_keywords,
         "keyword_eval": A.keyword_eval,
         "yake_unigram_topk": A.yake_unigram_topk,
+        "yake_phrase_topk": A.yake_phrase_topk,
         "yake_keywords": A.yake_doc_keywords,
         "csoundex_expand": A.csoundex_expand,
         "phonetic_search": A.phonetic_search,
@@ -584,6 +585,123 @@ def oracle_sql() -> dict[str, str]:
                         FROM uniq)
             SELECT doc_id, rank, phrase, round(score, 4) AS score
             FROM rranked WHERE rank <= 5 ORDER BY doc_id, rank"""
+    # Full-phrase YAKE with seqm dedup disabled (dedup_lim=2.0 on the Ray
+    # side): sentence segmentation on [.!?\n。！？]+, case-preserving \w+
+    # tokens, per-term W_Case / W_Pos(median sentence idx) / TF_Norm over
+    # non-stopword candidates / window-1 relatedness / sentence dispersion,
+    # then contiguous stopword-free 1..3-gram phrases scored
+    # prod(S)/(tf*(1+sum(S))).  Every arithmetic step mirrors the Python
+    # kernel's operation order (functions/yake.py:99-183) so float64
+    # results agree bitwise before the final round(,4).  NOTE: DuckDB's
+    # RE2 \w is ASCII while Python's is Unicode — equivalent on this
+    # ASCII corpus (documented kernel caveat).
+    yake_phrase_sql = f"""
+            WITH chunks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '[.!?\\n。！？]+')) AS chunk,
+                     generate_subscripts(regexp_split_to_array(text, '[.!?\\n。！？]+'), 1) AS cidx
+              FROM documents),
+            ctoks AS (
+              SELECT doc_id, cidx, regexp_extract_all(chunk, '\\w+') AS toks
+              FROM chunks),
+            sents AS (
+              SELECT doc_id, toks,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY cidx) - 1 AS snum
+              FROM ctoks WHERE len(toks) > 0),
+            sseq AS (
+              SELECT doc_id, snum, unnest(toks) AS raw,
+                     generate_subscripts(toks, 1) AS wi
+              FROM sents),
+            tok AS (
+              SELECT doc_id, snum, wi, lower(raw) AS term,
+                     (length(raw) > 1 AND raw = upper(raw)
+                      AND raw <> lower(raw)) AS allcaps,
+                     (substr(raw, 1, 1) = upper(substr(raw, 1, 1))
+                      AND substr(raw, 1, 1) <> lower(substr(raw, 1, 1))) AS capfirst
+              FROM sseq),
+            nb AS (
+              SELECT doc_id, snum, wi, term, allcaps, capfirst,
+                     lag(term)  OVER w AS lt,
+                     lead(term) OVER w AS rt
+              FROM tok WINDOW w AS (PARTITION BY doc_id, snum ORDER BY wi)),
+            nsent AS (SELECT doc_id, count(*) AS ns FROM sents GROUP BY doc_id),
+            tstat AS (
+              SELECT doc_id, term, count(*) AS tf,
+                     sum(CASE WHEN allcaps THEN 1 ELSE 0 END) AS tf_caps,
+                     sum(CASE WHEN (NOT allcaps) AND capfirst AND wi > 1
+                              THEN 1 ELSE 0 END) AS tf_proper,
+                     median(snum) AS med,
+                     count(DISTINCT snum) AS nds,
+                     count(lt) AS lc, count(DISTINCT lt) AS ld,
+                     count(rt) AS rc, count(DISTINCT rt) AS rd
+              FROM nb GROUP BY doc_id, term),
+            xstat AS (SELECT doc_id, max(tf) AS xtf FROM tstat GROUP BY doc_id),
+            cand AS (SELECT * FROM tstat WHERE term NOT IN ({stop_list})),
+            dstat AS (SELECT doc_id, avg(tf) AS mtf,
+                             coalesce(stddev_pop(tf), 0) AS stf
+                      FROM cand GROUP BY doc_id),
+            sfeat AS (
+              SELECT c.doc_id, c.term,
+                     greatest(c.tf_caps, c.tf_proper) / (1.0 + ln(c.tf)) AS wcase,
+                     ln(ln(3.0 + c.med)) AS wpos,
+                     1.0 + ((CASE WHEN c.lc > 0 THEN c.ld * 1.0 / c.lc ELSE 0 END)
+                          + (CASE WHEN c.rc > 0 THEN c.rd * 1.0 / c.rc ELSE 0 END))
+                           * c.tf / x.xtf AS rel,
+                     c.tf / (d.mtf + d.stf) AS tfnorm,
+                     c.nds * 1.0 / n.ns AS wdif
+              FROM cand c JOIN xstat x USING (doc_id)
+                   JOIN dstat d USING (doc_id) JOIN nsent n USING (doc_id)),
+            sc AS (
+              SELECT doc_id, term,
+                     (rel * wpos) / (wcase + tfnorm / rel + wdif / rel) AS s
+              FROM sfeat),
+            grams AS (
+              SELECT doc_id, term AS w1, CAST(NULL AS VARCHAR) AS w2,
+                     CAST(NULL AS VARCHAR) AS w3
+              FROM tok
+              UNION ALL
+              SELECT a.doc_id, a.term, b.term, CAST(NULL AS VARCHAR)
+              FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+                   AND b.snum = a.snum AND b.wi = a.wi + 1
+              UNION ALL
+              SELECT a.doc_id, a.term, b.term, c.term
+              FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+                   AND b.snum = a.snum AND b.wi = a.wi + 1
+                   JOIN tok c ON c.doc_id = a.doc_id
+                   AND c.snum = a.snum AND c.wi = a.wi + 2),
+            gf AS (
+              SELECT doc_id, w1, w2, w3, count(*) AS ptf
+              FROM grams
+              WHERE w1 NOT IN ({stop_list})
+                AND (w2 IS NULL OR w2 NOT IN ({stop_list}))
+                AND (w3 IS NULL OR w3 NOT IN ({stop_list}))
+              GROUP BY doc_id, w1, w2, w3),
+            ph AS (
+              SELECT g.doc_id,
+                     CASE WHEN g.w3 IS NOT NULL
+                            THEN g.w1 || ' ' || g.w2 || ' ' || g.w3
+                          WHEN g.w2 IS NOT NULL THEN g.w1 || ' ' || g.w2
+                          ELSE g.w1 END AS keyword,
+                     CASE WHEN g.w3 IS NOT NULL THEN 3
+                          WHEN g.w2 IS NOT NULL THEN 2 ELSE 1 END AS n_words,
+                     CASE WHEN g.w3 IS NOT NULL
+                            THEN s1.s * s2.s * s3.s
+                                 / (g.ptf * (1.0 + (s1.s + s2.s + s3.s)))
+                          WHEN g.w2 IS NOT NULL
+                            THEN s1.s * s2.s / (g.ptf * (1.0 + (s1.s + s2.s)))
+                          ELSE s1.s / (g.ptf * (1.0 + s1.s)) END AS score
+              FROM gf g
+              JOIN sc s1 ON s1.doc_id = g.doc_id AND s1.term = g.w1
+              LEFT JOIN sc s2 ON s2.doc_id = g.doc_id AND s2.term = g.w2
+              LEFT JOIN sc s3 ON s3.doc_id = g.doc_id AND s3.term = g.w3),
+            yranked AS (
+              SELECT doc_id, keyword, n_words, round(score, 4) AS score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY round(score, 4) ASC,
+                                                 keyword ASC) AS rank
+              FROM ph)
+            SELECT doc_id, rank, keyword, score, n_words
+            FROM yranked WHERE rank <= 5 ORDER BY doc_id, rank"""
     # MinHash-LSH near-dup, replicated end-to-end: md5 3-gram shingles,
     # the MinHasher(seed=1729) permutation table (a*x+b mod 2^64 via
     # UHUGEINT), 16x8 banding via signature-slice equality (two docs
@@ -1932,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "yake_unigram_topk": _YAKE_CTE + """
             SELECT doc_id, rank, term, round(score, 4) AS score
             FROM ranked WHERE rank <= 5""",
+        "yake_phrase_topk": yake_phrase_sql,
         "keyword_eval": _YAKE_CTE + """,
             ext AS (SELECT doc_id, term FROM ranked WHERE rank <= 5),
             gold AS (SELECT doc_id, term FROM (
@@ -2423,8 +2542,10 @@ def oracle_sql() -> dict[str, str]:
         # - cf_als (RNG init + LAPACK solves) -> oracle-checked sibling
         #   cf_als_fixed; doc_hac_clusters (raw-float argmax) ->
         #   doc_hac_fixed; textrank_keywords (tol early-stop) ->
-        #   textrank_fixed_topk; yake_keywords (phrase variant) ->
-        #   yake_unigram_topk.
+        #   textrank_fixed_topk; yake_keywords (SequenceMatcher seqm
+        #   dedup, not SQL-replicable) -> oracle-checked siblings
+        #   yake_unigram_topk AND yake_phrase_topk (full phrase scoring
+        #   with dedup disabled, ranks pinned on round4 scores).
         # - media_features / video_frame_features (declared fake-decode
         #   plumbing) and media_features_real / video_frame_features_real
         #   (REAL wav/ppm/avi decodes): binary codec work has no SQL

@@ -947,6 +947,50 @@ def yake_doc_keywords(sf_dir: str, k: int = 5) -> pd.DataFrame:
         .sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def yake_phrase_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Full-phrase YAKE with the seqm near-duplicate pruning disabled
+    (``dedup_lim=2.0`` — an unreachable SequenceMatcher ratio), so the
+    whole pipeline — sentence segmentation, casing features, window-1
+    relatedness, up-to-3-gram candidate phrases, the prod/(tf*(1+sum))
+    phrase score — is deterministically replicable in SQL and the query
+    is oracle-checked end-to-end (yake_extractor.py:115-127 semantics
+    minus the 'seqm' dedup step, which ``yake_keywords``/`yake_doc_
+    keywords` keep and unit tests cover).  Ranking is pinned on the
+    4-dp-rounded score (ties broken keyword asc) so Python/DuckDB
+    last-ulp float divergence (stddev_pop accumulation order) cannot
+    flip near-tie ranks.  Output:
+    (doc_id, rank, keyword, score, n_words), score asc = best."""
+    from ..functions.stopwords import load_stopwords
+    from ..functions.yake import yake_keywords as yk
+
+    stops = load_stopwords("en")
+
+    def kw(t: pa.Table) -> pa.Table:
+        doc_out, rank_out, kw_out, score_out, n_out = [], [], [], [], []
+        ids = t.column("doc_id").to_pylist()
+        for did, text in zip(ids, t.column("text").to_pylist()):
+            allph = yk(text or "", k=1 << 62, dedup_lim=2.0, stops=stops)
+            ranked = sorted(((round4(s), p) for p, s in allph),
+                            key=lambda x: (x[0], x[1]))[:k]
+            for rank, (score, phrase) in enumerate(ranked, 1):
+                doc_out.append(did)
+                rank_out.append(rank)
+                kw_out.append(phrase)
+                score_out.append(score)
+                n_out.append(phrase.count(" ") + 1)
+        return pa.table({
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "keyword": pa.array(kw_out, pa.string()),
+            "score": pa.array(score_out, pa.float64()),
+            "n_words": pa.array(n_out, pa.int64()),
+        })
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]) \
+        .map_batches(kw, batch_format="pyarrow").to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def summarize_leadk(sf_dir: str, k: int = 2) -> pd.DataFrame:
     """Lead-k-sentence summaries per doc (static.py lead mode; rows-only)."""
     from ..functions.snippets import lead_k_summary

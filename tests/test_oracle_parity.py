@@ -16,6 +16,9 @@ SUBSET = [
     # recursive-CTE and closed-form-solve SQL machinery from pytest too
     "textrank_fixed_topk", "term_star_clusters", "doc_hac_fixed",
     "cf_als_fixed", "lda_fixed_topics", "svo_triples",
+    # full-phrase YAKE (sentence segmentation + n-gram phrase scoring,
+    # seqm dedup disabled, ranks pinned on round4 scores)
+    "yake_phrase_topk",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
