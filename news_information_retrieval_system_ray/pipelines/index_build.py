@@ -277,6 +277,24 @@ def build_index(
     files = list_input_files(input_path)
     if not files:
         raise FileNotFoundError(f"no parquet inputs under {input_path!r}")
+    # Fail fast with a readable error instead of a mid-pipeline KeyError
+    # when the input glob caught tables without the text/html column
+    # (e.g. pointing --input at a directory of heterogeneous parquet).
+    import pyarrow.parquet as pq
+
+    needed = {"html", "url"} if text_source == "html" else \
+        ({text_source} if text_source else set())
+    if id_col:
+        needed = needed | {id_col}
+    for f in files:
+        cols = set(pq.ParquetFile(f).schema_arrow.names)
+        missing = needed - cols
+        if missing:
+            raise ValueError(
+                f"input file {f!r} lacks column(s) {sorted(missing)} "
+                f"(has {sorted(cols)[:8]}...); pass the documents parquet "
+                "itself, a glob matching only page files, or --html for "
+                "raw-HTML inputs")
     config = {
         "text_source": text_source, "id_col": id_col, "engine": engine,
         "block_size": block_size, "chunk_bits": chunk_bits, "n_shards": n_shards,

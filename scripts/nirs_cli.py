@@ -19,10 +19,16 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def _ray_init():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # Honor RAY_ADDRESS so `ray job submit -- python scripts/nirs_cli.py
+        # build ...` attaches to the submitting cluster (the job runner sets
+        # RAY_ADDRESS); default to a local one-node session otherwise.
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
