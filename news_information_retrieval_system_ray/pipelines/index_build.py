@@ -313,6 +313,16 @@ def build_index(
             print(f"[build_index +{time.perf_counter() - t_start:6.2f}s] {msg}",
                   file=sys.stderr, flush=True)
 
+    # per-phase wall-clock metrics for THIS run (resumed phases show ~0),
+    # persisted under manifest "metrics" next to the per-shard lineage
+    phase_secs: dict[str, float] = {}
+    _t_prev = [t_start]
+
+    def _mark(phase: str) -> None:
+        now = time.perf_counter()
+        phase_secs[phase] = round(now - _t_prev[0], 3)
+        _t_prev[0] = now
+
     items = plan_row_groups(files)
     shards = _shard_items(items, n_shards)
     tokens_root = os.path.join(index_dir, "tokens")
@@ -394,6 +404,7 @@ def build_index(
             manifest.state["dedup_done"] = True
             manifest.save()
         _v("exact dedup done")
+        _mark("dedup")
         # build proceeds from the deduped, already-extracted corpus
         files = list_input_files(dedup_dir)
         use_html = False
@@ -442,6 +453,7 @@ def build_index(
         manifest.save()  # one atomic write for the whole promotion batch
         shutil.rmtree(tmp_root, ignore_errors=True)
     _v(f"tokens stage done ({len(pending)} shards built, {resumed} resumed)")
+    _mark("tokens")
 
     # ---- global stats + collision check OVERLAP the segments shuffle.
     # Neither packing (block metadata stores raw tf/dl extremes, not
@@ -569,6 +581,7 @@ def build_index(
         n_rows = _count_rows(seg_dir)
         manifest.mark_segments(n_rows)
     _v(f"segments done ({n_rows} posting rows)")
+    _mark("segments")
 
     for t in side_threads:
         t.join()
@@ -584,6 +597,7 @@ def build_index(
     stats = manifest.stats
     avgdl = stats["avg_doc_length"]
     _v(f"stats done (n_docs={stats['n_docs']}, avgdl={avgdl:.1f})")
+    _mark("stats_collision")
 
     # ---- vocab sidecar: (term_hash, term), the small side of the index.
     # Also the hash-collision check: two distinct terms sharing a 64-bit
@@ -599,6 +613,20 @@ def build_index(
         manifest.state["vocab_done"] = True
         manifest.save()
         _v("vocab sidecar done")
+        _mark("vocab")
+
+    total_s = round(time.perf_counter() - t_start, 3)
+    if any(v > 0.05 for v in phase_secs.values()) \
+            or "metrics" not in manifest.state:  # a no-op resume keeps the
+        manifest.state["metrics"] = {            # real build's timings
+            "phase_secs": phase_secs,            # this run; resumed phases ~0
+            "total_secs": total_s,
+            "docs_per_sec": round(stats["n_docs"] / total_s, 1) if total_s else None,
+            "posting_rows": n_rows,
+            "shards_built": len(pending),
+            "shards_resumed": resumed,
+        }
+        manifest.save()
 
     return IndexBuildResult(
         index_dir=index_dir,
