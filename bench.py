@@ -86,11 +86,22 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     try:
         build_s = float("inf")  # best-of-N (the sandbox host is noisy)
+        build_phases: dict = {}
         for _ in range(repeats):
             t0 = time.perf_counter()
             res = build_index(corpus, idx_dir, text_source="html", engine="cjk_bigram",
                               n_shards=4 * num_cpus, resume=False)
-            build_s = min(build_s, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if dt < build_s:
+                build_s = dt
+                # per-phase wall seconds of the BEST run (manifest metrics):
+                # shows which stage limits 8->32 scaling in BASELINE windows
+                try:
+                    with open(os.path.join(idx_dir, "manifest.json")) as fh:
+                        build_phases = json.load(fh).get(
+                            "metrics", {}).get("phase_secs", {})
+                except OSError:
+                    build_phases = {}
 
         # per-method latency: each method gets its OWN fresh searcher
         # (no cross-method cache free-riding), one untimed warm pass
@@ -179,6 +190,7 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
 
         return {
             "index_build_sec": round(build_s, 3),
+            "build_phase_secs": build_phases,
             "docs_per_sec": round(res.n_docs / build_s, 1),
             "n_docs": res.n_docs,
             "query_batch_sec": round(query_s, 3),
@@ -240,6 +252,7 @@ def main_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
         "num_cpus": num_cpus,
         "bench_docs": head["n_docs"],
         "docs_per_sec": head["docs_per_sec"],
+        "build_phase_secs": head["build_phase_secs"],
         "query_p50_ms": head["query_p50_ms"],
         "query_p99_ms": head["query_p99_ms"],
         "query_naive_p50_ms": head["query_naive_p50_ms"],
@@ -308,6 +321,8 @@ def main_scaling(sf_dir: str) -> dict:
         "bench_docs": runs[32]["bench_docs"],
         "docs_per_sec_cpus8": thr8,
         "docs_per_sec_cpus32": thr32,
+        "build_phase_secs_cpus8": runs[8].get("build_phase_secs"),
+        "build_phase_secs_cpus32": runs[32].get("build_phase_secs"),
         "scaling_efficiency": round(eff, 3),
         "query_qps_cpus8": qps8,
         "query_qps_cpus32": qps32,
