@@ -154,6 +154,13 @@ def test_resume_skips_done_shards_and_is_identical(ray_session, corpus, tmp_path
     s2 = IndexSearcher(index_dir)
     assert s2.search(q, k=10) == first
     assert r2.n_docs == r1.n_docs
+    # per-phase metrics persisted next to the lineage; the resumed run
+    # re-ran segments, so the recorded metrics reflect a real build
+    with open(man_path) as f:
+        metrics = json.load(f)["metrics"]
+    assert metrics["posting_rows"] == r2.n_posting_rows
+    assert set(metrics["phase_secs"]) >= {"tokens", "segments", "stats_collision"}
+    assert metrics["total_secs"] > 0
 
 
 def test_resume_rebuilds_only_missing_shard(ray_session, corpus, tmp_path_factory):
