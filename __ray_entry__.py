@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_eval": A.keyword_eval,
         "yake_unigram_topk": A.yake_unigram_topk,
         "yake_phrase_topk": A.yake_phrase_topk,
+        "yake_levdedup_topk": A.yake_levdedup_topk,
         "yake_keywords": A.yake_doc_keywords,
         "csoundex_expand": A.csoundex_expand,
         "phonetic_search": A.phonetic_search,
@@ -595,7 +596,7 @@ def oracle_sql() -> dict[str, str]:
     # results agree bitwise before the final round(,4).  NOTE: DuckDB's
     # RE2 \w is ASCII while Python's is Unicode — equivalent on this
     # ASCII corpus (documented kernel caveat).
-    yake_phrase_sql = f"""
+    _yake_ph_cte = f"""
             WITH chunks AS (
               SELECT doc_id,
                      unnest(regexp_split_to_array(text, '[.!?\\n。！？]+')) AS chunk,
@@ -693,7 +694,8 @@ def oracle_sql() -> dict[str, str]:
               FROM gf g
               JOIN sc s1 ON s1.doc_id = g.doc_id AND s1.term = g.w1
               LEFT JOIN sc s2 ON s2.doc_id = g.doc_id AND s2.term = g.w2
-              LEFT JOIN sc s3 ON s3.doc_id = g.doc_id AND s3.term = g.w3),
+              LEFT JOIN sc s3 ON s3.doc_id = g.doc_id AND s3.term = g.w3)"""
+    yake_phrase_sql = _yake_ph_cte + """,
             yranked AS (
               SELECT doc_id, keyword, n_words, round(score, 4) AS score,
                      row_number() OVER (PARTITION BY doc_id
@@ -702,6 +704,56 @@ def oracle_sql() -> dict[str, str]:
               FROM ph)
             SELECT doc_id, rank, keyword, score, n_words
             FROM yranked WHERE rank <= 5 ORDER BY doc_id, rank"""
+    # YAKE greedy near-dup pruning, Levenshtein-ratio variant: candidates
+    # = top-30 phrases by (round4 score, keyword); a recursive CTE walks
+    # them in order carrying the picked list (the exact greedy loop of
+    # analytics.yake_levdedup_topk), rejecting a phrase when any earlier
+    # pick is >= 0.6 similar (precomputed similar-pair edge list +
+    # list_has_any, the star-clustering MIS pattern); first 5 picks win.
+    yake_levdedup_sql = _yake_ph_cte.replace(
+        "WITH chunks", "WITH RECURSIVE chunks", 1) + """,
+            ycand AS MATERIALIZED (
+              SELECT doc_id, keyword, n_words, round(score, 4) AS score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY round(score, 4) ASC,
+                                                 keyword ASC) AS rn
+              FROM ph QUALIFY rn <= 30),
+            yedges AS MATERIALIZED (
+              SELECT a.doc_id, a.keyword AS a, b.keyword AS b
+              FROM ycand a JOIN ycand b
+                   ON b.doc_id = a.doc_id AND b.keyword <> a.keyword
+              WHERE 1.0 - levenshtein(a.keyword, b.keyword)
+                          / greatest(length(a.keyword), length(b.keyword))
+                    >= 0.6),
+            ynbrs AS MATERIALIZED (
+              SELECT c.doc_id, c.rn, c.keyword,
+                     coalesce((SELECT list(e.b) FROM yedges e
+                               WHERE e.doc_id = c.doc_id AND e.a = c.keyword),
+                              CAST([] AS VARCHAR[])) AS nb
+              FROM ycand c),
+            ystep AS (
+              SELECT doc_id, 0 AS i, CAST([] AS VARCHAR[]) AS picked
+              FROM (SELECT DISTINCT doc_id FROM ycand)
+              UNION ALL
+              SELECT s.doc_id, s.i + 1,
+                     CASE WHEN NOT list_has_any(o.nb, s.picked)
+                          THEN list_append(s.picked, o.keyword)
+                          ELSE s.picked END
+              FROM ystep s JOIN ynbrs o
+                   ON o.doc_id = s.doc_id AND o.rn = s.i + 1),
+            yfin AS (
+              SELECT doc_id, picked,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY i DESC) AS rr
+              FROM ystep),
+            ysel AS (
+              SELECT doc_id, unnest(picked) AS keyword,
+                     generate_subscripts(picked, 1) AS rank
+              FROM yfin WHERE rr = 1)
+            SELECT y.doc_id, y.rank, y.keyword, c.score, c.n_words
+            FROM ysel y JOIN ycand c
+                 ON c.doc_id = y.doc_id AND c.keyword = y.keyword
+            WHERE y.rank <= 5 ORDER BY y.doc_id, y.rank"""
     # MinHash-LSH near-dup, replicated end-to-end: md5 3-gram shingles,
     # the MinHasher(seed=1729) permutation table (a*x+b mod 2^64 via
     # UHUGEINT), 16x8 banding via signature-slice equality (two docs
@@ -2051,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rank, term, round(score, 4) AS score
             FROM ranked WHERE rank <= 5""",
         "yake_phrase_topk": yake_phrase_sql,
+        "yake_levdedup_topk": yake_levdedup_sql,
         "keyword_eval": _YAKE_CTE + """,
             ext AS (SELECT doc_id, term FROM ranked WHERE rank <= 5),
             gold AS (SELECT doc_id, term FROM (

@@ -991,6 +991,62 @@ def yake_phrase_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
         .sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def yake_levdedup_topk(sf_dir: str, k: int = 5, m: int = 30,
+                       sim_threshold: float = 0.6) -> pd.DataFrame:
+    """YAKE keyphrases with GREEDY near-duplicate pruning, the
+    Levenshtein-ratio variant: the reference wrapper's 'seqm'
+    SequenceMatcher criterion (yake_extractor.py:115-127) is swapped
+    for 1 - lev/max(len) >= 0.9 so the greedy selection LOOP itself is
+    SQL-replicable (recursive CTE over a materialized similar-pair
+    edge list) and oracle-checked — the seqm criterion stays in
+    ``yake_keywords`` with unit goldens.  Deterministic operator
+    definition: candidates = top-``m`` phrases by (round4 score,
+    keyword); walk them in order, keep a phrase iff no already-kept
+    phrase is >= ``sim_threshold`` similar; return the first ``k``
+    kept.  Default threshold 0.6: short synthetic phrases almost never
+    reach the reference's 0.9 (which stays the seqm default in
+    ``yake_keywords``), and 0.6 makes the rejection branch do real work
+    on this corpus (~2% of top-5 slots change).  Output: (doc_id, rank, keyword, score, n_words)."""
+    from ..functions.cluster import edit_similarity
+    from ..functions.stopwords import load_stopwords
+    from ..functions.yake import yake_keywords as yk
+
+    stops = load_stopwords("en")
+
+    def kw(t: pa.Table) -> pa.Table:
+        doc_out, rank_out, kw_out, score_out, n_out = [], [], [], [], []
+        ids = t.column("doc_id").to_pylist()
+        for did, text in zip(ids, t.column("text").to_pylist()):
+            allph = yk(text or "", k=1 << 62, dedup_lim=2.0, stops=stops)
+            cand = sorted(((round4(s), p) for p, s in allph),
+                          key=lambda x: (x[0], x[1]))[:m]
+            picked: list[tuple[str, float]] = []
+            for s4, p in cand:
+                if any(edit_similarity(p, q) >= sim_threshold
+                       for q, _ in picked):
+                    continue
+                picked.append((p, s4))
+                if len(picked) >= k:
+                    break
+            for rank, (phrase, score) in enumerate(picked, 1):
+                doc_out.append(did)
+                rank_out.append(rank)
+                kw_out.append(phrase)
+                score_out.append(score)
+                n_out.append(phrase.count(" ") + 1)
+        return pa.table({
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "keyword": pa.array(kw_out, pa.string()),
+            "score": pa.array(score_out, pa.float64()),
+            "n_words": pa.array(n_out, pa.int64()),
+        })
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]) \
+        .map_batches(kw, batch_format="pyarrow").to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def summarize_leadk(sf_dir: str, k: int = 2) -> pd.DataFrame:
     """Lead-k-sentence summaries per doc (static.py lead mode; rows-only)."""
     from ..functions.snippets import lead_k_summary

@@ -17,8 +17,9 @@ SUBSET = [
     "textrank_fixed_topk", "term_star_clusters", "doc_hac_fixed",
     "cf_als_fixed", "lda_fixed_topics", "svo_triples",
     # full-phrase YAKE (sentence segmentation + n-gram phrase scoring,
-    # seqm dedup disabled, ranks pinned on round4 scores)
-    "yake_phrase_topk",
+    # seqm dedup disabled, ranks pinned on round4 scores) and the
+    # greedy lev-ratio dedup replay (recursive-CTE walk)
+    "yake_phrase_topk", "yake_levdedup_topk",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
