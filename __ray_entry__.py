@@ -46,6 +46,27 @@ stats AS (SELECT (SELECT count(*) FROM documents) AS n,
 """
 
 
+# gazetteer NER: filtered-token ordinality + the demo lexicon
+# (mirrors functions/ner.py DEFAULT_GAZETTEER — keep the VALUES in sync)
+_NER_CTE = """
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            nfl AS (
+              SELECT doc_id, list_filter(string_split(t, ' '),
+                     x -> regexp_matches(x, '[a-z0-9_]')) AS toks
+              FROM norm),
+            nseq AS (
+              SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+              FROM nfl WHERE len(toks) > 0),
+            gaz(ent_text, ent_type) AS (VALUES
+              ('spark', 'PRODUCT'), ('customer', 'PERSON'),
+              ('group', 'ORG'), ('part', 'ORG'),
+              ('window', 'EVENT'), ('stream', 'EVENT'),
+              ('batch', 'QUANTITY'), ('row', 'QUANTITY'),
+              ('table', 'WORK_OF_ART'))"""
+
+
 _YAKE_CTE = """
             WITH norm AS (
               SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -188,6 +209,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": A.token_counts,
         "lang_id": A.lang_id,
         "fingerprints": A.fingerprints,
+        # NER (gazetteer fallback; ner_extractor.py parity)
+        "ner_entities": A.ner_entities,
+        "ner_type_stats": A.ner_type_stats,
+        "ner_top_entities": A.ner_top_entities,
         # dedup family
         "dedup_exact": A.dedup_exact,
         "dedup_minhash": A.dedup_minhash,
@@ -2301,6 +2326,35 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN zhr > 0.2 THEN zhr
                               ELSE greatest(en, de, fr, es) END, 4) AS confidence
             FROM sc ORDER BY doc_id""",
+        "ner_entities": _NER_CTE + """,
+            noff AS (SELECT doc_id, term, pos,
+                            CAST(coalesce(sum(length(term)) OVER (
+                                     PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                                 + (pos - 1) AS BIGINT) AS start_char
+                     FROM nseq)
+            SELECT o.doc_id, o.pos, o.start_char,
+                   o.term AS ent_text, g.ent_type
+            FROM noff o JOIN gaz g ON o.term = g.ent_text
+            ORDER BY doc_id, pos""",
+        "ner_type_stats": _NER_CTE + """,
+            ent AS (SELECT o.term AS ent_text, g.ent_type
+                    FROM nseq o JOIN gaz g ON o.term = g.ent_text)
+            SELECT ent_type, count(*) AS n_entities,
+                   count(DISTINCT ent_text) AS n_unique_texts,
+                   round(100.0 * count(*) / (SELECT count(*) FROM ent), 4) AS pct
+            FROM ent GROUP BY ent_type ORDER BY ent_type""",
+        "ner_top_entities": _NER_CTE + """,
+            cnt AS (SELECT g.ent_type, o.term AS ent_text, count(*) AS n
+                    FROM nseq o JOIN gaz g ON o.term = g.ent_text
+                    GROUP BY 1, 2),
+            r AS (SELECT ent_type, ent_text, n,
+                         row_number() OVER (PARTITION BY ent_type
+                                            ORDER BY n DESC, ent_text ASC) AS rank
+                  FROM cnt)
+            SELECT ent_type, rank, ent_text, n FROM r WHERE rank <= 5
+            ORDER BY ent_type, rank""",
         "summarize_leadk": """
             WITH sents AS (
               SELECT doc_id,

@@ -1634,6 +1634,49 @@ def fingerprints(sf_dir: str):
         .map_batches(to_hex, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ NER
+
+def _ner_ds(sf_dir: str):
+    from ..stages.ner import NERStage
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        NERStage(text_col="text"), batch_format="pyarrow")
+
+
+def ner_entities(sf_dir: str):
+    """Flat entity stream: (doc_id, pos, start_char, ent_text, ent_type)
+    — gazetteer extraction (ner_extractor.py:185-298 extract/extract_batch
+    with the dictionary fallback; see functions/ner.py)."""
+    return _ner_ds(sf_dir)
+
+
+def ner_type_stats(sf_dir: str) -> pd.DataFrame:
+    """entity_statistics parity (ner_extractor.py:456-529): per type,
+    entity count, unique surface forms, and percentage distribution."""
+    per_text = _sum_by(_ner_ds(sf_dir), ("ent_type", "ent_text"),
+                       (), counts=("n",)).to_pandas()
+    g = per_text.groupby("ent_type", as_index=False).agg(
+        n_entities=("n", "sum"), n_unique_texts=("ent_text", "nunique"))
+    total = int(g["n_entities"].sum())
+    g["pct"] = (100.0 * g["n_entities"] / total).map(round4) if total \
+        else 0.0
+    return g.sort_values("ent_type").reset_index(drop=True)[
+        ["ent_type", "n_entities", "n_unique_texts", "pct"]]
+
+
+def ner_top_entities(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """most_common_entities parity (ner_extractor.py:520-563), per type:
+    top-k surface forms by count, canonical ties (count desc, text asc)."""
+    per_text = _sum_by(_ner_ds(sf_dir), ("ent_type", "ent_text"),
+                       (), counts=("n",)).to_pandas()
+    per_text = per_text.sort_values(["ent_type", "n", "ent_text"],
+                                    ascending=[True, False, True])
+    per_text["rank"] = per_text.groupby("ent_type").cumcount() + 1
+    out = per_text[per_text["rank"] <= k].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["ent_type", "rank", "ent_text", "n"]]
+
+
 # ------------------------------------------------------------------ dedup
 
 def dedup_exact(sf_dir: str):

@@ -20,6 +20,9 @@ SUBSET = [
     # seqm dedup disabled, ranks pinned on round4 scores) and the
     # greedy lev-ratio dedup replay (recursive-CTE walk)
     "yake_phrase_topk", "yake_levdedup_topk",
+    # gazetteer NER: token-ordinal + char-offset extraction and the
+    # entity_statistics / most_common_entities aggregates
+    "ner_entities", "ner_type_stats", "ner_top_entities",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
