@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_entities": A.ner_entities,
         "ner_type_stats": A.ner_type_stats,
         "ner_top_entities": A.ner_top_entities,
+        # dense bi-encoder retrieval (bert_retrieval.py parity;
+        # feature-hashing encoder, full path oracle-checked)
+        "dense_retrieval": A.dense_retrieval,
         # dedup family
         "dedup_exact": A.dedup_exact,
         "dedup_minhash": A.dedup_minhash,
@@ -2355,6 +2358,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM cnt)
             SELECT ent_type, rank, ent_text, n FROM r WHERE rank <= 5
             ORDER BY ent_type, rank""",
+        "dense_retrieval": _CTE + """,
+            bkt AS (SELECT doc_id,
+                           ('0x' || substr(md5(term), 1, 8))::BIGINT % 32 AS b,
+                           CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+                                THEN 1 ELSE -1 END AS s
+                    FROM ft),
+            dvec AS (SELECT doc_id, b, sum(s)::DOUBLE AS v FROM bkt GROUP BY 1, 2),
+            dnorm AS (SELECT doc_id, sqrt(sum(v * v)) AS nd FROM dvec
+                      GROUP BY 1 HAVING sum(v * v) > 0),
+            qterms(qid, term) AS (VALUES
+              ('q1', 'spark'), ('q1', 'join'),
+              ('q2', 'merge'), ('q2', 'sort'), ('q2', 'table'),
+              ('q3', 'vector'), ('q3', 'window'), ('q3', 'batch'), ('q3', 'stream')),
+            qbkt AS (SELECT qid,
+                            ('0x' || substr(md5(term), 1, 8))::BIGINT % 32 AS b,
+                            CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+                                 THEN 1 ELSE -1 END AS s
+                     FROM qterms),
+            qvec AS (SELECT qid, b, sum(s)::DOUBLE AS v FROM qbkt GROUP BY 1, 2),
+            qnorm AS (SELECT qid, sqrt(sum(v * v)) AS nq FROM qvec GROUP BY 1),
+            dots AS (SELECT q.qid, d.doc_id, sum(q.v * d.v) AS dot
+                     FROM qvec q JOIN dvec d ON q.b = d.b GROUP BY 1, 2),
+            scored AS (SELECT qn.qid, dn.doc_id,
+                              round(coalesce(dt.dot, 0) / (qn.nq * dn.nd), 4) AS score
+                       FROM qnorm qn CROSS JOIN dnorm dn
+                       LEFT JOIN dots dt ON dt.qid = qn.qid AND dt.doc_id = dn.doc_id),
+            rnk AS (SELECT qid, doc_id, score,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY score DESC, doc_id ASC) AS rank
+                    FROM scored)
+            SELECT qid, rank, doc_id, score FROM rnk WHERE rank <= 10
+            ORDER BY qid, rank""",
         "summarize_leadk": """
             WITH sents AS (
               SELECT doc_id,

@@ -1677,6 +1677,24 @@ def ner_top_entities(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out[["ent_type", "rank", "ent_text", "n"]]
 
 
+# ------------------------------------------------------------------ dense retrieval
+
+def dense_retrieval(sf_dir: str, dim: int = 32, k: int = 10) -> pd.DataFrame:
+    """Bi-encoder dense retrieval (bert_retrieval.py:233-355 semantics)
+    with the feature-hashing encoder: encode corpus (actor stage) ->
+    broadcast encoded queries -> partial cosine top-k -> tiny merge.
+    (qid, rank, doc_id, score) ranked on round4(cosine), doc_id asc."""
+    from ..stages.dense import HashingEncoderStage, dense_topk, encode_text
+
+    encoded = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        HashingEncoderStage(dim=dim, text_col="text"),
+        batch_format="pyarrow")
+    qids = sorted(FIXED_QUERIES)
+    qvecs = np.stack([encode_text(" ".join(FIXED_QUERIES[q]), dim)
+                      for q in qids])
+    return dense_topk(encoded, qvecs, qids, k=k)
+
+
 # ------------------------------------------------------------------ dedup
 
 def dedup_exact(sf_dir: str):

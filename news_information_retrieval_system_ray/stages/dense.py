@@ -1,0 +1,145 @@
+"""Dense (bi-encoder) retrieval: encode -> cosine top-k.
+
+Reference parity: `src/ir/semantic/bert_retrieval.py` — bi-encoder
+dense retrieval (encode 165-231, build_index 233-258, brute-force
+cosine search 327-355).  The reference's encoder is a BERT model
+(absent in this container); here the encoder is FEATURE HASHING
+(the hashing trick, Weinberger et al. 2009): each token hashes via
+md5 to one of ``dim`` signed buckets, giving a deterministic dense
+bag-of-words vector.  Everything downstream of ``encode`` — L2
+normalization, broadcast query matrix, per-batch partial cosine
+top-k, tiny driver merge — is exactly the reference's dense-search
+semantics and exactly what a real model encoder would feed.  Swapping
+in a model is confined to ``HashingEncoderStage.__call__``; the
+md5 choice (vs a faster hash) keeps the encoder SQL-expressible so
+the WHOLE path is oracle-checked, not rows-only.
+
+Scale notes: the encoder is an actor-pool ``map_batches`` stage whose
+per-actor state (vocab->bucket cache; in a model deployment: the model
+weights) loads once per actor.  Search is the `stages/ann.py` partial
+top-k shape: queries broadcast once via ``ray.put``, each batch emits
+<= nq*k candidate rows, the driver merges a tiny frame — the corpus
+never materializes and no all-to-all shuffle exists anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.textnorm import normalize_text
+from ..functions.tokenize import get_tokenizer
+
+
+def hash_bucket(token: str, dim: int) -> tuple[int, int]:
+    """(bucket, sign) via md5 — first 8 hex chars -> bucket, 9th hex
+    char parity -> sign (the signed hashing trick)."""
+    h = hashlib.md5(token.encode("utf-8")).hexdigest()
+    bucket = int(h[:8], 16) % dim
+    sign = 1 if int(h[8], 16) % 2 == 0 else -1
+    return bucket, sign
+
+
+def encode_text(text: str, dim: int,
+                _cache: dict[str, tuple[int, int]] | None = None) -> np.ndarray:
+    """Un-normalized signed-count vector for one text."""
+    toks = get_tokenizer("whitespace")(normalize_text(text or ""))
+    v = np.zeros(dim, dtype=np.float64)
+    cache = _cache if _cache is not None else {}
+    for t in toks:
+        bs = cache.get(t)
+        if bs is None:
+            bs = hash_bucket(t, dim)
+            cache[t] = bs
+        v[bs[0]] += bs[1]
+    return v
+
+
+class HashingEncoderStage:
+    """(doc_id, text) -> (doc_id, embedding list<double>[dim]).
+
+    Per-actor state: the token->bucket cache (stands in for the model
+    load in bert_retrieval.py:115-163)."""
+
+    def __init__(self, dim: int = 32, text_col: str = "text"):
+        self.dim = dim
+        self.text_col = text_col
+        self.tokenize = get_tokenizer("whitespace")
+        self._cache: dict[str, tuple[int, int]] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mat = np.zeros((n, self.dim), dtype=np.float64)
+        for i, text in enumerate(batch.column(self.text_col).to_pylist()):
+            mat[i] = encode_text(text, self.dim, self._cache)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float64()), self.dim),
+        })
+
+
+class _DenseTopK:
+    """Per-batch partial top-k on ROUNDED cosine (canonical tie-break
+    -round4(score), doc_id asc — matches the SQL oracle's ranking)."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) \
+            else queries_ref
+        # keep q UN-normalized: integer-component dot products are exact
+        # in float64, so cosine = dot / (|q| * |d|) reproduces the SQL
+        # oracle bit-for-bit (same IEEE op order)
+        self.q = np.asarray(q, dtype=np.float64)
+        self.qn = np.linalg.norm(self.q, axis=1)
+        self.qn[self.qn == 0] = 1.0
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import vecs_from_column
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mat = vecs_from_column(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1)
+        keep = norms > 0  # empty docs score 0 everywhere: drop
+        ids, mat, norms = ids[keep], mat[keep], norms[keep]
+        out_q, out_id, out_s = [], [], []
+        if ids.size:
+            sims = (self.q @ mat.T) / (self.qn[:, None] * norms[None, :])
+            # vectorized half-away-from-zero round4 (== analytics.round4)
+            sims = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
+            for qi in range(self.q.shape[0]):
+                row = sims[qi]
+                order = np.lexsort((ids, -row))[: self.k]
+                for j in order:
+                    out_q.append(qi)
+                    out_id.append(int(ids[j]))
+                    out_s.append(float(row[j]))
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def dense_topk(encoded_ds, query_vecs: np.ndarray, qids: list[str],
+               k: int = 10) -> pd.DataFrame:
+    """Global (qid, rank, doc_id, score): broadcast queries, partial
+    per-batch top-k, driver merge of <= nq*k rows per batch."""
+    import ray
+
+    qref = ray.put(np.asarray(query_vecs, dtype=np.float64))
+    parts = encoded_ds.map_batches(
+        _DenseTopK(qref, k), batch_format="pyarrow",
+        zero_copy_batch=True).to_pandas()
+    rows = []
+    for qi, qid in enumerate(qids):
+        g = parts[parts["qid"] == qi].sort_values(
+            ["score", "doc_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            rows.append((qid, rank, int(r["doc_id"]), float(r["score"])))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])

@@ -23,6 +23,8 @@ SUBSET = [
     # gazetteer NER: token-ordinal + char-offset extraction and the
     # entity_statistics / most_common_entities aggregates
     "ner_entities", "ner_type_stats", "ner_top_entities",
+    # dense bi-encoder retrieval (feature-hashing encoder)
+    "dense_retrieval",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
