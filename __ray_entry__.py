@@ -216,6 +216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dense bi-encoder retrieval (bert_retrieval.py parity;
         # feature-hashing encoder, full path oracle-checked)
         "dense_retrieval": A.dense_retrieval,
+        # KeyBERT keyphrases (keybert_extractor.py parity; hashing
+        # encoder, MMR loop oracle-checked via 4 unrolled argmax steps)
+        "keybert_keywords": A.keybert_keywords,
         # dedup family
         "dedup_exact": A.dedup_exact,
         "dedup_minhash": A.dedup_minhash,
@@ -614,6 +617,102 @@ def oracle_sql() -> dict[str, str]:
                         FROM uniq)
             SELECT doc_id, rank, phrase, round(score, 4) AS score
             FROM rranked WHERE rank <= 5 ORDER BY doc_id, rank"""
+    # KeyBERT on the hashing encoder (functions/keybert.py): candidates =
+    # distinct 1..3-grams of the stopword-filtered token sequence, doc +
+    # phrase embeddings = signed md5 bucket-count sums (dim 32, exactly the
+    # dense_retrieval encoder), sims = round4 cosine, then the greedy MMR
+    # loop (lambda = 1 - diversity = 0.5) UNROLLED as 4 chained argmax
+    # steps; every argmax tie-breaks on phrase asc.
+    kb_base = """
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            nfl AS (
+              SELECT doc_id, list_filter(string_split(t, ' '),
+                     x -> regexp_matches(x, '[a-z0-9_]')) AS tk
+              FROM norm),
+            seq AS (
+              SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS pos
+              FROM nfl WHERE len(tk) > 0),
+            dvec AS (
+              SELECT doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT % 32 AS b,
+                     sum(CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+                              THEN 1 ELSE -1 END)::DOUBLE AS v
+              FROM seq GROUP BY 1, 2),
+            dnorm AS (SELECT doc_id, sqrt(sum(v * v)) AS nd FROM dvec
+                      GROUP BY 1 HAVING sum(v * v) > 0),
+            fseq AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS fp
+              FROM seq WHERE term NOT IN ({stop_list})),
+            grams AS (
+              SELECT doc_id, term AS ph FROM fseq
+              UNION SELECT a.doc_id, a.term || ' ' || b.term
+                    FROM fseq a JOIN fseq b
+                    ON b.doc_id = a.doc_id AND b.fp = a.fp + 1
+              UNION SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term
+                    FROM fseq a JOIN fseq b
+                    ON b.doc_id = a.doc_id AND b.fp = a.fp + 1
+                    JOIN fseq c ON c.doc_id = a.doc_id AND c.fp = a.fp + 2),
+            ctok AS (SELECT doc_id, ph, unnest(string_split(ph, ' ')) AS term
+                     FROM grams),
+            cvec AS MATERIALIZED (
+              SELECT doc_id, ph, ('0x' || substr(md5(term), 1, 8))::BIGINT % 32 AS b,
+                     sum(CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+                              THEN 1 ELSE -1 END)::DOUBLE AS v
+              FROM ctok GROUP BY 1, 2, 3),
+            cnorm AS MATERIALIZED (
+              SELECT doc_id, ph, sqrt(sum(v * v)) AS nc FROM cvec
+              GROUP BY 1, 2 HAVING sum(v * v) > 0),
+            sdoc AS MATERIALIZED (
+              SELECT cn.doc_id, cn.ph,
+                     round(coalesce(dt.dot, 0) / (cn.nc * dn.nd), 4) AS sim
+              FROM cnorm cn JOIN dnorm dn USING (doc_id)
+              LEFT JOIN (SELECT c.doc_id, c.ph, sum(c.v * d.v) AS dot
+                         FROM cvec c JOIN dvec d
+                         ON d.doc_id = c.doc_id AND d.b = c.b
+                         GROUP BY 1, 2) dt
+              ON dt.doc_id = cn.doc_id AND dt.ph = cn.ph),
+            sel1 AS (
+              SELECT doc_id, ph, 1 AS step FROM (
+                SELECT doc_id, ph,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY sim DESC, ph ASC) AS rn
+                FROM sdoc) WHERE rn = 1)"""
+    kb_steps = []
+    for s in range(1, 5):  # picks 2..5
+        kb_steps.append(f""",
+            dots{s} AS (
+              SELECT a.doc_id, a.ph AS rp, b.ph AS sp, sum(a.v * b.v) AS dot
+              FROM sel{s} s
+              JOIN cvec b ON b.doc_id = s.doc_id AND b.ph = s.ph
+              JOIN cvec a ON a.doc_id = b.doc_id AND a.b = b.b
+              GROUP BY 1, 2, 3),
+            msel{s} AS (
+              SELECT r.doc_id, r.ph,
+                     max(round(coalesce(d.dot, 0) / (r.nc * sn.nc), 4)) AS msel
+              FROM cnorm r
+              JOIN sel{s} s ON s.doc_id = r.doc_id
+              JOIN cnorm sn ON sn.doc_id = s.doc_id AND sn.ph = s.ph
+              LEFT JOIN dots{s} d ON d.doc_id = r.doc_id AND d.rp = r.ph
+                                  AND d.sp = s.ph
+              WHERE NOT EXISTS (SELECT 1 FROM sel{s} x
+                                WHERE x.doc_id = r.doc_id AND x.ph = r.ph)
+              GROUP BY 1, 2),
+            pick{s + 1} AS (
+              SELECT doc_id, ph, {s + 1} AS step FROM (
+                SELECT m.doc_id, m.ph,
+                       row_number() OVER (PARTITION BY m.doc_id
+                           ORDER BY (0.5 * sd.sim - 0.5 * m.msel) DESC,
+                                    m.ph ASC) AS rn
+                FROM msel{s} m
+                JOIN sdoc sd ON sd.doc_id = m.doc_id AND sd.ph = m.ph)
+              WHERE rn = 1),
+            sel{s + 1} AS (SELECT * FROM sel{s} UNION ALL SELECT * FROM pick{s + 1})""")
+    keybert_sql = (kb_base.format(stop_list=stop_list) + "".join(kb_steps) + """
+            SELECT s.doc_id, s.step AS rank, s.ph AS phrase, sd.sim AS score
+            FROM sel5 s JOIN sdoc sd ON sd.doc_id = s.doc_id AND sd.ph = s.ph
+            ORDER BY s.doc_id, s.step""")
     # Full-phrase YAKE with seqm dedup disabled (dedup_lim=2.0 on the Ray
     # side): sentence segmentation on [.!?\n。！？]+, case-preserving \w+
     # tokens, per-term W_Case / W_Pos(median sentence idx) / TF_Norm over
@@ -2390,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored)
             SELECT qid, rank, doc_id, score FROM rnk WHERE rank <= 10
             ORDER BY qid, rank""",
+        "keybert_keywords": keybert_sql,
         "summarize_leadk": """
             WITH sents AS (
               SELECT doc_id,

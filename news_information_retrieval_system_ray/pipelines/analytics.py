@@ -1695,6 +1695,46 @@ def dense_retrieval(sf_dir: str, dim: int = 32, k: int = 10) -> pd.DataFrame:
     return dense_topk(encoded, qvecs, qids, k=k)
 
 
+def keybert_keywords(sf_dir: str, k: int = 5, dim: int = 32,
+                     diversity: float = 0.5) -> pd.DataFrame:
+    """Per-doc KeyBERT keyphrases (keybert_extractor.py:130-295 —
+    1..3-gram candidates, embed doc + candidates, cosine, MMR
+    diversity 0.5) on the feature-hashing encoder (stages/dense.py
+    convention), so the whole path incl. the greedy MMR loop is
+    oracle-checked.  Output (doc_id, rank, phrase, score); rank =
+    MMR selection order, score = round4 cosine to the doc."""
+    from ..functions.keybert import keybert_extract
+    from ..functions.stopwords import load_stopwords
+
+    stops = load_stopwords("en")
+    toks = _tokens_ds(sf_dir, with_positions=True)
+
+    def kw(t: pa.Table) -> pa.Table:
+        doc_out, rank_out, phrase_out, score_out = [], [], [], []
+        cache: dict[str, tuple[int, int]] = {}
+        for row in t.to_pylist():
+            seq: list[tuple[int, str]] = []
+            for term, poss in zip(row["terms"], row["positions"]):
+                seq.extend((p, term) for p in poss)
+            seq.sort()
+            picks = keybert_extract([w for _, w in seq], stops, dim=dim,
+                                    top_n=k, diversity=diversity, _cache=cache)
+            for rank, (phrase, score) in enumerate(picks, 1):
+                doc_out.append(row["doc_id"])
+                rank_out.append(rank)
+                phrase_out.append(phrase)
+                score_out.append(score)
+        return pa.table({
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "phrase": pa.array(phrase_out, pa.string()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+    return toks.map_batches(kw, batch_format="pyarrow").to_pandas() \
+               .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ dedup
 
 def dedup_exact(sf_dir: str):

@@ -25,6 +25,9 @@ SUBSET = [
     "ner_entities", "ner_type_stats", "ner_top_entities",
     # dense bi-encoder retrieval (feature-hashing encoder)
     "dense_retrieval",
+    # KeyBERT keyphrases: hashing encoder + the MMR greedy loop
+    # unrolled as 4 chained SQL argmax steps
+    "keybert_keywords",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
