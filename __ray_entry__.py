@@ -17,6 +17,7 @@ from typing import Any
 from news_information_retrieval_system_ray.pipelines import analytics as A
 from news_information_retrieval_system_ray.pipelines import ltr as L
 from news_information_retrieval_system_ray.pipelines import recommend as RC
+from news_information_retrieval_system_ray.pipelines import bertopic as BT
 from news_information_retrieval_system_ray.pipelines import topics as T
 
 # ---------------------------------------------------------------------------
@@ -253,6 +254,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lda_fixed_perplexity": T.lda_fixed_perplexity,
         "lda_doc_topics": T.lda_doc_topics,
         "lda_perplexity": T.lda_perplexity,
+        # BERTopic pipeline (embed -> cluster -> c-TF-IDF), k-means
+        # clustering backend + corpus embedding column standing in for
+        # the absent HDBSCAN/SentenceTransformer (pipelines/bertopic.py)
+        "bertopic_topics": BT.bertopic_topics,
+        "bertopic_topic_info": BT.bertopic_topic_info,
+        "bertopic_doc_topics": BT.bertopic_doc_topics,
+        "bertopic_repr_docs": BT.bertopic_repr_docs,
+        "bertopic_find_topics": BT.bertopic_find_topics,
+        "bertopic_reduced_topics": BT.bertopic_reduced_topics,
         # multimodal: stubbed plumbing + REAL wav/ppm decode path
         "media_features": A.media_features,
         "media_features_real": A.media_features_real,
@@ -369,6 +379,104 @@ def _kmeans_sql() -> str:
           SELECT vec_id, cid, d2,
                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
           FROM df) WHERE rn = 1 ORDER BY vec_id"""
+
+
+def _ctfidf_frag(src: str, out: str) -> str:
+    """c-TF-IDF CTE over a (topic, term, ctf) relation ``src`` into
+    ``{out}``: W = (ctf/|c|) * ln(1 + floor(mean |c|) / f_t) — the
+    bertopic ClassTfidfTransformer formula (pipelines/bertopic.py)."""
+    return f"""
+        {out} AS MATERIALIZED (SELECT c.topic, c.term,
+                         (c.ctf * 1.0 / ct.tot) * ln(1 + ac.a / ft.f) AS w
+                  FROM {src} c
+                  JOIN (SELECT topic, sum(ctf) AS tot
+                        FROM {src} GROUP BY topic) ct USING (topic)
+                  JOIN (SELECT term, sum(ctf) AS f
+                        FROM {src} GROUP BY term) ft USING (term)
+                  CROSS JOIN (SELECT floor(avg(tot)) AS a FROM
+                              (SELECT sum(ctf) AS tot
+                               FROM {src} GROUP BY topic)) ac)"""
+
+
+def _bertopic_cte() -> str:
+    """kmeans(6, 8 iters, seed 17) unroll + nearest-centroid topic
+    assignment (``topicof``) + the standard tokenization contract +
+    class-term counts (``bctf``) + ranked c-TF-IDF words (``branked``)
+    — replicates pipelines/bertopic.fit_bertopic end-to-end."""
+    return _kmeans_cte(6) + f""",
+        bdf AS (SELECT e.vec_id, c.cid, sum((e.x - c.w) * (e.x - c.w)) AS d2
+                FROM ev e JOIN cent8 c ON c.j = e.j
+                GROUP BY e.vec_id, c.cid),
+        topicof AS MATERIALIZED (SELECT vec_id AS doc_id, cid AS topic, d2 FROM (
+                      SELECT vec_id, cid, d2,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY d2, cid) AS rn
+                      FROM bdf) WHERE rn = 1),
+        bnorm AS (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents),
+        btoks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term
+                  FROM bnorm),
+        bft AS MATERIALIZED (SELECT doc_id, term FROM btoks
+                WHERE regexp_matches(term, '[a-z0-9_]')),
+        bctf AS MATERIALIZED (SELECT tp.topic, f.term, count(*) AS ctf
+                 FROM bft f JOIN topicof tp USING (doc_id)
+                 GROUP BY tp.topic, f.term),{_ctfidf_frag("bctf", "bsc")},
+        branked AS MATERIALIZED (SELECT topic, term, w,
+                           row_number() OVER (PARTITION BY topic
+                                              ORDER BY w DESC, term) AS rank
+                    FROM bsc)"""
+
+
+def _bertopic_reduce_sql(n_merges: int = 2) -> str:
+    """DuckDB replica of bertopic_reduced_topics (k=6 -> 4): the
+    smallest-into-most-similar merge loop unrolled — per step, argmin
+    size (tie: lowest topic), c-TF-IDF cosine vs every other topic
+    (rounded 9dp on both sides), argmax cosine (tie: lowest topic),
+    counts + sizes merged; final words re-scored over the merged
+    counts."""
+    parts = [_bertopic_cte(), """,
+        rctf0 AS MATERIALIZED (SELECT topic, term, ctf FROM bctf),
+        rsz0 AS MATERIALIZED (SELECT topic, count(*) AS size
+                 FROM topicof GROUP BY topic)"""]
+    for i in range(n_merges):
+        j = i + 1
+        parts.append(f""",{_ctfidf_frag(f"rctf{i}", f"rsc{i}")},
+        rsmall{i} AS MATERIALIZED (SELECT topic FROM rsz{i} ORDER BY size, topic LIMIT 1),
+        rnorm{i} AS MATERIALIZED (SELECT topic, sqrt(sum(w * w)) AS nrm
+                     FROM rsc{i} GROUP BY topic),
+        rcos{i} AS MATERIALIZED (SELECT b.topic AS other,
+                           round(sum(a.w * b.w)
+                                 / ((SELECT nrm FROM rnorm{i}
+                                     WHERE topic = (SELECT topic FROM rsmall{i}))
+                                    * bn.nrm), 9) AS cos
+                    FROM rsc{i} a
+                    JOIN rsc{i} b USING (term)
+                    JOIN rnorm{i} bn ON bn.topic = b.topic
+                    WHERE a.topic = (SELECT topic FROM rsmall{i})
+                      AND b.topic <> a.topic
+                    GROUP BY b.topic, bn.nrm),
+        rbest{i} AS MATERIALIZED (SELECT other AS tgt FROM rcos{i}
+                     ORDER BY cos DESC, other LIMIT 1),
+        rctf{j} AS MATERIALIZED (SELECT CASE WHEN topic = (SELECT topic FROM rsmall{i})
+                                THEN (SELECT tgt FROM rbest{i})
+                                ELSE topic END AS topic,
+                           term, CAST(sum(ctf) AS BIGINT) AS ctf
+                    FROM rctf{i} GROUP BY 1, term),
+        rsz{j} AS MATERIALIZED (SELECT CASE WHEN topic = (SELECT topic FROM rsmall{i})
+                               THEN (SELECT tgt FROM rbest{i})
+                               ELSE topic END AS topic,
+                          CAST(sum(size) AS BIGINT) AS size
+                   FROM rsz{i} GROUP BY 1)""")
+    parts.append(f""",{_ctfidf_frag(f"rctf{n_merges}", "rscF")},
+        rrank AS (SELECT topic, term, w,
+                         row_number() OVER (PARTITION BY topic
+                                            ORDER BY w DESC, term) AS rank
+                  FROM rscF)
+        SELECT r.topic, s.size, r.rank, r.term AS word, round(r.w, 4) AS score
+        FROM rrank r JOIN rsz{n_merges} s USING (topic)
+        WHERE r.rank <= 10 ORDER BY r.topic, r.rank""")
+    return "".join(parts)
 
 
 def _ann_ivf_sql() -> str:
@@ -2541,6 +2649,35 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": _ann_lsh_sql(),
         # distributed k-means, 8 seeded Lloyd iterations unrolled in SQL
         "embedding_kmeans": _kmeans_sql(),
+        "bertopic_topics": _bertopic_cte() + """
+            SELECT topic, rank, term AS word, round(w, 4) AS score
+            FROM branked WHERE rank <= 10 ORDER BY topic, rank""",
+        "bertopic_topic_info": _bertopic_cte() + """,
+            bsizes AS (SELECT topic, count(*) AS size
+                       FROM topicof GROUP BY topic),
+            bnames AS (SELECT topic, string_agg(term, '_' ORDER BY rank) AS nm
+                       FROM branked WHERE rank <= 4 GROUP BY topic)
+            SELECT s.topic, s.size,
+                   CAST(s.topic AS VARCHAR) || '_' || n.nm AS name
+            FROM bsizes s JOIN bnames n USING (topic) ORDER BY s.topic""",
+        "bertopic_doc_topics": _bertopic_cte() + """
+            SELECT doc_id, topic, round(d2, 4) AS dist2
+            FROM topicof ORDER BY doc_id""",
+        "bertopic_repr_docs": _bertopic_cte() + """
+            SELECT topic, rank, doc_id FROM (
+              SELECT topic, doc_id,
+                     row_number() OVER (PARTITION BY topic
+                                        ORDER BY d2, doc_id) AS rank
+              FROM topicof) WHERE rank <= 3 ORDER BY topic, rank""",
+        "bertopic_find_topics": _bertopic_cte() + """,
+            bq(term) AS (VALUES ('spark'), ('window'), ('merge')),
+            bfind AS (SELECT q.term AS query_term, s.topic, s.w,
+                             row_number() OVER (PARTITION BY q.term
+                                                ORDER BY s.w DESC, s.topic) AS rank
+                      FROM bq q JOIN bsc s ON s.term = q.term)
+            SELECT query_term, rank, topic, round(w, 4) AS score
+            FROM bfind WHERE rank <= 3 ORDER BY query_term, rank""",
+        "bertopic_reduced_topics": _bertopic_reduce_sql(2),
         # IVF ANN: unrolled-kmeans quantizer + nprobe-union + cosine rerank
         "ann_ivf": _ann_ivf_sql(),
         "embedding_nn_within_label": """

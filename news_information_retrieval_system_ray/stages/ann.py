@@ -108,7 +108,8 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
 
 def kmeans(ds, *, k: int = 8, dim: int, n_iter: int = 10, seed: int = 17,
-           vec_col: str = "embedding", id_col: str = "vec_id"):
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           with_assign: bool = True):
     """Distributed Lloyd's k-means (the reference's doc-clustering
     capability, /root/reference/src/ir/cluster/doc_cluster.py, re-expressed
     Ray-Data-first): each iteration is one map_batches pass emitting
@@ -154,7 +155,23 @@ def kmeans(ds, *, k: int = 8, dim: int, n_iter: int = 10, seed: int = 17,
         nonzero = counts > 0
         centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
 
-    cref = ray.put(centroids)
+    if not with_assign:
+        return centroids, None
+    assign = assign_to_centroids(ds, centroids, vec_col=vec_col,
+                                 id_col=id_col).to_pandas()
+    return centroids, assign.sort_values(id_col).reset_index(drop=True)
+
+
+def assign_to_centroids(ds, centroids: np.ndarray, *,
+                        vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Nearest-centroid assignment as a streaming ``map_batches`` —
+    returns the lazy Dataset (id, cluster, dist2) so callers can keep it
+    distributed (e.g. join it against a token stream) instead of pulling
+    every row to the driver.  Centroids (k x dim — tiny) broadcast once
+    via ``ray.put``; ties break to the lowest centroid id (numpy argmin)."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
 
     def assign_fn(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
@@ -166,8 +183,7 @@ def kmeans(ds, *, k: int = 8, dim: int, n_iter: int = 10, seed: int = 17,
             "dist2": pa.array(d2.min(axis=1)),
         })
 
-    assign = ds.map_batches(assign_fn, batch_format="pyarrow").to_pandas()
-    return centroids, assign.sort_values(id_col).reset_index(drop=True)
+    return ds.map_batches(assign_fn, batch_format="pyarrow")
 
 
 class LshSignStage:
