@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bim_topk": A.bim_topk,
         "hybrid_rrf": A.hybrid_rrf,
         "field_boost_topk": A.field_boost_topk,
+        # the app's INDEX-side field weighting (title x3 + tags +
+        # category + content composed text, index_service.py:220-231)
+        "fieldweighted_bm25": A.fieldweighted_bm25,
         "fuzzy_match": A.fuzzy_match,
         "wildcard_match": A.wildcard_match,
         "facet_filtered_search": A.facet_filtered_search,
@@ -1847,8 +1850,52 @@ def oracle_sql() -> dict[str, str]:
             ev_rows.append(f"('{tid}', '{prev}', '{w}')")
             prev = w
     ngram_ev = ", ".join(ev_rows)
+    fieldweighted_sql = f"""
+        WITH wnorm AS (SELECT doc_id, source, lang,
+                              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                       FROM documents),
+        wtl AS (SELECT doc_id, source, lang,
+                       list_slice(string_split(t, ' '), 1, 5) AS title5,
+                       string_split(t, ' ') AS alltoks
+                FROM wnorm),
+        wrows AS (
+          SELECT doc_id, unnest(title5) AS term, 3 AS w FROM wtl
+          UNION ALL SELECT doc_id, source, 1 FROM wtl
+          UNION ALL SELECT doc_id, lang, 1 FROM wtl
+          UNION ALL SELECT doc_id, unnest(alltoks), 1 FROM wtl),
+        wft AS MATERIALIZED (SELECT doc_id, term, w FROM wrows
+                WHERE regexp_matches(term, '[a-z0-9_]')),
+        wtf AS MATERIALIZED (SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS tf
+                FROM wft GROUP BY doc_id, term),
+        wdl AS MATERIALIZED (SELECT d.doc_id, greatest(1, coalesce(s.n, 0)) AS dl
+               FROM documents d LEFT JOIN
+                    (SELECT doc_id, sum(w) AS n FROM wft GROUP BY doc_id) s
+                    ON d.doc_id = s.doc_id),
+        wstats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT avg(dl) FROM wdl) AS avgdl),
+        wdfs AS (SELECT term, count(*) AS df FROM wtf GROUP BY term),
+        wq(qid, term) AS (VALUES {qv}),
+        wcontrib AS (
+          SELECT q.qid, wtf.doc_id,
+                 ln((ws.n - wdfs.df + 0.5) / (wdfs.df + 0.5) + 1.0)
+                 * (wtf.tf * 2.5)
+                 / (wtf.tf + 1.5 * (1 - 0.75 + 0.75 * wdl.dl / ws.avgdl)) AS c
+          FROM wtf
+          JOIN wq q USING (term)
+          JOIN wdfs USING (term)
+          JOIN wdl ON wtf.doc_id = wdl.doc_id
+          CROSS JOIN wstats ws),
+        wsc AS (SELECT qid, doc_id, sum(c) AS score
+                FROM wcontrib GROUP BY qid, doc_id),
+        wranked AS (SELECT qid, doc_id, score,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY score DESC, doc_id) AS rank
+                    FROM wsc)
+        SELECT qid, rank, doc_id, round(score, 4) AS score
+        FROM wranked WHERE rank <= 10 ORDER BY qid, rank"""
     return {
         "field_boost_topk": field_boost_sql,
+        "fieldweighted_bm25": fieldweighted_sql,
         # bigram-LM perplexity under 4 smoothers (functions/ngram_lm.py
         # mirrors reference ngram.py:224-421); training counts are the
         # adjacent-pair / unigram aggregates over the filtered stream,

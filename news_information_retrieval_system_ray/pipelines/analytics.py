@@ -279,8 +279,6 @@ def _bm25_scores(sf_dir: str, n_docs: int, avgdl: float,
     map_batches; per-doc sums are a groupby stage.  df/N/avgdl are tiny
     aggregates collected to the driver (vocab-sized).
     """
-    from ray.data.aggregate import Count, Sum
-
     if term_to_qids is None:
         qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
         term_to_qids = {
@@ -288,7 +286,17 @@ def _bm25_scores(sf_dir: str, n_docs: int, avgdl: float,
         }
     else:
         qterms = sorted(term_to_qids)
-    ex = _exploded_ds(sf_dir).map_batches(
+    return _bm25_scores_over(_exploded_ds(sf_dir), n_docs, avgdl, term_to_qids)
+
+
+def _bm25_scores_over(ex_full, n_docs: int, avgdl: float,
+                      term_to_qids: dict[str, list[str]]):
+    """Same scoring over an arbitrary (doc_id, term, tf, dl) exploded
+    stream (e.g. the field-weighted one)."""
+    from ray.data.aggregate import Count, Sum
+
+    qterms = sorted(term_to_qids)
+    ex = ex_full.map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
         batch_format="pyarrow",
     ).materialize()  # small: query-term postings only
@@ -1161,6 +1169,82 @@ def field_boost_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         for rank, (_, r) in enumerate(g.iterrows(), 1):
             rows.append((qid, rank, int(r["doc_id"]), round4(float(r["adj"]))))
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
+def fieldweighted_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """BM25 over the reference app's FIELD-WEIGHTED document text —
+    what the served system actually indexes: ``f"{title} {title}
+    {title} {tags} {category} {content}"`` (title x3,
+    index_service.py:220-231), doc length clamped ``max(1, len)``
+    (index_service.py:285), BM25 IDF/k1/b as the plain path.
+
+    The oracle tables carry no title/tags columns, so fields derive
+    deterministically from the documents row exactly as
+    ``field_boost_topk``: title = first 5 normalized ws tokens, tags =
+    {source}, category = {lang}, content = all tokens.  Weighted tf =
+    3*tf(title) + 1[term=source] + 1[term=lang] + tf(content); df,
+    avgdl and scoring all run over the weighted stream (note tags /
+    category introduce vocabulary the text alone lacks, so df genuinely
+    differs from the plain index).  One map_batches builds the weighted
+    exploded stream; scoring shares `_bm25_scores_over`."""
+    from collections import Counter
+
+    from ..functions.textnorm import keep_token, normalize_text
+
+    def weighted(t: pa.Table) -> pa.Table:
+        out_d, out_t, out_tf, out_dl = [], [], [], []
+        for row in t.to_pylist():
+            raw = normalize_text(row["text"] or "").split(" ")
+            content = [x for x in raw if x and keep_token(x)]
+            title = [x for x in raw[:5] if x and keep_token(x)]
+            cnt = Counter(content)
+            for x in title:
+                cnt[x] += 3
+            for extra in (row["source"], row["lang"]):
+                if extra and keep_token(extra):
+                    cnt[extra] += 1
+            dl = max(1, sum(cnt.values()))
+            for term, tf in cnt.items():
+                out_d.append(row["doc_id"])
+                out_t.append(term)
+                out_tf.append(tf)
+                out_dl.append(dl)
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "dl": pa.array(out_dl, pa.int32()),
+        })
+
+    def build():
+        return _docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]) \
+            .map_batches(weighted, batch_format="pyarrow").materialize()
+
+    ex = _memo(("fieldweighted", sf_dir), build)
+
+    # weighted corpus stats: every doc contributes a clamped dl (docs
+    # with no tokens at all clamp to 1, mirroring the LEFT JOIN +
+    # greatest(1, ...) in the SQL twin)
+    n_docs = _docs_ds(sf_dir, ["doc_id"]).count()
+    from ray.data.aggregate import Count, Sum
+    # a doc's rows never split across batches (the map emits whole docs),
+    # so a per-batch drop_duplicates is an exact per-doc (doc_id, dl)
+    uniq = ex.map_batches(lambda df: df[["doc_id", "dl"]].drop_duplicates(),
+                          batch_format="pandas")
+    agg = uniq.aggregate(Sum("dl"), Count())
+    # docs with zero weighted tokens emit no rows; they clamp to dl=1
+    total_dl = float(agg["sum(dl)"]) + (n_docs - int(agg["count()"]))
+    avgdl = total_dl / n_docs
+
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    term_to_qids = {
+        t: [qid for qid, ts in FIXED_QUERIES.items() if t in ts] for t in qterms
+    }
+    scores = _bm25_scores_over(ex, n_docs, avgdl, term_to_qids)
+    out = _topk_by_qid(scores, k)
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[
+        ["qid", "rank", "doc_id", "score"]]
 
 
 CSOUNDEX_QUERY = "spark"

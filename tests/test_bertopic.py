@@ -123,3 +123,21 @@ def test_fit_end_to_end(ray_session):
     # transform on the centroids is the identity
     assert list(m.transform_vectors(m.centroids)["topic"]) == sorted(
         set(int(t) for t in sizes["topic"]))
+
+
+def test_fieldweighted_bm25_weights_title_terms(ray_session):
+    """A title(first-5)-only query term must outscore in the weighted
+    index relative to plain BM25: the weighted stream multiplies
+    title-token tf by 4 (3 extra + 1 content)."""
+    from news_information_retrieval_system_ray.pipelines.analytics import (
+        bm25_topk,
+        fieldweighted_bm25,
+    )
+
+    w = fieldweighted_bm25(SF)
+    p = bm25_topk(SF)
+    assert list(w.columns) == ["qid", "rank", "doc_id", "score"]
+    assert set(w["qid"]) == set(p["qid"])
+    assert (w.groupby("qid")["rank"].max() == 10).all()
+    # weighting changes the ranking (title occurrences dominate)
+    assert not w[["qid", "doc_id"]].equals(p[["qid", "doc_id"]])
