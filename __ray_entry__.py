@@ -18,6 +18,7 @@ from news_information_retrieval_system_ray.pipelines import analytics as A
 from news_information_retrieval_system_ray.pipelines import ltr as L
 from news_information_retrieval_system_ray.pipelines import recommend as RC
 from news_information_retrieval_system_ray.pipelines import bertopic as BT
+from news_information_retrieval_system_ray.pipelines import feedback as FB
 from news_information_retrieval_system_ray.pipelines import topics as T
 
 # ---------------------------------------------------------------------------
@@ -161,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match": A.fuzzy_match,
         "wildcard_match": A.wildcard_match,
         "facet_filtered_search": A.facet_filtered_search,
+        # multi-condition FacetFilter engine (IN + STARTS_WITH + RANGE
+        # + GTE + CONTAINS, AND-combined; facet_filter.py:251-458)
+        "facet_filter_multi": A.facet_filter_multi,
         "eval_metrics": A.eval_metrics,
         "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
@@ -208,6 +212,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_audit": A.corpus_audit,
         "standardize_dates": A.standardize_dates,
         "rocchio_topk": A.rocchio_topk,
+        # feedback-analytics dashboard core over the derived search/
+        # click/relevance log (feedback_analytics_service.py:24-508)
+        "feedback_summary": FB.feedback_summary,
+        "feedback_model_metrics": FB.feedback_model_metrics,
+        "feedback_top_queries": FB.feedback_top_queries,
+        "feedback_top_clicked": FB.feedback_top_clicked,
+        "feedback_zero_results": FB.feedback_zero_results,
+        "feedback_relevance_dist": FB.feedback_relevance_dist,
+        "feedback_position_bias": FB.feedback_position_bias,
         # quality / counting / fingerprints
         "doc_quality": A.doc_quality,
         "token_counts": A.token_counts,
@@ -382,6 +395,28 @@ def _kmeans_sql() -> str:
           SELECT vec_id, cid, d2,
                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
           FROM df) WHERE rn = 1 ORDER BY vec_id"""
+
+
+_FEEDBACK_CTE = """
+        WITH ev AS (SELECT ts, user_id, value,
+                           CASE event_type WHEN 'view' THEN 'search'
+                                WHEN 'click' THEN 'click'
+                                ELSE 'relevance' END AS kind,
+                           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+                    FROM events
+                    WHERE event_type IN ('view', 'click', 'purchase')),
+        log AS MATERIALIZED (SELECT kind,
+                       'q' || CAST(k % 7 AS VARCHAR) AS query,
+                       CASE user_id % 3 WHEN 0 THEN 'bm25'
+                            WHEN 1 THEN 'tfidf' ELSE 'hybrid' END AS model,
+                       user_id AS session_id,
+                       value AS latency,
+                       k % 5 AS result_count,
+                       k % 15 + 1 AS rank,
+                       k % 50 AS doc_id,
+                       CAST(floor(value) AS BIGINT) % 4 AS grade,
+                       ts
+                FROM ev)"""
 
 
 def _ctfidf_frag(src: str, out: str) -> str:
@@ -2324,6 +2359,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS date_std
             FROM orders""",
         "facet_source_counts": "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
+        "feedback_top_queries": _FEEDBACK_CTE + """
+            SELECT query, count(*) AS count, round(avg(latency), 6) AS avg_latency
+            FROM log WHERE kind = 'search'
+            GROUP BY query ORDER BY count DESC, query LIMIT 20""",
+        "feedback_zero_results": _FEEDBACK_CTE + """
+            SELECT query, model, count(*) AS count, max(ts) AS last_seen
+            FROM log WHERE kind = 'search' AND result_count = 0
+            GROUP BY query, model
+            ORDER BY count DESC, last_seen DESC, query, model LIMIT 20""",
+        "feedback_top_clicked": _FEEDBACK_CTE + """
+            SELECT doc_id, query, model, count(*) AS clicks
+            FROM log WHERE kind = 'click'
+            GROUP BY doc_id, query, model
+            ORDER BY clicks DESC, doc_id, query, model LIMIT 20""",
+        "feedback_model_metrics": _FEEDBACK_CTE + """,
+            s AS (SELECT model, count(*) AS searches,
+                         round(avg(latency), 6) AS avg_latency,
+                         CAST(sum(CASE WHEN result_count = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS zero_results
+                  FROM log WHERE kind = 'search' GROUP BY model),
+            f AS (SELECT model,
+                         CAST(sum(CASE WHEN kind = 'click' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS clicks,
+                         CAST(sum(CASE WHEN kind = 'relevance' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS relevance_labels
+                  FROM log WHERE kind <> 'search' GROUP BY model)
+            SELECT model,
+                   coalesce(s.searches, 0) AS searches,
+                   coalesce(s.avg_latency, 0.0) AS avg_latency,
+                   coalesce(s.zero_results, 0) AS zero_results,
+                   coalesce(f.clicks, 0) AS clicks,
+                   coalesce(f.relevance_labels, 0) AS relevance_labels,
+                   CASE WHEN coalesce(s.searches, 0) > 0
+                        THEN round(coalesce(f.clicks, 0) * 1.0 / s.searches, 6)
+                        ELSE 0.0 END AS ctr,
+                   CASE WHEN coalesce(s.searches, 0) > 0
+                        THEN round(coalesce(s.zero_results, 0) * 1.0 / s.searches, 6)
+                        ELSE 0.0 END AS zero_result_rate
+            FROM s FULL OUTER JOIN f USING (model)
+            ORDER BY searches DESC, model""",
+        "feedback_relevance_dist": _FEEDBACK_CTE + """
+            SELECT g.grade, CAST(coalesce(c.n, 0) AS BIGINT) AS count
+            FROM (SELECT unnest(range(0, 4)) AS grade) g
+            LEFT JOIN (SELECT grade, count(*) AS n FROM log
+                       WHERE kind = 'relevance' GROUP BY grade) c USING (grade)
+            ORDER BY g.grade""",
+        "feedback_position_bias": _FEEDBACK_CTE + """,
+            bk AS (SELECT CASE WHEN rank = 1 THEN 'rank_1'
+                               WHEN rank <= 3 THEN 'rank_2_3'
+                               WHEN rank <= 10 THEN 'rank_4_10'
+                               ELSE 'rank_11_plus' END AS bucket,
+                          CAST(sum(CASE WHEN kind = 'click' THEN 1 ELSE 0 END)
+                               AS BIGINT) AS clicks,
+                          CAST(sum(CASE WHEN kind = 'relevance' THEN 1 ELSE 0 END)
+                               AS BIGINT) AS relevance
+                   FROM log WHERE kind <> 'search' GROUP BY 1)
+            SELECT b.bucket, CAST(coalesce(bk.clicks, 0) AS BIGINT) AS clicks,
+                   CAST(coalesce(bk.relevance, 0) AS BIGINT) AS relevance
+            FROM (VALUES ('rank_1'), ('rank_2_3'), ('rank_4_10'),
+                         ('rank_11_plus'), ('unknown')) b(bucket)
+            LEFT JOIN bk USING (bucket)""",
+        "feedback_summary": _FEEDBACK_CTE + """
+            SELECT
+              (SELECT count(*) FROM log WHERE kind = 'search') AS total_searches,
+              (SELECT count(*) FROM log WHERE kind = 'click') AS total_clicks,
+              (SELECT count(*) FROM log WHERE kind = 'relevance')
+                  AS total_relevance_labels,
+              round((SELECT count(*) FROM log WHERE kind = 'click') * 1.0
+                    / (SELECT count(*) FROM log WHERE kind = 'search'), 6) AS ctr,
+              (SELECT CAST(coalesce(sum(count), 0) AS BIGINT) FROM (
+                 SELECT count(*) AS count, max(ts) AS last_seen, query, model
+                 FROM log WHERE kind = 'search' AND result_count = 0
+                 GROUP BY query, model
+                 ORDER BY count DESC, last_seen DESC, query, model
+                 LIMIT 20)) AS zero_result_queries,
+              (SELECT count(DISTINCT session_id) FROM log
+               WHERE kind = 'search') AS unique_search_sessions,
+              (SELECT count(DISTINCT session_id) FROM log
+               WHERE kind <> 'search') AS unique_feedback_sessions,
+              round((SELECT count(*) FROM log WHERE kind = 'search') * 1.0
+                    / (SELECT count(DISTINCT session_id) FROM log
+                       WHERE kind = 'search'), 6) AS searches_per_session,
+              round((SELECT count(*) FROM log WHERE kind <> 'search') * 1.0
+                    / (SELECT count(DISTINCT session_id) FROM log
+                       WHERE kind <> 'search'), 6) AS feedback_per_session,
+              round((SELECT sum(rank) * 1.0 FROM log WHERE kind = 'click')
+                    / (SELECT count(*) FROM log WHERE kind = 'click'), 4)
+                  AS average_clicked_rank""",
+        # FacetFilter: AND of IN / STARTS_WITH / lexicographic RANGE /
+        # numeric GTE / CONTAINS — each the vectorized pushdown form of
+        # a FilterCondition branch (facet_filter.py:64-160)
+        "facet_filter_multi": """
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE lang IN ('en', 'es')
+              AND starts_with(source, 'src')
+              AND source BETWEEN 'src0' AND 'src3'
+              AND CAST(n_chars AS DOUBLE) >= 200.0
+              AND contains(text, 'spark')
+            ORDER BY doc_id""",
         "facet_lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "top_terms": _CTE + """,
             ts AS (SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),

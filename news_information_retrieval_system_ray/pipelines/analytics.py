@@ -1915,6 +1915,39 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
 
 # ------------------------------------------------------------------ facets / browse
 
+def facet_filter_multi(sf_dir: str) -> pd.DataFrame:
+    """Composable multi-condition facet filtering (the reference's
+    FacetFilter engine, facet_filter.py:251-458: AND across conditions,
+    OR within a field via IN) — five operator families exercised at
+    once: IN (multi-select), STARTS_WITH (prefix/hierarchy), RANGE
+    (lexicographic, the ISO-date semantics), GTE (numeric-preferred),
+    CONTAINS (substring).
+
+    Distributed shape: the FacetFilter is a tiny driver object closed
+    over by a per-batch mask — each task emits only survivors, the
+    Dataset streams.  matches() is kept branch-identical to the
+    reference (string normalization, numeric fallback); every condition
+    used here also has the vectorized pushdown form the SQL twin shows."""
+    from ..functions.facetfilter import FacetFilter, FilterCondition, range_filter, term_filter
+
+    ff = (FacetFilter()
+          .add_condition(term_filter("lang", ["en", "es"]))
+          .add_condition(FilterCondition("source", "starts_with", "src"))
+          .add_condition(range_filter("source", "src0", "src3"))
+          .add_condition(FilterCondition("n_chars", "gte", 200))
+          .add_condition(FilterCondition("text", "contains", "spark")))
+
+    def mask(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        keep = [i for i, r in enumerate(rows) if ff.matches_row(r)]
+        return t.take(pa.array(keep, pa.int64()))
+
+    out = _docs_ds(sf_dir, ["doc_id", "text", "source", "lang", "n_chars"]) \
+        .map_batches(mask, batch_format="pyarrow").to_pandas()
+    return (out[["doc_id", "source", "lang", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def facet_source_counts(sf_dir: str):
     return _docs_ds(sf_dir, ["source"]).groupby("source").count().rename_columns({"count()": "n_docs"})
 
