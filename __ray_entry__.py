@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-condition FacetFilter engine (IN + STARTS_WITH + RANGE
         # + GTE + CONTAINS, AND-combined; facet_filter.py:251-458)
         "facet_filter_multi": A.facet_filter_multi,
+        # source/topic taxonomy normalization (taxonomy.py:118-186)
+        "taxonomy_normalize": A.taxonomy_normalize,
         "eval_metrics": A.eval_metrics,
         "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
@@ -395,6 +397,58 @@ def _kmeans_sql() -> str:
           SELECT vec_id, cid, d2,
                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
           FROM df) WHERE rn = 1 ORDER BY vec_id"""
+
+
+def _taxonomy_sql() -> str:
+    """DuckDB replica of analytics.taxonomy_normalize: the vendored
+    mapping tables as VALUES (generated from functions/taxonomy.py so
+    they cannot drift), the yahoo/cna source-casing fixes, exact-then-
+    lowercased alias lookup, the yahoo-filename override (the fixture
+    only uses yahoo_finance -> business/finance), and the label/path
+    assembly."""
+    from news_information_retrieval_system_ray.functions.taxonomy import (
+        CATEGORY_ALIASES, SOURCE_LABELS, TOPIC_LABELS)
+    from news_information_retrieval_system_ray.pipelines.analytics import (
+        TAX_CATS, TAX_SRCS)
+
+    cats = ", ".join(f"({i}, '{c}')" for i, c in enumerate(TAX_CATS))
+    srcs = ", ".join(f"({i}, '{s}')" for i, s in enumerate(TAX_SRCS))
+    slab = ", ".join(f"('{k}', '{v}')" for k, v in SOURCE_LABELS.items())
+    tlab = ", ".join(f"('{k}', '{v}')" for k, v in TOPIC_LABELS.items())
+    amap = ", ".join(f"('{k}', '{t}', '{l}')"
+                     for k, (t, l) in CATEGORY_ALIASES.items() if k)
+    return f"""
+        WITH cats(i, cat) AS (VALUES {cats}),
+        srcs(j, src) AS (VALUES {srcs}),
+        slab(code, label) AS (VALUES {slab}),
+        tlab(topic, label) AS (VALUES {tlab}),
+        amap(k, topic, leaf) AS (VALUES {amap}),
+        base AS (SELECT d.doc_id, c.cat, s.src,
+                        CASE WHEN d.doc_id % 10 = 0 THEN 1 ELSE 0 END AS is_yahoo
+                 FROM documents d
+                 JOIN cats c ON c.i = d.doc_id % 12
+                 JOIN srcs s ON s.j = d.doc_id % 9),
+        srcn AS (SELECT doc_id, cat, is_yahoo,
+                        CASE WHEN lower(src) = 'yahoo' THEN 'Yahoo'
+                             WHEN lower(src) = 'cna' THEN 'cna'
+                             ELSE src END AS source
+                 FROM base),
+        cls AS (SELECT n.doc_id, n.source,
+                       coalesce(sl.label, n.source) AS source_label,
+                       CASE WHEN n.is_yahoo = 1 THEN 'business'
+                            ELSE coalesce(a1.topic, a2.topic, 'other') END AS topic,
+                       CASE WHEN n.is_yahoo = 1 THEN 'finance'
+                            ELSE coalesce(a1.leaf, a2.leaf, 'unknown') END AS leaf
+                FROM srcn n
+                LEFT JOIN slab sl ON sl.code = n.source
+                LEFT JOIN amap a1 ON a1.k = n.cat
+                LEFT JOIN amap a2 ON a2.k = lower(n.cat))
+        SELECT c.doc_id, c.source, c.source_label,
+               c.topic AS taxonomy_topic,
+               coalesce(t.label, '其他 Other') AS taxonomy_label,
+               'news/' || c.topic || '/' || c.leaf AS taxonomy_path
+        FROM cls c LEFT JOIN tlab t ON t.topic = c.topic
+        ORDER BY c.doc_id"""
 
 
 _FEEDBACK_CTE = """
@@ -2450,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         # FacetFilter: AND of IN / STARTS_WITH / lexicographic RANGE /
         # numeric GTE / CONTAINS — each the vectorized pushdown form of
         # a FilterCondition branch (facet_filter.py:64-160)
+        "taxonomy_normalize": _taxonomy_sql(),
         "facet_filter_multi": """
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE lang IN ('en', 'es')

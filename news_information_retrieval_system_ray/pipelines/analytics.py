@@ -1948,6 +1948,47 @@ def facet_filter_multi(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+TAX_CATS = ["aipl", "政治", "國際", "財經", "AI科技", "3C", "生活", "娛樂",
+            "體育", "健康", "兩岸", "zzz"]
+TAX_SRCS = ["CNA", "yahoo", "LTN", "NextApple", "SETN", "UDN", "PTS",
+            "dcard", "misc"]
+
+
+def taxonomy_normalize(sf_dir: str) -> pd.DataFrame:
+    """Source/topic taxonomy normalization (taxonomy.py:118-186) as a
+    per-batch map over the corpus.  The oracle tables carry no raw
+    category/origin metadata, so the fixtures derive deterministically
+    per doc (mirrored in SQL): category = TAX_CATS[doc_id % 12]
+    (exercising CJK aliases, exact-vs-lower lookup and the unknown
+    fallback), source = TAX_SRCS[doc_id % 9] (exercising the yahoo/cna
+    casing fixes and the label fallback), origin_path = a
+    yahoo_finance file for doc_id % 10 == 0 (the filename-prefix
+    override that outranks the category)."""
+    from ..functions.taxonomy import classify_category, normalize_source, TOPIC_LABELS
+
+    def tax(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = {k: [] for k in ("doc_id", "source", "source_label",
+                               "taxonomy_topic", "taxonomy_label",
+                               "taxonomy_path")}
+        for d in ids:
+            code, _, label = normalize_source(TAX_SRCS[d % 9])
+            origin = "data/raw/yahoo_finance_2024.jsonl" if d % 10 == 0 else None
+            topic, leaf = classify_category(TAX_CATS[d % 12], None, origin)
+            out["doc_id"].append(d)
+            out["source"].append(code)
+            out["source_label"].append(label)
+            out["taxonomy_topic"].append(topic)
+            out["taxonomy_label"].append(TOPIC_LABELS.get(topic, TOPIC_LABELS["other"]))
+            out["taxonomy_path"].append(f"news/{topic}/{leaf}")
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         **{k: pa.array(out[k], pa.string())
+                            for k in list(out)[1:]}})
+
+    res = _docs_ds(sf_dir, ["doc_id"]).map_batches(tax, batch_format="pyarrow")
+    return res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def facet_source_counts(sf_dir: str):
     return _docs_ds(sf_dir, ["source"]).groupby("source").count().rename_columns({"count()": "n_docs"})
 
