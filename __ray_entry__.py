@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_metrics": A.eval_metrics,
         "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
+        # app evaluation-service curve diagnostics
+        # (evaluation_service.py:579-650)
+        "eval_pr_curve": A.eval_pr_curve,
+        "eval_interpolated_precision": A.eval_interpolated_precision,
+        "eval_f_beta": A.eval_f_beta,
         "search_snippets": A.search_snippets,
         "kwic_fixed": A.kwic_contexts_query,
         "textrank_keywords": A.textrank_keywords,
@@ -1277,6 +1282,31 @@ def oracle_sql() -> dict[str, str]:
     unpivot = "\n              UNION ALL ".join(
         f"SELECT '{name}' AS metric, avg({col}) AS value FROM f1q"
         for name, col in _metric_cols)
+    # shared base for the evaluation-service curve diagnostics: the
+    # BM25 top-10 run + binary qrels (grade >= 1) + running PR points
+    pr_curve_base = _CTE + bm25_rank_cte + """,
+            topk AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+            need AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
+            hitcount AS (
+              SELECT q.qid, t.doc_id, count(DISTINCT t.term) AS hit
+              FROM (SELECT DISTINCT doc_id, term FROM tf) t
+              JOIN qterms q USING (term)
+              GROUP BY q.qid, t.doc_id),
+            grades AS (SELECT h.qid, h.doc_id,
+                              CASE WHEN h.hit = n.n_terms THEN 2 ELSE 1 END AS g
+                       FROM hitcount h JOIN need n USING (qid)
+                       WHERE 2 * h.hit >= n.n_terms),
+            nrel AS (SELECT qid, count(*) AS n_rel FROM grades GROUP BY qid),
+            jj AS (SELECT t.qid, t.rank,
+                          CASE WHEN g.g IS NOT NULL THEN 1 ELSE 0 END AS rel
+                   FROM topk t LEFT JOIN grades g
+                        ON t.qid = g.qid AND t.doc_id = g.doc_id),
+            curve AS (SELECT j.qid, j.rank,
+                             sum(j.rel) OVER (PARTITION BY j.qid ORDER BY j.rank)
+                                 * 1.0 / n.n_rel AS rc,
+                             sum(j.rel) OVER (PARTITION BY j.qid ORDER BY j.rank)
+                                 * 1.0 / j.rank AS pr
+                      FROM jj j JOIN nrel n USING (qid))"""
     eval_metrics_sql = _CTE + bm25_rank_cte + f""",
             topk AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
             need AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
@@ -2062,6 +2092,31 @@ def oracle_sql() -> dict[str, str]:
                    round((SELECT sum(dl)::DOUBLE FROM dln) / (SELECT count(*) FROM documents), 4) AS avg_doc_len""",
         "bm25_topk": bm25_sql,
         "eval_pr_at_k": eval_pr_sql,
+        "eval_pr_curve": pr_curve_base + """
+            SELECT qid, rank, round(rc, 4) AS recall, round(pr, 4) AS precision
+            FROM curve ORDER BY qid, rank""",
+        "eval_interpolated_precision": pr_curve_base + """,
+            lv AS (SELECT unnest(range(0, 11)) AS lvl)
+            SELECT c.qid, round(l.lvl / 10.0, 4) AS recall_level,
+                   round(coalesce(max(CASE WHEN c.rc >= l.lvl / 10.0
+                                           THEN c.pr END), 0.0), 4) AS precision
+            FROM curve c CROSS JOIN lv l
+            GROUP BY c.qid, l.lvl ORDER BY qid, recall_level""",
+        "eval_f_beta": pr_curve_base + """,
+            kb AS (SELECT j.qid, kk.k,
+                          sum(CASE WHEN j.rank <= kk.k THEN j.rel ELSE 0 END) AS hits
+                   FROM jj j CROSS JOIN (VALUES (5), (10)) kk(k)
+                   GROUP BY j.qid, kk.k),
+            pr2 AS (SELECT kb.qid, kb.k, kb.hits * 1.0 / kb.k AS p,
+                           kb.hits * 1.0 / n.n_rel AS r
+                    FROM kb JOIN nrel n USING (qid))
+            SELECT qid, k, b.beta,
+                   round(CASE WHEN (b.beta * b.beta * p + r) > 0
+                              THEN (1 + b.beta * b.beta) * p * r
+                                   / (b.beta * b.beta * p + r)
+                              ELSE 0.0 END, 4) AS f_beta
+            FROM pr2 CROSS JOIN (VALUES (0.5), (2.0)) b(beta)
+            ORDER BY qid, k, beta""",
         "eval_metrics": eval_metrics_sql,
         "bm25_wand_topk": bm25_sql,
         "search_snippets": snippets_sql,

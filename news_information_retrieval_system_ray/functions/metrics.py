@@ -179,3 +179,40 @@ def evaluate_run(run: dict[str, list[int]], qrels: dict[str, dict[int, int]],
     out["GMAP"] = gmap(aps)
     out["n_queries"] = float(len(qids))
     return out
+
+
+def pr_curve(ranked: list[int], relevant: set[int]) -> list[tuple[float, float]]:
+    """Raw precision-recall points along a ranking — the app evaluation
+    service's `_pr_curve` (evaluation_service.py:597-612): one
+    (recall, precision) point per rank; [(0, 0)] when either side is
+    empty."""
+    if not ranked or not relevant:
+        return [(0.0, 0.0)]
+    pts, hits = [], 0
+    for rank, doc_id in enumerate(ranked, 1):
+        if doc_id in relevant:
+            hits += 1
+        pts.append((hits / len(relevant), hits / rank))
+    return pts
+
+
+def precision_at_recall(ranked: list[int], relevant: set[int],
+                        levels: int = 11) -> list[tuple[float, float]]:
+    """11-point interpolated precision (`_precision_at_recall` /
+    `_interpolated_precision`, evaluation_service.py:579-595, 614-623):
+    precision at level = max precision over curve points with
+    recall >= level, default 0.0."""
+    curve = pr_curve(ranked, relevant)
+    out = []
+    for i in range(levels):
+        level = i / 10
+        out.append((level, max((p for r, p in curve if r >= level),
+                               default=0.0)))
+    return out
+
+
+def f_beta(p: float, r: float, beta: float) -> float:
+    """F-beta (`_f_beta_scores`, evaluation_service.py:627-650):
+    (1+b^2)PR / (b^2 P + R), 0 when the denominator is 0."""
+    denom = beta * beta * p + r
+    return (1 + beta * beta) * p * r / denom if denom else 0.0

@@ -732,6 +732,73 @@ def _grade_qrels(doc_terms: dict[int, set[str]]) -> dict[str, dict[int, int]]:
     return qrels
 
 
+def _binary_rel(sf_dir: str) -> dict[str, set[int]]:
+    """Binary relevant sets (grade >= 1) from the synthetic graded
+    qrels contract (_grade_qrels)."""
+    from ray.data.aggregate import Count
+
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    ex = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
+        batch_format="pyarrow",
+    )
+    per_doc = ex.groupby(["doc_id", "term"]).aggregate(Count(alias_name="n")).to_pandas()
+    doc_terms: dict[int, set[str]] = {}
+    for d, t in zip(per_doc["doc_id"], per_doc["term"]):
+        doc_terms.setdefault(int(d), set()).add(t)
+    return {qid: {d for d, g in qq.items() if g >= 1}
+            for qid, qq in _grade_qrels(doc_terms).items()}
+
+
+def eval_pr_curve(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(qid, rank, recall, precision): raw PR points along the BM25
+    ranking (evaluation_service.py:597-612) vs the binary qrels."""
+    from ..functions.metrics import pr_curve
+
+    run_df = bm25_topk(sf_dir, k=k)
+    rel = _binary_rel(sf_dir)
+    rows = []
+    for qid in sorted(FIXED_QUERIES):
+        ranked = run_df[run_df.qid == qid].sort_values("rank")["doc_id"].tolist()[:k]
+        for rank, (r, p) in enumerate(pr_curve(ranked, rel[qid]), 1):
+            rows.append((qid, rank, round4(r), round4(p)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "recall", "precision"])
+
+
+def eval_interpolated_precision(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(qid, recall_level, precision): 11-point interpolated precision
+    (evaluation_service.py:579-595)."""
+    from ..functions.metrics import precision_at_recall
+
+    run_df = bm25_topk(sf_dir, k=k)
+    rel = _binary_rel(sf_dir)
+    rows = []
+    for qid in sorted(FIXED_QUERIES):
+        ranked = run_df[run_df.qid == qid].sort_values("rank")["doc_id"].tolist()[:k]
+        for level, p in precision_at_recall(ranked, rel[qid]):
+            rows.append((qid, round4(level), round4(p)))
+    return pd.DataFrame(rows, columns=["qid", "recall_level", "precision"])
+
+
+def eval_f_beta(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(qid, k, beta, f_beta): F-beta 0.5 / 2.0 at cutoffs 5 and 10
+    (evaluation_service.py:627-650)."""
+    from ..functions.metrics import f_beta
+
+    run_df = bm25_topk(sf_dir, k=k)
+    rel = _binary_rel(sf_dir)
+    rows = []
+    for qid in sorted(FIXED_QUERIES):
+        ranked = run_df[run_df.qid == qid].sort_values("rank")["doc_id"].tolist()[:k]
+        for beta in (0.5, 2.0):
+            for kk in (5, 10):
+                hits = sum(1 for d in ranked[:kk] if d in rel[qid])
+                p = hits / kk
+                r = hits / len(rel[qid]) if rel[qid] else 0.0
+                rows.append((qid, kk, beta, round4(f_beta(p, r, beta))))
+    return pd.DataFrame(rows, columns=["qid", "k", "beta", "f_beta"])
+
+
 def eval_pr_at_k(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Per-query precision@k / recall@k / MRR@k of the BM25 run against
     the synthetic binary qrels (grade >= 1) — the SQL-expressible slice

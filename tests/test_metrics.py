@@ -96,3 +96,29 @@ def test_evaluate_run_summary():
     assert out["MAP"] == pytest.approx((average_precision(RANKED, QRELS) + 1.0) / 2)
     assert 0.0 < out["GMAP"] <= out["MAP"]
     assert out["MRR"] == 1.0
+
+
+def test_pr_curve_and_interpolation():
+    from news_information_retrieval_system_ray.functions.metrics import (
+        f_beta,
+        pr_curve,
+        precision_at_recall,
+    )
+
+    # ranking [r, n, r, n]; relevant {1, 3}
+    pts = pr_curve([1, 2, 3, 4], {1, 3})
+    assert pts == [(0.5, 1.0), (0.5, 0.5), (1.0, 2 / 3), (1.0, 0.5)]
+    # interpolated: levels <= 0.5 take max precision at recall >= level
+    interp = dict(precision_at_recall([1, 2, 3, 4], {1, 3}))
+    assert interp[0.0] == 1.0
+    assert interp[0.5] == 1.0
+    assert interp[0.6] == 2 / 3          # only points with recall 1.0
+    assert interp[1.0] == 2 / 3
+    # empty edges -> single (0,0) point, all-zero interpolation
+    assert pr_curve([], {1}) == [(0.0, 0.0)]
+    assert pr_curve([1], set()) == [(0.0, 0.0)]
+    assert all(p == 0.0 for _, p in precision_at_recall([], {1}))
+    # f-beta: beta=1 reduces to F1; zero denominator -> 0
+    assert f_beta(0.5, 0.5, 1.0) == 0.5
+    assert f_beta(0.0, 0.0, 2.0) == 0.0
+    assert abs(f_beta(1.0, 0.2, 0.5) - (1.25 * 0.2 / (0.25 + 0.2))) < 1e-12
