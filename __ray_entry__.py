@@ -286,6 +286,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bertopic_repr_docs": BT.bertopic_repr_docs,
         "bertopic_find_topics": BT.bertopic_find_topics,
         "bertopic_reduced_topics": BT.bertopic_reduced_topics,
+        # cluster-topic exploration cards (cluster_topic_service.py:
+        # 130-216) over the same kmeans backbone
+        "cluster_topic_cards": A.cluster_topic_cards,
+        "cluster_representatives": A.cluster_representatives,
         # multimodal: stubbed plumbing + REAL wav/ppm decode path
         "media_features": A.media_features,
         "media_features_real": A.media_features_real,
@@ -523,6 +527,37 @@ def _bertopic_cte() -> str:
                            row_number() OVER (PARTITION BY topic
                                               ORDER BY w DESC, term) AS rank
                     FROM bsc)"""
+
+
+def _cluster_centroid_cte() -> str:
+    """On top of _bertopic_cte (topicof + bft): per-doc L2-normalized
+    app-TF-IDF weights, per-cluster mean centroids, 9dp-rounded
+    centroid-term ranking (analytics._cluster_centroids)."""
+    return _bertopic_cte() + """,
+        tf2 AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf
+                FROM bft GROUP BY doc_id, term),
+        dfs2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+        nn AS (SELECT count(*) AS n FROM documents),
+        wun AS (SELECT t.doc_id, t.term,
+                       (1 + log10(t.tf))
+                       * ln(1 + (nn.n - d.df + 0.5) / (d.df + 0.5)) AS wu
+                FROM tf2 t JOIN dfs2 d USING (term) CROSS JOIN nn),
+        dnrm AS (SELECT doc_id, sqrt(sum(wu * wu)) AS nrm
+                 FROM wun GROUP BY doc_id),
+        wn AS MATERIALIZED (SELECT w.doc_id, w.term, w.wu / d.nrm AS w
+               FROM wun w JOIN dnrm d USING (doc_id)),
+        sizes2 AS MATERIALIZED (SELECT topic, count(*) AS size
+                  FROM topicof GROUP BY topic),
+        centw AS MATERIALIZED (SELECT tp.topic, w.term,
+                                      sum(w.w) / s.size AS w
+                 FROM wn w JOIN topicof tp USING (doc_id)
+                 JOIN sizes2 s ON s.topic = tp.topic
+                 GROUP BY tp.topic, w.term, s.size),
+        crank AS MATERIALIZED (SELECT topic, term, w,
+                       row_number() OVER (PARTITION BY topic
+                                          ORDER BY round(w, 9) DESC, term)
+                           AS rank
+                FROM centw)"""
 
 
 def _bertopic_reduce_sql(n_merges: int = 2) -> str:
@@ -2969,6 +3004,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_term, rank, topic, round(w, 4) AS score
             FROM bfind WHERE rank <= 3 ORDER BY query_term, rank""",
         "bertopic_reduced_topics": _bertopic_reduce_sql(2),
+        "cluster_topic_cards": _cluster_centroid_cte() + """,
+            labels AS (SELECT topic,
+                              string_agg(term, ' / ' ORDER BY rank) AS label
+                       FROM crank WHERE rank <= 3 GROUP BY topic)
+            SELECT c.topic AS cluster_id, s.size, l.label, c.rank, c.term,
+                   round(c.w, 4) AS weight
+            FROM crank c JOIN sizes2 s USING (topic)
+                         JOIN labels l USING (topic)
+            WHERE c.rank <= 8 ORDER BY cluster_id, rank""",
+        "cluster_representatives": _cluster_centroid_cte() + """,
+            cn AS (SELECT topic, sqrt(sum(w * w)) AS nrm
+                   FROM centw GROUP BY topic),
+            dotv AS (SELECT w.doc_id, tp.topic, sum(w.w * c.w) AS dw
+                     FROM wn w JOIN topicof tp USING (doc_id)
+                     JOIN centw c ON c.topic = tp.topic AND c.term = w.term
+                     GROUP BY w.doc_id, tp.topic),
+            dn2 AS (SELECT doc_id, sqrt(sum(w * w)) AS nd
+                    FROM wn GROUP BY doc_id),
+            sims AS (SELECT d.doc_id, d.topic, d.dw / (n.nd * c.nrm) AS sim
+                     FROM dotv d JOIN dn2 n USING (doc_id)
+                     JOIN cn c ON c.topic = d.topic
+                     WHERE d.dw > 0),
+            srank AS (SELECT topic, doc_id, sim,
+                             row_number() OVER (PARTITION BY topic
+                                                ORDER BY round(sim, 9) DESC,
+                                                         doc_id) AS rank
+                      FROM sims)
+            SELECT topic AS cluster_id, rank, doc_id, round(sim, 4) AS similarity
+            FROM srank WHERE rank <= 6 ORDER BY cluster_id, rank""",
         # IVF ANN: unrolled-kmeans quantizer + nprobe-union + cosine rerank
         "ann_ivf": _ann_ivf_sql(),
         "embedding_nn_within_label": """

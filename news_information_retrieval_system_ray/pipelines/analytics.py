@@ -2056,6 +2056,127 @@ def taxonomy_normalize(sf_dir: str) -> pd.DataFrame:
     return res.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _tfidf_weights_ds(sf_dir: str):
+    """(doc_id, term, w) stream of L2-normalized app-TF-IDF weights
+    (w = (1+log10(tf)) * ln(1+(N-df+0.5)/(df+0.5)), per-doc L2 norm —
+    index_service.py:297-306), the doc_hac weights map generalized to
+    the full corpus."""
+    n_corpus, _ = _corpus_stats(sf_dir)
+    df_map = _df_map(sf_dir)
+
+    def weights(t: pa.Table) -> pa.Table:
+        out_t, out_d, out_w = [], [], []
+        for row in t.to_pylist():
+            ws = []
+            for term, tf in zip(row["terms"], row["tfs"]):
+                df = df_map.get(term, 0)
+                idf = math.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) if df else 0.0
+                ws.append((1.0 + math.log10(tf)) * idf)
+            nrm = math.sqrt(sum(w * w for w in ws)) or 1.0
+            for term, w in zip(row["terms"], ws):
+                out_t.append(term)
+                out_d.append(row["doc_id"])
+                out_w.append(w / nrm)
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "w": pa.array(out_w, pa.float64())})
+
+    def build():
+        return _tokens_ds(sf_dir).map_batches(
+            weights, batch_format="pyarrow").materialize()
+
+    return _memo(("tfidf_weights", sf_dir), build)
+
+
+def _cluster_centroids(sf_dir: str, k: int = 6) -> tuple[pd.DataFrame, pd.DataFrame, "object"]:
+    """(cent, sizes, assign_ds): per-cluster mean TF-IDF centroid terms
+    over the standard k-means(6) document clustering (the same
+    clustering backbone as bertopic/embedding_kmeans; cluster centroid
+    = mean of member doc vectors, doc_cluster.py:599-623).  Centroid
+    weights carry a 9dp-rounded ranking key so FP summation order
+    cannot flip a rank (the doc_hac convention)."""
+    from ..stages.ann import assign_to_centroids
+    from .bertopic import fit_bertopic
+
+    m = fit_bertopic(sf_dir, k=k)
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    assign = assign_to_centroids(emb, m.centroids).map_batches(
+        lambda t: pa.table({"doc_id": t.column("vec_id"),
+                            "topic": t.column("cluster")}),
+        batch_format="pyarrow")
+    joined = _tfidf_weights_ds(sf_dir).join(assign, "inner", num_partitions=8,
+                                            on=("doc_id",))
+    cent = _sum_by(joined, ("topic", "term"), ("w",)).to_pandas()
+    sizes = m.topic_sizes()
+    szmap = dict(zip(sizes["topic"], sizes["size"]))
+    cent["w"] = cent["w"] / cent["topic"].map(szmap)
+    cent["w9"] = cent["w"].map(lambda x: round(x, 9))
+    return cent, sizes, joined
+
+
+def cluster_topic_cards(sf_dir: str, k: int = 6, n_keywords: int = 8) -> pd.DataFrame:
+    """Topic cards over document clusters (cluster_topic_service.py:
+    130-216): per cluster the size, the label = top-3 centroid terms
+    joined ' / ', and the top-8 centroid keywords with weights."""
+    cent, sizes, _ = _cluster_centroids(sf_dir, k)
+    cent = cent.sort_values(["topic", "w9", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort").reset_index(drop=True)
+    cent["rank"] = cent.groupby("topic").cumcount() + 1
+    labels = (cent[cent["rank"] <= 3].sort_values(["topic", "rank"])
+              .groupby("topic")["term"]
+              .agg(lambda ts: " / ".join(ts)).to_dict())
+    out = cent[cent["rank"] <= n_keywords].copy()
+    szmap = dict(zip(sizes["topic"], sizes["size"]))
+    out["size"] = out["topic"].map(szmap).astype(np.int64)
+    out["label"] = out["topic"].map(labels)
+    out["weight"] = out["w"].map(round4)
+    out = out.rename(columns={"topic": "cluster_id"})
+    return out[["cluster_id", "size", "label", "rank", "term",
+                "weight"]].reset_index(drop=True)
+
+
+def cluster_representatives(sf_dir: str, k: int = 6, limit: int = 6) -> pd.DataFrame:
+    """Representative documents nearest each cluster's TF-IDF centroid
+    (cluster_topic_service.py:157-194: cosine(doc vector, centroid),
+    top-6).  Cosine over the sparse product: the weights stream joins
+    the (small, broadcast) centroid frame per batch; only docs sharing
+    >= 1 centroid term participate (a zero-dot doc can never reach the
+    top-6 of these cluster sizes; pinned identically in the SQL
+    twin)."""
+    import ray
+
+    cent, _, joined = _cluster_centroids(sf_dir, k)
+    cmap_ref = ray.put({(int(t), s): float(w)
+                        for t, s, w in zip(cent["topic"], cent["term"], cent["w"])})
+    cnorm = {int(t): math.sqrt(v) for t, v in
+             cent.groupby("topic")["w"].apply(lambda s: float((s ** 2).sum())).items()}
+
+    def dots(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cmap_ref)
+        wc = np.array([cmap.get((int(t), s), 0.0)
+                       for t, s in zip(df["topic"], df["term"])])
+        df = df.assign(dw=df["w"] * wc, w2=df["w"] ** 2)
+        return df.groupby(["doc_id", "topic"], as_index=False)[["dw", "w2"]].sum()
+
+    agg = joined.map_batches(dots, batch_format="pandas").to_pandas()
+    agg = agg.groupby(["doc_id", "topic"], as_index=False)[["dw", "w2"]].sum()
+    agg = agg[agg["dw"] > 0].copy()
+    agg["sim"] = agg["dw"] / (np.sqrt(agg["w2"]) * agg["topic"].map(cnorm))
+    agg["sim9"] = agg["sim"].map(lambda x: round(x, 9))
+    agg = agg.sort_values(["topic", "sim9", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
+    agg["rank"] = agg.groupby("topic").cumcount() + 1
+    out = agg[agg["rank"] <= limit].copy()
+    out["similarity"] = out["sim"].map(round4)
+    out = out.rename(columns={"topic": "cluster_id"})
+    return out[["cluster_id", "rank", "doc_id", "similarity"]].reset_index(drop=True)
+
+
 def facet_source_counts(sf_dir: str):
     return _docs_ds(sf_dir, ["source"]).groupby("source").count().rename_columns({"count()": "n_docs"})
 
