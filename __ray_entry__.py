@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the app's INDEX-side field weighting (title x3 + tags +
         # category + content composed text, index_service.py:220-231)
         "fieldweighted_bm25": A.fieldweighted_bm25,
+        # the FULL serving flow: rank at corpus depth -> field boost ->
+        # facet filter -> truncate -> matched terms (search_service.py:
+        # 82-197 filter-then-truncate rule)
+        "search_serving": A.search_serving,
         "fuzzy_match": A.fuzzy_match,
         "wildcard_match": A.wildcard_match,
         "facet_filtered_search": A.facet_filtered_search,
@@ -2047,8 +2051,63 @@ def oracle_sql() -> dict[str, str]:
                     FROM wsc)
         SELECT qid, rank, doc_id, round(score, 4) AS score
         FROM wranked WHERE rank <= 10 ORDER BY qid, rank"""
+    search_serving_sql = _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT q.qid, tf.doc_id,
+                     ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                     * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+              FROM tf
+              JOIN qterms q USING (term)
+              JOIN dfs USING (term)
+              JOIN dln ON tf.doc_id = dln.doc_id
+              CROSS JOIN stats),
+            scores AS (SELECT qid, doc_id, sum(c) AS score
+                       FROM contrib GROUP BY qid, doc_id),
+            fields AS (SELECT doc_id, source, lang,
+                              list_slice(string_split(t, ' '), 1, 5) AS title5,
+                              string_split(t, ' ') AS alltoks
+                       FROM norm),
+            boosts AS (SELECT q.qid, f.doc_id,
+                round(least(1.5,
+                  0.45 * least(count(DISTINCT q.term)
+                               FILTER (list_contains(f.title5, q.term)), 3)
+                + 0.25 * least(count(DISTINCT q.term)
+                               FILTER (q.term = f.source), 3)
+                + 0.18 * least(count(DISTINCT q.term)
+                               FILTER (q.term = f.lang), 3)
+                + 0.06 * least(count(DISTINCT q.term)
+                               FILTER (list_contains(f.alltoks, q.term)), 3)), 6) AS boost
+                FROM fields f CROSS JOIN qterms q
+                GROUP BY q.qid, f.doc_id),
+            adjusted AS (SELECT s.qid, s.doc_id,
+                                s.score + coalesce(b.boost, 0) AS adj
+                         FROM scores s LEFT JOIN boosts b
+                              ON s.qid = b.qid AND s.doc_id = b.doc_id),
+            filtered AS (SELECT a.* FROM adjusted a
+                         JOIN documents d ON d.doc_id = a.doc_id
+                         WHERE d.lang = 'en'),
+            rankedv AS (SELECT qid, doc_id, adj,
+                               row_number() OVER (PARTITION BY qid
+                                                  ORDER BY adj DESC, doc_id) AS rank
+                        FROM filtered),
+            top AS (SELECT * FROM rankedv WHERE rank <= 5),
+            matched AS (SELECT t2.qid, t2.doc_id,
+                               string_agg(DISTINCT q.term, '|' ORDER BY q.term)
+                                   AS matched_terms
+                        FROM top t2
+                        JOIN qterms q ON q.qid = t2.qid
+                        JOIN tf ON tf.doc_id = t2.doc_id AND tf.term = q.term
+                        GROUP BY t2.qid, t2.doc_id)
+            SELECT t.qid, t.rank, t.doc_id, round(t.adj, 4) AS score,
+                   coalesce(m.matched_terms, '') AS matched_terms
+            FROM top t LEFT JOIN matched m
+                 ON m.qid = t.qid AND m.doc_id = t.doc_id
+            ORDER BY t.qid, t.rank"""
     return {
         "field_boost_topk": field_boost_sql,
+        "search_serving": search_serving_sql,
         "fieldweighted_bm25": fieldweighted_sql,
         # bigram-LM perplexity under 4 smoothers (functions/ngram_lm.py
         # mirrors reference ngram.py:224-421); training counts are the

@@ -1195,10 +1195,26 @@ def field_boost_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     Boosts are computed per doc batch distributed; the rerank itself
     runs on the (small) retrieved candidate list, as the reference
     reranks its ranked list."""
-    from ..functions.textnorm import normalize_text
-
     n_docs, avgdl = _corpus_stats(sf_dir)
     scores = _bm25_scores(sf_dir, n_docs, avgdl).to_pandas()
+    boosts = _field_boosts_ds(sf_dir).to_pandas()
+    merged = scores.merge(boosts, on=["qid", "doc_id"], how="left")
+    merged["adj"] = merged["score"] + merged["boost"].fillna(0.0)
+    rows = []
+    for qid in FIXED_QUERIES:
+        g = merged[merged["qid"] == qid].sort_values(
+            ["adj", "doc_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            rows.append((qid, rank, int(r["doc_id"]), round4(float(r["adj"]))))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
+def _field_boosts_ds(sf_dir: str):
+    """(qid, doc_id, boost) Dataset: the reference field-boost per doc
+    and fixed query (search_service.py:434-481 weights/caps; fields
+    derived deterministically as documented in field_boost_topk)."""
+    from ..functions.textnorm import normalize_text
+
     qsets = {qid: list(dict.fromkeys(ts)) for qid, ts in FIXED_QUERIES.items()}
 
     def boost_batch(t: pa.Table) -> pa.Table:
@@ -1225,17 +1241,55 @@ def field_boost_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
             "boost": pa.array(out_b, pa.float64()),
         })
 
-    boosts = _docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]) \
-        .map_batches(boost_batch, batch_format="pyarrow").to_pandas()
-    merged = scores.merge(boosts, on=["qid", "doc_id"], how="left")
-    merged["adj"] = merged["score"] + merged["boost"].fillna(0.0)
-    rows = []
-    for qid in FIXED_QUERIES:
-        g = merged[merged["qid"] == qid].sort_values(
-            ["adj", "doc_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), 1):
-            rows.append((qid, rank, int(r["doc_id"]), round4(float(r["adj"]))))
-    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+    return _docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]) \
+        .map_batches(boost_batch, batch_format="pyarrow")
+
+
+def search_serving(sf_dir: str, k: int = 5,
+                   filter_lang: str = FACET_LANG) -> pd.DataFrame:
+    """The app's FULL serving flow for one model (search_service.py:
+    82-197): BM25 base ranking at retrieval depth = corpus (the
+    filter-then-truncate rule when filters are present, :108) ->
+    field-boost rerank (:157 / :434-481) -> facet filter (:158,
+    lang = FACET_LANG) -> [:top_k] -> result assembly with the
+    per-doc matched query terms (:165-196).
+
+    Distributed composition: the scored candidates, the per-doc field
+    boosts and the facet-allowed ids are three Datasets joined with
+    hash/semi joins; the driver sees only the merged top-k.  Canonical
+    tie order (adjusted score desc, doc_id asc)."""
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    scores = _bm25_scores(sf_dir, n_docs, avgdl)          # (qid, doc_id, score)
+    boosts = _field_boosts_ds(sf_dir)                     # (qid, doc_id, boost)
+    adj = scores.join(boosts, "inner", num_partitions=8, on=("qid", "doc_id")) \
+        .map_batches(lambda t: pa.table({
+            "qid": t.column("qid"), "doc_id": t.column("doc_id"),
+            "score": pa.compute.add(t.column("score"), t.column("boost"))}),
+            batch_format="pyarrow")
+    allowed = _docs_ds(sf_dir, ["doc_id", "lang"]).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("lang"), filter_lang))
+        .select(["doc_id"]), batch_format="pyarrow")
+    filt = adj.join(allowed, "left_semi", num_partitions=8, on=("doc_id",))
+    out = _topk_by_qid(filt, k)
+    out["score"] = out["score"].map(round4)
+
+    # matched query terms for the (tiny) served page, from the exploded
+    # stream restricted to the top doc ids
+    top_ids = pa.array(sorted(set(out["doc_id"])))
+    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    pres = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.and_(
+            pa.compute.is_in(t.column("doc_id"), value_set=top_ids),
+            pa.compute.is_in(t.column("term"), value_set=pa.array(qterms)))),
+        batch_format="pyarrow").to_pandas()
+    have: dict[int, set[str]] = {}
+    for d, t in zip(pres["doc_id"], pres["term"]):
+        have.setdefault(int(d), set()).add(t)
+    out["matched_terms"] = [
+        "|".join(sorted(set(FIXED_QUERIES[q]) & have.get(int(d), set())))
+        for q, d in zip(out["qid"], out["doc_id"])]
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[
+        ["qid", "rank", "doc_id", "score", "matched_terms"]]
 
 
 def fieldweighted_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
