@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_filter_multi": A.facet_filter_multi,
         # source/topic taxonomy normalization (taxonomy.py:118-186)
         "taxonomy_normalize": A.taxonomy_normalize,
+        # structured JSON query, OR logic + matched-condition count
+        # (query_executor.py:319-424)
+        "structured_query_or": A.structured_query_or,
         "eval_metrics": A.eval_metrics,
         "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
@@ -2654,6 +2657,12 @@ def oracle_sql() -> dict[str, str]:
         # numeric GTE / CONTAINS — each the vectorized pushdown form of
         # a FilterCondition branch (facet_filter.py:64-160)
         "taxonomy_normalize": _taxonomy_sql(),
+        "structured_query_or": """
+            SELECT doc_id, count(*) AS n_matched FROM (
+              SELECT doc_id FROM documents WHERE lang = 'es'
+              UNION ALL
+              SELECT doc_id FROM documents WHERE source = 'src3')
+            GROUP BY doc_id ORDER BY doc_id""",
         "facet_filter_multi": """
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE lang IN ('en', 'es')

@@ -2231,6 +2231,29 @@ def cluster_representatives(sf_dir: str, k: int = 6, limit: int = 6) -> pd.DataF
     return out[["cluster_id", "rank", "doc_id", "similarity"]].reset_index(drop=True)
 
 
+def structured_query_or(sf_dir: str) -> pd.DataFrame:
+    """Structured JSON query execution with OR logic
+    (query_executor.py:319-424: conditions -> FIELD nodes -> set union
+    via the executor's _execute_node OR branch; matched-fields
+    collection :280-317).  Each condition resolves to a doc-id set
+    (EXACT field-index lookup semantics, field_indexer EXACT_FIELDS);
+    the union is a Dataset union + distinct-count, so n_matched echoes
+    the executor's per-doc matched_fields length."""
+    conds = [("lang", "es"), ("source", "src3")]
+    sets = []
+    for field, value in conds:
+        sets.append(_docs_ds(sf_dir, ["doc_id", field]).map_batches(
+            lambda t, f=field, v=value: t.filter(
+                pa.compute.equal(t.column(f), v)).select(["doc_id"]),
+            batch_format="pyarrow"))
+    u = sets[0].union(*sets[1:])
+    out = _sum_by(u, ("doc_id",), (), counts=("n_matched",)).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_matched"] = out["n_matched"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_matched"]]
+
+
 def facet_source_counts(sf_dir: str):
     return _docs_ds(sf_dir, ["source"]).groupby("source").count().rename_columns({"count()": "n_docs"})
 
