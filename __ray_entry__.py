@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # structured JSON query, OR logic + matched-condition count
         # (query_executor.py:319-424)
         "structured_query_or": A.structured_query_or,
+        # document-detail assembly: lead-2 summary + per-doc tf.idf
+        # keywords (document_detail_service.py:32-136)
+        "document_detail": A.document_detail,
         "eval_metrics": A.eval_metrics,
         "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
@@ -2663,6 +2666,34 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id FROM documents WHERE source = 'src3')
             GROUP BY doc_id ORDER BY doc_id""",
+        "document_detail": _CTE + """,
+            dd AS (SELECT doc_id, text FROM documents WHERE doc_id < 15),
+            sents AS (
+              SELECT doc_id,
+                     list_filter(list_transform(regexp_split_to_array(text, '[。！？.!?]'),
+                                                s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+                                 s -> s <> '') AS ss
+              FROM dd),
+            j AS (SELECT doc_id, array_to_string(ss[1:2], '。') AS summary FROM sents),
+            kw AS (SELECT tf.doc_id, tf.term,
+                          (1 + log10(tf.tf))
+                          * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM tf
+                   JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) dfs
+                        USING (term)
+                   CROSS JOIN stats
+                   WHERE tf.doc_id < 15),
+            kr AS (SELECT doc_id, term,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY round(w, 9) DESC, term) AS rank
+                   FROM kw),
+            kx AS (SELECT doc_id, string_agg(term, '|' ORDER BY rank) AS keywords
+                   FROM kr WHERE rank <= 3 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN j.summary <> '' THEN 1 ELSE 0 END AS available,
+                   j.summary, coalesce(kx.keywords, '') AS keywords
+            FROM dd d LEFT JOIN j USING (doc_id) LEFT JOIN kx USING (doc_id)
+            ORDER BY d.doc_id""",
         "facet_filter_multi": """
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE lang IN ('en', 'es')

@@ -2231,6 +2231,49 @@ def cluster_representatives(sf_dir: str, k: int = 6, limit: int = 6) -> pd.DataF
     return out[["cluster_id", "rank", "doc_id", "similarity"]].reset_index(drop=True)
 
 
+def document_detail(sf_dir: str, n_docs: int = 15) -> pd.DataFrame:
+    """Document-detail assembly (document_detail_service.py:32-136):
+    per doc the availability flag, the lead-2 summary and the top-3
+    per-doc TF-IDF keywords (tf.idf against corpus-wide df, the
+    search_service.py:1004-1029 keyword scoring) — the service's data
+    core over the first ``n_docs`` docs (kwic / related / taxonomy are
+    covered by their standalone oracle-checked entries).  Keyword rank
+    keys rounded 9dp both sides."""
+    from ..functions.snippets import lead_k_summary
+
+    n_corpus, _ = _corpus_stats(sf_dir)
+    df_map = _df_map(sf_dir)
+
+    def s(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.less(t.column("doc_id"), n_docs))
+        outs = [lead_k_summary(x or "", 2) for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "available": pa.array([1 if x else 0 for x in outs], pa.int64()),
+            "summary": pa.array(outs, pa.string()),
+        })
+
+    det = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        s, batch_format="pyarrow").to_pandas()
+
+    ex = _exploded_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.less(t.column("doc_id"), n_docs)),
+        batch_format="pyarrow").to_pandas()
+    ex["w"] = [(1.0 + math.log10(tf))
+               * math.log(1.0 + (n_corpus - df_map[t] + 0.5) / (df_map[t] + 0.5))
+               for t, tf in zip(ex["term"], ex["tf"])]
+    ex["w9"] = ex["w"].map(lambda x: round(x, 9))
+    ex = ex.sort_values(["doc_id", "w9", "term"],
+                        ascending=[True, False, True],
+                        kind="mergesort").reset_index(drop=True)
+    ex["rank"] = ex.groupby("doc_id").cumcount() + 1
+    kws = (ex[ex["rank"] <= 3].sort_values(["doc_id", "rank"])
+           .groupby("doc_id")["term"].agg(lambda ts: "|".join(ts)).to_dict())
+    det["keywords"] = det["doc_id"].map(lambda d: kws.get(int(d), ""))
+    return det.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "available", "summary", "keywords"]]
+
+
 def structured_query_or(sf_dir: str) -> pd.DataFrame:
     """Structured JSON query execution with OR logic
     (query_executor.py:319-424: conditions -> FIELD nodes -> set union
