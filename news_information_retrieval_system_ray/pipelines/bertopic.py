@@ -63,7 +63,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..stages.ann import assign_to_centroids, kmeans, vecs_from_column
+from ..stages.ann import assign_to_centroids, kmeans
 from .analytics import _exploded_ds, _memo, round4
 
 DEFAULT_K = 6

@@ -56,3 +56,27 @@ def test_model_metrics_consistency(ray_session):
         assert r["ctr"] == FB._ratio(r["clicks"], r["searches"])
     # ordered by searches desc
     assert list(m["searches"]) == sorted(m["searches"], reverse=True)
+
+
+def test_search_serving_invariants(ray_session):
+    """Filter-then-truncate semantics (search_service.py:108): every
+    served doc passes the facet filter, scores include the boost, and
+    each qid serves exactly k results."""
+    import duckdb
+
+    from news_information_retrieval_system_ray.pipelines.analytics import (
+        FIXED_QUERIES,
+        search_serving,
+    )
+
+    out = search_serving(SF, k=5)
+    assert set(out["qid"]) == set(FIXED_QUERIES)
+    assert (out.groupby("qid")["rank"].max() == 5).all()
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF}/documents.parquet'").df()
+    lang_of = dict(zip(langs["doc_id"], langs["lang"]))
+    assert all(lang_of[d] == "en" for d in out["doc_id"])
+    # matched terms are a subset of the query's terms and non-empty
+    for q, m in zip(out["qid"], out["matched_terms"]):
+        terms = set(m.split("|")) if m else set()
+        assert terms and terms <= set(FIXED_QUERIES[q])
