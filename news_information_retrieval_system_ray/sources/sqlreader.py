@@ -91,3 +91,69 @@ def read_articles_by_ids(connection_factory: Callable[[], Any],
         vals = ", ".join(_quote(h) for h in content_hashes)
         q = f"SELECT {cols} FROM {table} WHERE content_hash IN ({vals})"
     return rd.read_sql(q, connection_factory)
+
+
+IMPORT_COLUMNS = ("title", "content", "url", "published_at",
+                  "source", "category", "author", "content_hash")
+
+CREATE_ARTICLES_SQLITE = """
+CREATE TABLE IF NOT EXISTS news_articles (
+    doc_id INTEGER PRIMARY KEY AUTOINCREMENT,
+    title TEXT, content TEXT, url TEXT, published_at TEXT,
+    source TEXT, category TEXT, author TEXT,
+    content_hash VARCHAR(32) UNIQUE NOT NULL
+)"""
+
+
+def content_hash_md5(title: str, content: str) -> str:
+    """MD5 over 'title\\ncontent' (doc_reader.py:70-91 NewsDocument
+    content_hash — the importer's dedup key)."""
+    import hashlib
+
+    return hashlib.md5(f"{title or ''}\n{content or ''}".encode("utf-8")).hexdigest()
+
+
+def import_documents_sql(ds, connection_factory: Callable[[], Any], *,
+                         dialect: str = "sqlite",
+                         table: str = "news_articles") -> None:
+    """Corpus Dataset -> SQL sink with content-hash dedup — the
+    reference's JSONL importer (`src/database/jsonl_importer.py:105-306`
+    batched inserts through `postgres_manager.py:245-250`'s
+    ``INSERT ... ON CONFLICT (content_hash) DO NOTHING``), re-expressed
+    as ``Dataset.write_sql``: each block becomes one executemany against
+    a UNIQUE(content_hash) table, duplicates dropped by the database
+    exactly as the reference does.
+
+    The input needs the IMPORT_COLUMNS; ``content_hash`` is computed in
+    a map stage if absent.  ``dialect`` picks the conflict syntax
+    (sqlite ``INSERT OR IGNORE`` / postgres ``ON CONFLICT DO NOTHING``)."""
+    import pyarrow as pa
+
+    def ensure_cols(t: pa.Table) -> pa.Table:
+        names = set(t.column_names)
+        cols = {}
+        titles = t.column("title").to_pylist() if "title" in names else [""] * t.num_rows
+        contents = t.column("content").to_pylist() if "content" in names \
+            else t.column("text").to_pylist()
+        for c in IMPORT_COLUMNS:
+            if c == "content_hash" and c not in names:
+                cols[c] = pa.array([content_hash_md5(a, b)
+                                    for a, b in zip(titles, contents)], pa.string())
+            elif c == "content" and c not in names:
+                cols[c] = pa.array([x or "" for x in contents], pa.string())
+            elif c in names:
+                cols[c] = t.column(c).cast(pa.string())
+            else:
+                cols[c] = pa.array([""] * t.num_rows, pa.string())
+        return pa.table(cols)
+
+    prepared = ds.map_batches(ensure_cols, batch_format="pyarrow")
+    marks = ", ".join("?" for _ in IMPORT_COLUMNS)
+    collist = ", ".join(IMPORT_COLUMNS)
+    if dialect == "sqlite":
+        stmt = f"INSERT OR IGNORE INTO {table} ({collist}) VALUES ({marks})"
+    else:
+        marks = ", ".join("%s" for _ in IMPORT_COLUMNS)
+        stmt = (f"INSERT INTO {table} ({collist}) VALUES ({marks}) "
+                f"ON CONFLICT (content_hash) DO NOTHING")
+    prepared.write_sql(stmt, connection_factory)

@@ -73,3 +73,44 @@ def test_sql_source_feeds_index_build(ray_session, db_path, tmp_path):
     hits = s.search("beta", k=4)
     assert sorted(h[0] for h in hits) == [1, 2, 3]  # exactly the beta docs
     assert hits[0][0] == 3  # tf=2 for beta -> ranks first
+
+
+def test_import_documents_sql_round_trip(ray_session, tmp_path):
+    """Corpus -> write_sql importer with content-hash dedup (the
+    reference jsonl_importer / ON CONFLICT DO NOTHING path) -> read
+    back; duplicates silently dropped by the UNIQUE constraint."""
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.sources.sqlreader import (
+        CREATE_ARTICLES_SQLITE,
+        content_hash_md5,
+        import_documents_sql,
+        read_articles_sql,
+    )
+
+    p = str(tmp_path / "imp.db")
+    conn = sqlite3.connect(p)
+    conn.execute(CREATE_ARTICLES_SQLITE)
+    conn.commit()
+    conn.close()
+
+    rows = [
+        {"title": "t1", "text": "alpha beta", "source": "cna"},
+        {"title": "t2", "text": "gamma delta", "source": "ltn"},
+        {"title": "t1", "text": "alpha beta", "source": "cna"},   # exact dup
+        {"title": "t3", "text": "alpha beta", "source": "udn"},   # same text, new title
+    ]
+    import_documents_sql(rd.from_items(rows), lambda: sqlite3.connect(p))
+
+    out = read_articles_sql(lambda: sqlite3.connect(p)).to_pandas()
+    assert len(out) == 3                                    # dup dropped
+    assert set(out["title"]) == {"t1", "t2", "t3"}
+    assert set(out["content_hash"]) == {
+        content_hash_md5("t1", "alpha beta"),
+        content_hash_md5("t2", "gamma delta"),
+        content_hash_md5("t3", "alpha beta"),
+    }
+    # re-import is idempotent (skip_existing semantics)
+    import_documents_sql(rd.from_items(rows), lambda: sqlite3.connect(p))
+    again = read_articles_sql(lambda: sqlite3.connect(p)).to_pandas()
+    assert len(again) == 3
