@@ -272,9 +272,12 @@ def main_scaling(sf_dir: str) -> dict:
     """
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
     runs: dict[int, dict] = {}
-    ceil_samples: dict[int, float] = {}
-    alloc_samples: dict[int, float] = {}
+    qps_best: dict[int, float] = {}
+    ceil_ratios: list[float] = []
+    alloc_ratios: list[float] = []
     for _ in range(rounds):
+        round_ceil: dict[int, float] = {}
+        round_alloc: dict[int, float] = {}
         for n in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        GRAFT_BENCH_DOCS=str(SCALING_DOCS))
@@ -295,19 +298,27 @@ def main_scaling(sf_dir: str) -> dict:
             r = json.loads(p.stdout.strip().splitlines()[-1])
             if n not in runs or r["docs_per_sec"] > runs[n]["docs_per_sec"]:
                 runs[n] = r
-            c = _host_compute_sample(n)
-            ceil_samples[n] = max(ceil_samples.get(n, 0.0), c)
-            a = _host_alloc_sample(n)
-            alloc_samples[n] = max(alloc_samples.get(n, 0.0), a)
+            # best-of per METRIC: the best-build run of a level can carry
+            # a noise-struck query window (and vice versa) — pairing the
+            # two metrics to one run conflated them
+            if r.get("query_qps"):
+                qps_best[n] = max(qps_best.get(n, 0.0), float(r["query_qps"]))
+            round_ceil[n] = _host_compute_sample(n)
+            round_alloc[n] = _host_alloc_sample(n)
+        # ceiling ratios pair samples taken back-to-back within ONE round:
+        # max-numerator over max-denominator across different minutes on
+        # this fluctuating host produced nonsense (>10x) ratios
+        if round_ceil.get(8) and round_ceil.get(32):
+            ceil_ratios.append((round_ceil[32] / round_ceil[8]) / (32 / 8))
+        if round_alloc.get(8) and round_alloc.get(32):
+            alloc_ratios.append((round_alloc[32] / round_alloc[8]) / (32 / 8))
     thr8, thr32 = runs[8]["docs_per_sec"], runs[32]["docs_per_sec"]
     eff = (thr32 / thr8) / (32 / 8)
-    qps8, qps32 = runs[8].get("query_qps"), runs[32].get("query_qps")
+    qps8, qps32 = qps_best.get(8), qps_best.get(32)
     qeff = (qps32 / qps8) / (32 / 8) if qps8 and qps32 else None
     # host ceiling: what the VM itself delivers for pure compute 8 -> 32
-    host_ceiling = (ceil_samples[32] / ceil_samples[8]) / (32 / 8) \
-        if ceil_samples.get(8) and ceil_samples.get(32) else None
-    alloc_ceiling = (alloc_samples[32] / alloc_samples[8]) / (32 / 8) \
-        if alloc_samples.get(8) and alloc_samples.get(32) else None
+    host_ceiling = max(ceil_ratios) if ceil_ratios else None
+    alloc_ceiling = max(alloc_ratios) if alloc_ratios else None
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -334,8 +345,12 @@ def main_scaling(sf_dir: str) -> dict:
         # scaling: this sandbox VM's kernel page-zeroing path serializes
         # under concurrency (measured 30-60x per-process degradation at
         # 32 procs in bad windows) and is the binding ceiling for any
-        # stage that materializes fresh buffers (sort exchange, pack)
+        # stage that materializes fresh buffers (sort exchange, pack).
+        # The per-round ratio list is emitted raw: a ratio >> 1 means the
+        # 8-wide sample itself hit a collapsed instant — discard visually
+        # rather than silently clamping
         "host_alloc_scaling": round(alloc_ceiling, 3) if alloc_ceiling else None,
+        "host_alloc_scaling_rounds": [round(x, 3) for x in alloc_ratios] or None,
         "efficiency_vs_host_ceiling": round(eff / host_ceiling, 3) if host_ceiling else None,
     }
 
