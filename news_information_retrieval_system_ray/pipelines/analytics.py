@@ -1774,6 +1774,117 @@ def rocchio_topk(sf_dir: str, k: int = 10, alpha: float = 1.0, beta: float = 0.7
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
+def rocchio_explicit(sf_dir: str, k: int = 10, alpha: float = 1.0,
+                     beta: float = 0.75, gamma: float = 0.15,
+                     n_nonrel: int = 10) -> pd.DataFrame:
+    """EXPLICIT-feedback Rocchio with the full three-term formula
+    (rocchio.py:248-276: q' = alpha*q + beta*centroid(D_r) -
+    gamma*centroid(D_nr), negative weights clamped to 0 at :272-275;
+    the expand_query.py:174-268 explicit protocol, gamma=0.15 default
+    rocchio.py:100).
+
+    D_r = the synthetic qrels' grade-2 docs (docs containing ALL the
+    query's terms — the eval_metrics contract); D_nr = the TF-IDF
+    top-10 docs with grade 0 (retrieved but judged non-relevant).
+    Rescoring and canonical rank as rocchio_topk."""
+    from ray.data.aggregate import Count
+
+    n_docs, _ = _corpus_stats(sf_dir)
+    base = tfidf_topk(sf_dir, k=n_nonrel)
+    ex = _exploded_ds(sf_dir).materialize()
+    df_map = _df_map(sf_dir)
+
+    def idf(term: str) -> float:
+        df = df_map.get(term, 0)
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
+
+    # graded qrels (the eval_metrics contract)
+    qterms_all = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    per_doc = ex.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("term"),
+                                            value_set=pa.array(qterms_all))),
+        batch_format="pyarrow",
+    ).groupby(["doc_id", "term"]).aggregate(Count(alias_name="n")).to_pandas()
+    doc_terms: dict[int, set[str]] = {}
+    for d, t in zip(per_doc["doc_id"], per_doc["term"]):
+        doc_terms.setdefault(int(d), set()).add(t)
+    qrels = _grade_qrels(doc_terms)
+    rel = {qid: sorted(d for d, g in qq.items() if g == 2)
+           for qid, qq in qrels.items()}
+    nonrel = {qid: sorted(
+        int(d) for d in base[base["qid"] == qid]["doc_id"]
+        if int(d) not in qrels[qid]) for qid in FIXED_QUERIES}
+
+    need = sorted({d for ds_ in rel.values() for d in ds_}
+                  | {d for ds_ in nonrel.values() for d in ds_})
+    need_set = pa.array(need)
+    fb_rows = ex.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=need_set)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    doc_vecs: dict[int, dict[str, float]] = {}
+    for d, g in fb_rows.groupby("doc_id"):
+        ws = {t: (1.0 + math.log10(tf)) * idf(t) for t, tf in zip(g["term"], g["tf"])}
+        nrm = math.sqrt(sum(v * v for v in ws.values())) or 1.0
+        doc_vecs[int(d)] = {t: v / nrm for t, v in ws.items()}
+
+    qvecs: dict[str, dict[str, float]] = {}
+    for qid, terms in FIXED_QUERIES.items():
+        qw = {t: idf(t) for t in terms if df_map.get(t)}
+        nrm = math.sqrt(sum(v * v for v in qw.values())) or 1.0
+        qvec = {t: alpha * v / nrm for t, v in qw.items()}
+        for d in rel[qid]:
+            for t, v in doc_vecs.get(int(d), {}).items():
+                qvec[t] = qvec.get(t, 0.0) + beta * v / max(1, len(rel[qid]))
+        for d in nonrel[qid]:
+            for t, v in doc_vecs.get(int(d), {}).items():
+                qvec[t] = qvec.get(t, 0.0) - gamma * v / max(1, len(nonrel[qid]))
+        # clamp: Rocchio can go negative after the gamma term (rocchio.py:272-275)
+        qvecs[qid] = {t: max(0.0, v) for t, v in qvec.items()}
+
+    term_to_qw: dict[str, list[tuple[str, float]]] = {}
+    for qid, qvec in qvecs.items():
+        for t, w in qvec.items():
+            if w > 0.0:
+                term_to_qw.setdefault(t, []).append((qid, idf(t) * w))
+    all_qterms = pa.array(sorted(term_to_qw))
+
+    def score(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(pa.compute.is_in(tb.column("term"), value_set=all_qterms))
+        if tb.num_rows == 0:
+            return pa.table({"qid": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.float64())})
+        tfv = tb.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        terms_l = tb.column("term").to_pylist()
+        docs = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        tfw = 1.0 + np.log10(tfv)
+        out_q, out_d, out_c = [], [], []
+        for i, t in enumerate(terms_l):
+            for qid, w in term_to_qw[t]:
+                out_q.append(qid)
+                out_d.append(int(docs[i]))
+                out_c.append(tfw[i] * w)
+        return pa.table({
+            "qid": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "c": pa.array(out_c, pa.float64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    sc = ex.map_batches(score, batch_format="pyarrow") \
+           .groupby(["qid", "doc_id"]).aggregate(Sum("c", alias_name="score")).to_pandas()
+    sc["score"] = sc["score"].map(round4)
+    rows = []
+    for qid in FIXED_QUERIES:
+        g = sc[sc["qid"] == qid].sort_values(
+            ["score", "doc_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            rows.append((qid, rank, int(r["doc_id"]), float(r["score"])))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
 # ------------------------------------------------------------------ quality / counts
 
 def doc_quality(sf_dir: str):
