@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # explicit-feedback Rocchio with the gamma negative term
         # (rocchio.py:248-276, expand_query.py explicit protocol)
         "rocchio_explicit": A.rocchio_explicit,
+        # the expander's query-expansion output: drift-guarded top-10
+        # candidate terms (rocchio.py:278-333)
+        "rocchio_expansion_terms": A.rocchio_expansion_terms,
         # feedback-analytics dashboard core over the derived search/
         # click/relevance log (feedback_analytics_service.py:24-508)
         "feedback_summary": FB.feedback_summary,
@@ -2114,6 +2117,63 @@ def oracle_sql() -> dict[str, str]:
             FROM top t LEFT JOIN matched m
                  ON m.qid = t.qid AND m.doc_id = t.doc_id
             ORDER BY t.qid, t.rank"""
+    rocchio_exp_cte = _CTE + f""",
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            idf AS (SELECT term, ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+                    FROM dfs CROSS JOIN stats),
+            wd AS MATERIALIZED (SELECT tf.doc_id, tf.term,
+                                       (1 + log10(tf.tf)) * idf.idf AS w
+                   FROM tf JOIN idf USING (term)),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wd GROUP BY doc_id),
+            qterms(qid, term) AS (VALUES {qv}),
+            qw AS (SELECT q.qid, q.term, idf.idf AS w FROM qterms q JOIN idf USING (term)),
+            qnorm AS (SELECT qid, sqrt(sum(w * w)) AS qn FROM qw GROUP BY qid),
+            tscores AS MATERIALIZED (SELECT qw.qid, wd.doc_id,
+                               sum((wd.w / norms.nrm) * (qw.w / qnorm.qn)) AS score
+                        FROM wd JOIN qw USING (term)
+                        JOIN norms ON wd.doc_id = norms.doc_id
+                        JOIN qnorm ON qw.qid = qnorm.qid
+                        GROUP BY qw.qid, wd.doc_id),
+            need AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
+            hitcount AS (SELECT q.qid, t.doc_id, count(DISTINCT t.term) AS hit
+                         FROM (SELECT DISTINCT doc_id, term FROM tf) t
+                         JOIN qterms q USING (term)
+                         GROUP BY q.qid, t.doc_id),
+            grades AS MATERIALIZED (SELECT h.qid, h.doc_id,
+                              CASE WHEN h.hit = n.n_terms THEN 2 ELSE 1 END AS g
+                       FROM hitcount h JOIN need n USING (qid)
+                       WHERE 2 * h.hit >= n.n_terms),
+            rel AS (SELECT qid, doc_id FROM grades WHERE g = 2),
+            nrelc AS (SELECT qid, count(*) AS nr FROM rel GROUP BY qid),
+            top10 AS (SELECT qid, doc_id FROM
+                        (SELECT qid, doc_id,
+                                row_number() OVER (PARTITION BY qid
+                                                   ORDER BY score DESC, doc_id) AS rank
+                         FROM tscores WHERE score > 0) WHERE rank <= 10),
+            nonrel AS (SELECT t.qid, t.doc_id FROM top10 t
+                       LEFT JOIN grades g
+                            ON g.qid = t.qid AND g.doc_id = t.doc_id
+                       WHERE g.doc_id IS NULL),
+            nnonc AS (SELECT qid, count(*) AS nn FROM nonrel GROUP BY qid),
+            dvec AS MATERIALIZED (SELECT wd.doc_id, wd.term, wd.w / norms.nrm AS v
+                     FROM wd JOIN norms ON wd.doc_id = norms.doc_id),
+            centr AS (SELECT r.qid, d.term,
+                             0.75 * sum(d.v) / greatest(1, max(c.nr)) AS v
+                      FROM rel r JOIN dvec d ON r.doc_id = d.doc_id
+                                 JOIN nrelc c ON c.qid = r.qid
+                      GROUP BY r.qid, d.term),
+            centn AS (SELECT nr2.qid, d.term,
+                             -0.15 * sum(d.v) / greatest(1, max(c.nn)) AS v
+                      FROM nonrel nr2 JOIN dvec d ON nr2.doc_id = d.doc_id
+                                      JOIN nnonc c ON c.qid = nr2.qid
+                      GROUP BY nr2.qid, d.term),
+            qhat AS (SELECT qw.qid, qw.term, 1.0 * qw.w / qnorm.qn AS v
+                     FROM qw JOIN qnorm USING (qid)),
+            qexp AS (SELECT qid, term, greatest(0.0, sum(v)) AS qv
+                     FROM (SELECT * FROM qhat
+                           UNION ALL SELECT * FROM centr
+                           UNION ALL SELECT * FROM centn)
+                     GROUP BY qid, term)"""
     return {
         "field_boost_topk": field_boost_sql,
         "search_serving": search_serving_sql,
@@ -2351,63 +2411,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM rescore)
             SELECT qid, rank, doc_id, score
             FROM rr WHERE rank <= 10 ORDER BY qid, rank""",
-        "rocchio_explicit": _CTE + f""",
-            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            idf AS (SELECT term, ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
-                    FROM dfs CROSS JOIN stats),
-            wd AS MATERIALIZED (SELECT tf.doc_id, tf.term,
-                                       (1 + log10(tf.tf)) * idf.idf AS w
-                   FROM tf JOIN idf USING (term)),
-            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wd GROUP BY doc_id),
-            qterms(qid, term) AS (VALUES {qv}),
-            qw AS (SELECT q.qid, q.term, idf.idf AS w FROM qterms q JOIN idf USING (term)),
-            qnorm AS (SELECT qid, sqrt(sum(w * w)) AS qn FROM qw GROUP BY qid),
-            tscores AS MATERIALIZED (SELECT qw.qid, wd.doc_id,
-                               sum((wd.w / norms.nrm) * (qw.w / qnorm.qn)) AS score
-                        FROM wd JOIN qw USING (term)
-                        JOIN norms ON wd.doc_id = norms.doc_id
-                        JOIN qnorm ON qw.qid = qnorm.qid
-                        GROUP BY qw.qid, wd.doc_id),
-            need AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
-            hitcount AS (SELECT q.qid, t.doc_id, count(DISTINCT t.term) AS hit
-                         FROM (SELECT DISTINCT doc_id, term FROM tf) t
-                         JOIN qterms q USING (term)
-                         GROUP BY q.qid, t.doc_id),
-            grades AS MATERIALIZED (SELECT h.qid, h.doc_id,
-                              CASE WHEN h.hit = n.n_terms THEN 2 ELSE 1 END AS g
-                       FROM hitcount h JOIN need n USING (qid)
-                       WHERE 2 * h.hit >= n.n_terms),
-            rel AS (SELECT qid, doc_id FROM grades WHERE g = 2),
-            nrelc AS (SELECT qid, count(*) AS nr FROM rel GROUP BY qid),
-            top10 AS (SELECT qid, doc_id FROM
-                        (SELECT qid, doc_id,
-                                row_number() OVER (PARTITION BY qid
-                                                   ORDER BY score DESC, doc_id) AS rank
-                         FROM tscores WHERE score > 0) WHERE rank <= 10),
-            nonrel AS (SELECT t.qid, t.doc_id FROM top10 t
-                       LEFT JOIN grades g
-                            ON g.qid = t.qid AND g.doc_id = t.doc_id
-                       WHERE g.doc_id IS NULL),
-            nnonc AS (SELECT qid, count(*) AS nn FROM nonrel GROUP BY qid),
-            dvec AS MATERIALIZED (SELECT wd.doc_id, wd.term, wd.w / norms.nrm AS v
-                     FROM wd JOIN norms ON wd.doc_id = norms.doc_id),
-            centr AS (SELECT r.qid, d.term,
-                             0.75 * sum(d.v) / greatest(1, max(c.nr)) AS v
-                      FROM rel r JOIN dvec d ON r.doc_id = d.doc_id
-                                 JOIN nrelc c ON c.qid = r.qid
-                      GROUP BY r.qid, d.term),
-            centn AS (SELECT nr2.qid, d.term,
-                             -0.15 * sum(d.v) / greatest(1, max(c.nn)) AS v
-                      FROM nonrel nr2 JOIN dvec d ON nr2.doc_id = d.doc_id
-                                      JOIN nnonc c ON c.qid = nr2.qid
-                      GROUP BY nr2.qid, d.term),
-            qhat AS (SELECT qw.qid, qw.term, 1.0 * qw.w / qnorm.qn AS v
-                     FROM qw JOIN qnorm USING (qid)),
-            qexp AS (SELECT qid, term, greatest(0.0, sum(v)) AS qv
-                     FROM (SELECT * FROM qhat
-                           UNION ALL SELECT * FROM centr
-                           UNION ALL SELECT * FROM centn)
-                     GROUP BY qid, term),
+        "rocchio_explicit": rocchio_exp_cte + """,
             rescore AS (SELECT e.qid, tf.doc_id,
                                sum((1 + log10(tf.tf)) * idf.idf * e.qv) AS score
                         FROM qexp e JOIN tf ON tf.term = e.term
@@ -2421,6 +2425,34 @@ def oracle_sql() -> dict[str, str]:
                    FROM rescore)
             SELECT qid, rank, doc_id, score
             FROM rr WHERE rank <= 10 ORDER BY qid, rank""",
+        "rocchio_expansion_terms": rocchio_exp_cte + """,
+            qn1 AS (SELECT qid, sqrt(sum(v * v)) AS n1 FROM qhat GROUP BY qid),
+            qn2 AS (SELECT qid, sqrt(sum(qv * qv)) AS n2 FROM qexp GROUP BY qid),
+            qdot AS (SELECT h.qid, sum(h.v * e.qv) AS dot
+                     FROM qhat h JOIN qexp e
+                          ON e.qid = h.qid AND e.term = h.term
+                     GROUP BY h.qid),
+            maxt AS (SELECT q1.qid,
+                            1.0 - d.dot / (q1.n1 * q2.n2) AS drift,
+                            CASE WHEN 1.0 - d.dot / (q1.n1 * q2.n2) <= 0.7
+                                 THEN 10
+                                 ELSE greatest(1, CAST(floor(
+                                      10 * 0.7 / (1.0 - d.dot / (q1.n1 * q2.n2)))
+                                      AS INT)) END AS mt
+                     FROM qn1 q1 JOIN qn2 q2 USING (qid)
+                                 JOIN qdot d USING (qid)),
+            candr AS (SELECT e.qid, e.term, e.qv,
+                             row_number() OVER (PARTITION BY e.qid
+                                                ORDER BY round(e.qv, 9) DESC,
+                                                         e.term) AS rank
+                      FROM qexp e LEFT JOIN qhat h
+                           ON h.qid = e.qid AND h.term = e.term
+                      WHERE h.term IS NULL AND round(e.qv, 9) >= 0.1)
+            SELECT c.qid, c.rank, c.term, round(c.qv, 4) AS weight,
+                   round(m.drift, 4) AS drift
+            FROM candr c JOIN maxt m USING (qid)
+            WHERE c.rank <= m.mt ORDER BY c.qid, c.rank""",
+
         "explain_scores": _CTE + bm25_rank_cte + """,
             top1 AS (SELECT qid, doc_id FROM ranked WHERE rank = 1),
             dfs2 AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

@@ -1774,19 +1774,13 @@ def rocchio_topk(sf_dir: str, k: int = 10, alpha: float = 1.0, beta: float = 0.7
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
-def rocchio_explicit(sf_dir: str, k: int = 10, alpha: float = 1.0,
-                     beta: float = 0.75, gamma: float = 0.15,
-                     n_nonrel: int = 10) -> pd.DataFrame:
-    """EXPLICIT-feedback Rocchio with the full three-term formula
-    (rocchio.py:248-276: q' = alpha*q + beta*centroid(D_r) -
-    gamma*centroid(D_nr), negative weights clamped to 0 at :272-275;
-    the expand_query.py:174-268 explicit protocol, gamma=0.15 default
-    rocchio.py:100).
-
-    D_r = the synthetic qrels' grade-2 docs (docs containing ALL the
-    query's terms — the eval_metrics contract); D_nr = the TF-IDF
-    top-10 docs with grade 0 (retrieved but judged non-relevant).
-    Rescoring and canonical rank as rocchio_topk."""
+def _rocchio_explicit_vectors(sf_dir: str, alpha: float = 1.0,
+                              beta: float = 0.75, gamma: float = 0.15,
+                              n_nonrel: int = 10):
+    """(clamped expanded query vectors, original normalized query
+    vectors, memoized exploded ds, idf fn) for the explicit-feedback
+    Rocchio family — the full three-term formula (rocchio.py:248-276)
+    over D_r = qrels grade-2 docs / D_nr = TF-IDF top-10 grade-0 docs."""
     from ray.data.aggregate import Count
 
     n_docs, _ = _corpus_stats(sf_dir)
@@ -1829,10 +1823,12 @@ def rocchio_explicit(sf_dir: str, k: int = 10, alpha: float = 1.0,
         doc_vecs[int(d)] = {t: v / nrm for t, v in ws.items()}
 
     qvecs: dict[str, dict[str, float]] = {}
+    qorig: dict[str, dict[str, float]] = {}
     for qid, terms in FIXED_QUERIES.items():
         qw = {t: idf(t) for t in terms if df_map.get(t)}
         nrm = math.sqrt(sum(v * v for v in qw.values())) or 1.0
-        qvec = {t: alpha * v / nrm for t, v in qw.items()}
+        qorig[qid] = {t: v / nrm for t, v in qw.items()}
+        qvec = {t: alpha * v for t, v in qorig[qid].items()}
         for d in rel[qid]:
             for t, v in doc_vecs.get(int(d), {}).items():
                 qvec[t] = qvec.get(t, 0.0) + beta * v / max(1, len(rel[qid]))
@@ -1841,6 +1837,24 @@ def rocchio_explicit(sf_dir: str, k: int = 10, alpha: float = 1.0,
                 qvec[t] = qvec.get(t, 0.0) - gamma * v / max(1, len(nonrel[qid]))
         # clamp: Rocchio can go negative after the gamma term (rocchio.py:272-275)
         qvecs[qid] = {t: max(0.0, v) for t, v in qvec.items()}
+    return qvecs, qorig, ex, idf
+
+
+def rocchio_explicit(sf_dir: str, k: int = 10, alpha: float = 1.0,
+                     beta: float = 0.75, gamma: float = 0.15,
+                     n_nonrel: int = 10) -> pd.DataFrame:
+    """EXPLICIT-feedback Rocchio with the full three-term formula
+    (rocchio.py:248-276: q' = alpha*q + beta*centroid(D_r) -
+    gamma*centroid(D_nr), negative weights clamped to 0 at :272-275;
+    the expand_query.py:174-268 explicit protocol, gamma=0.15 default
+    rocchio.py:100).
+
+    D_r = the synthetic qrels' grade-2 docs (docs containing ALL the
+    query's terms — the eval_metrics contract); D_nr = the TF-IDF
+    top-10 docs with grade 0 (retrieved but judged non-relevant).
+    Rescoring and canonical rank as rocchio_topk."""
+    qvecs, _, ex, idf = _rocchio_explicit_vectors(sf_dir, alpha, beta,
+                                                  gamma, n_nonrel)
 
     term_to_qw: dict[str, list[tuple[str, float]]] = {}
     for qid, qvec in qvecs.items():
@@ -1883,6 +1897,36 @@ def rocchio_explicit(sf_dir: str, k: int = 10, alpha: float = 1.0,
         for rank, (_, r) in enumerate(g.iterrows(), 1):
             rows.append((qid, rank, int(r["doc_id"]), float(r["score"])))
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
+def rocchio_expansion_terms(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
+    """The expander's QUERY-EXPANSION output (rocchio.py:278-333):
+    candidates = terms not in the original query with weight >=
+    min_term_weight (0.1, :102), sorted by weight desc (term asc
+    pinned), top max_expansion_terms (10, :101) — reduced only under a
+    query-drift warning (cosine distance original-vs-expanded > 0.7,
+    :85; measured ~0.11 on this corpus so the guard never fires; the
+    SQL twin replicates the drift computation and the CASE anyway).
+    Decision keys (weight threshold/order) rounded 9dp both sides."""
+    qvecs, qorig, _, _ = _rocchio_explicit_vectors(sf_dir)
+    rows = []
+    for qid in sorted(FIXED_QUERIES):
+        qv, qo = qvecs[qid], qorig[qid]
+        common = set(qo) & set(qv)
+        n1 = math.sqrt(sum(v * v for v in qo.values()))
+        n2 = math.sqrt(sum(v * v for v in qv.values()))
+        if common and n1 and n2:
+            dot = sum(qo[t] * qv[t] for t in common)
+            drift = 1.0 - dot / (n1 * n2)
+        else:
+            drift = 1.0
+        max_terms = top_n if drift <= 0.7 else max(1, int(top_n * 0.7 / drift))
+        cands = [(t, v) for t, v in qv.items()
+                 if t not in qo and round(v, 9) >= 0.1]
+        cands.sort(key=lambda x: (-round(x[1], 9), x[0]))
+        for r, (t, v) in enumerate(cands[:max_terms], 1):
+            rows.append((qid, r, t, round4(v), round4(drift)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "term", "weight", "drift"])
 
 
 # ------------------------------------------------------------------ quality / counts
