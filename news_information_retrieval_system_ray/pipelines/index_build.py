@@ -187,6 +187,83 @@ def _compact_pairs(t):
     return pa.table({"term_hash": pa.array(h), "alt": pa.array(a)})
 
 
+def _alt_edge_check(t):
+    """Per-batch collision check over SORTED segments (term_hash, alt):
+    raises on any within-batch adjacent mismatch, returns only the
+    batch's first and last rows (the only groups that can span block
+    boundaries in globally sorted data) for the driver-side cross-batch
+    check.  ~2 rows out per batch — no shuffle anywhere."""
+    import numpy as np
+    import pyarrow as pa
+
+    if len(t) == 0:
+        return pa.table({"term_hash": pa.array([], pa.uint64()),
+                         "alt": pa.array([], pa.uint64())})
+    th = t.column("term_hash").to_numpy(zero_copy_only=False)
+    alt = t.column("alt").to_numpy(zero_copy_only=False)
+    bad = (th[1:] == th[:-1]) & (alt[1:] != alt[:-1])
+    if bad.any():
+        i = int(np.flatnonzero(bad)[0])
+        raise ValueError(
+            "64-bit term-hash collision detected (two distinct terms share "
+            f"term_hash={int(th[i])}); rebuild with a wider key or inspect "
+            "with build_vocab=True")
+    keep = [0, len(t) - 1] if len(t) > 1 else [0]
+    return pa.table({"term_hash": pa.array(th[keep]),
+                     "alt": pa.array(alt[keep])})
+
+
+def _verify_alt_sorted(seg_root: str) -> None:
+    """Exact 64-bit term-hash collision check over the freshly SORTED
+    segments table, replacing the former full-corpus hashcheck job: the
+    ``alt`` passenger column rode the segments exchange, so equal hashes
+    are adjacent and one linear scan of two pruned int columns suffices.
+    Within-batch pairs are checked in :func:`_alt_edge_check` (and
+    earlier in PrePack/Repack); cross-batch pairs reduce to the tiny
+    per-batch edge rows collected here, because every sort output block
+    is a contiguous key range — a hash spanning blocks sits at their
+    edges."""
+    import ray.data as rd
+
+    edges = rd.read_parquet(seg_root, columns=["term_hash", "alt"]) \
+              .map_batches(_alt_edge_check, batch_format="pyarrow") \
+              .take_all()
+    seen: dict[int, int] = {}
+    for r in edges:
+        h, a = int(r["term_hash"]), int(r["alt"])
+        if seen.setdefault(h, a) != a:
+            raise ValueError(
+                "64-bit term-hash collision detected at a block boundary "
+                f"(term_hash={h}); rebuild with a wider key or inspect "
+                "with build_vocab=True")
+
+
+def _verify_alt_global(seg_root: str) -> None:
+    """Collision check across MULTIPLE sorted segment collections (the
+    append layout: base ``segments/`` plus ``append_*/`` dirs, each
+    sorted internally but not mutually) — harvest per-batch-unique
+    (term_hash, alt) pairs from the two pruned columns and verify one
+    alt per hash with a small groupby (~vocab-size rows, not corpus)."""
+    import ray.data as rd
+
+    pairs = rd.read_parquet(seg_root, columns=["term_hash", "alt"]) \
+              .map_batches(_compact_pairs_cast, batch_format="pyarrow")
+    # .count() drives the verify map_batches; it raises on a collision
+    _hashcheck_aggregate(pairs).count()
+
+
+def _compact_pairs_cast(t):
+    """Like :func:`_compact_pairs` but bit-casts the uint64 segment
+    columns to int64 first (the groupby aggregate's expected key type)."""
+    import numpy as np
+    import pyarrow as pa
+
+    h = t.column("term_hash").to_numpy(zero_copy_only=False).view(np.int64)
+    a = t.column("alt").to_numpy(zero_copy_only=False).view(np.int64)
+    h, a = _uniq_pairs(h, a)
+    return pa.table({"term_hash": pa.array(h), "alt": pa.array(a)})
+
+
 def _tokens_have_hashpairs(tokens_root: str) -> bool:
     import glob as _glob
 
@@ -261,10 +338,14 @@ def build_index(
                                          # default collision safety is the
                                          # cheaper collision_check below
     collision_check: bool = True,        # default-on 64-bit collision
-                                         # detector: dual-hash (term_hash,
-                                         # alt) int-only aggregate — a silent
-                                         # collision would merge two terms'
-                                         # posting lists (ADVICE r01)
+                                         # detector: the alt hash rides the
+                                         # segments sort as an 8-byte
+                                         # passenger, verified by sorted
+                                         # adjacency (_verify_alt_sorted) —
+                                         # a silent collision would merge two
+                                         # terms' posting lists (ADVICE r01).
+                                         # positions layout keeps the
+                                         # separate dual-hash pairs job.
     dedup_exact_first: bool = False,     # the reference's use_dedup flag
                                          # (incremental_builder.py:147-158):
                                          # exact content-hash dedup BEFORE
@@ -439,7 +520,9 @@ def build_index(
         ds = ds.map_batches(
             TokenizeStage(engine=engine, text_col="text_norm", pre_normalized=True,
                           with_positions=with_positions, stopword_lang=stopword_lang,
-                          emit_hashpairs=collision_check),
+                          # default path: the collision check rides the
+                          # segments sort (alt passenger), no sidecar
+                          emit_hashpairs=collision_check and with_positions),
             **tok_kwargs,
         )
         ds.write_parquet(tmp_root, partition_cols=["shard"])
@@ -473,12 +556,16 @@ def build_index(
     side_errs: list[BaseException] = []
     side_threads: list[threading.Thread] = []
 
-    def _spawn(fn) -> None:
+    def _spawn(fn, name: str) -> None:
         def _run():
+            t0 = time.perf_counter()
             try:
                 fn()
             except BaseException as e:  # re-raised on the main thread below
                 side_errs.append(e)
+            finally:  # per-side-job wall (overlaps segments; tail shows in
+                side_results[f"{name}_secs"] = round(  # stats_collision)
+                    time.perf_counter() - t0, 3)
         t = threading.Thread(target=_run, daemon=True)
         side_threads.append(t)
         t.start()
@@ -492,10 +579,15 @@ def build_index(
             agg = stats_ds.aggregate(Sum("doc_len", alias_name="total_len"),
                                      Count(alias_name="n_docs"))
             side_results["stats"] = (int(agg["n_docs"]), int(agg["total_len"]))
-        _spawn(_run_stats)
+        _spawn(_run_stats, "stats")
 
+    # The DEFAULT (no-positions) path checks collisions inside the
+    # segments exchange itself (alt passenger + post-sort adjacency —
+    # see _verify_alt_sorted); only the positions layout still needs the
+    # separate pairs job over the tokens sidecar.
     hashcheck_dir = os.path.join(index_dir, "hashcheck")
-    if collision_check and not manifest.state.get("hashcheck_done"):
+    if collision_check and with_positions \
+            and not manifest.state.get("hashcheck_done"):
         tmp_hc = os.path.join(index_dir, ".tmp_hashcheck")
         shutil.rmtree(tmp_hc, ignore_errors=True)
         import ray as _ray
@@ -507,7 +599,7 @@ def build_index(
             checked_ds.write_parquet(tmp_hc)
             os.replace(tmp_hc, hashcheck_dir)
             side_results["hashcheck_done"] = True
-        _spawn(_run_hashcheck)
+        _spawn(_run_hashcheck, "hashcheck")
 
     # ---- segments (the wide shuffle; main thread) ----
     seg_dir = os.path.join(index_dir, "segments")
@@ -548,7 +640,8 @@ def build_index(
                 _tokens_files_by_docid(tokens_root), columns=tok_cols,
                 override_num_blocks=shuffle_blocks,
             ).map_batches(
-                PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size),
+                PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size,
+                              emit_alt=collision_check),
                 batch_format="pyarrow", batch_size=prepack_batch,
             ).sort(["term_hash", "chunk", "first_doc"]).map_batches(
                 RepackFragments(block_size=block_size),
@@ -577,6 +670,12 @@ def build_index(
         # term fetch decodes ~2k-row groups instead of whole files (the
         # binary posting columns dominate decode cost)
         packed.write_parquet(tmp_seg, row_group_size=2048)
+        if collision_check and not with_positions:
+            # cross-batch collision pairs (within-batch ones already
+            # raised inside PrePack/Repack); one linear 2-column scan
+            _verify_alt_sorted(tmp_seg)
+            manifest.state["alt_layout"] = True  # appends pick the
+            manifest.save()                      # segments-side check
         os.replace(tmp_seg, seg_dir)
         n_rows = _count_rows(seg_dir)
         manifest.mark_segments(n_rows)
@@ -620,6 +719,8 @@ def build_index(
             or "metrics" not in manifest.state:  # a no-op resume keeps the
         manifest.state["metrics"] = {            # real build's timings
             "phase_secs": phase_secs,            # this run; resumed phases ~0
+            "side_job_secs": {k: v for k, v in side_results.items()
+                              if k.endswith("_secs")},  # overlap segments
             "total_secs": total_s,
             "docs_per_sec": round(stats["n_docs"] / total_s, 1) if total_s else None,
             "posting_rows": n_rows,
@@ -727,7 +828,8 @@ def append_index(
         packed = rd.read_parquet(
             _tokens_files_by_docid(dst), columns=tok_cols,
         ).map_batches(
-            PrePackTokens(chunk_bits=eff_chunk_bits, block_size=config["block_size"]),
+            PrePackTokens(chunk_bits=eff_chunk_bits, block_size=config["block_size"],
+                          emit_alt=state.get("alt_layout", False)),
             batch_format="pyarrow",
             # same constant cap as the main build (allocator cliff)
             batch_size=min(4096, max(1, -(-n_new_docs // ncpu))),
@@ -764,6 +866,11 @@ def append_index(
         shutil.rmtree(vocab_dir, ignore_errors=True)
         os.replace(tmp_vocab, vocab_dir)
 
+    if state.get("alt_layout"):
+        # alt-carrying layout: old + appended segment collections all
+        # store the second hash, so old-vs-new collisions reduce to a
+        # small pairs groupby over the two pruned segment columns
+        _verify_alt_global(os.path.join(index_dir, "segments"))
     hashcheck_dir = os.path.join(index_dir, "hashcheck")
     if os.path.isdir(hashcheck_dir):
         new_pairs = _hashcheck_pairs_ds(dst, 8)

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.codecs import vbyte_encode
-from ..functions.hashing import token_hash64
+from ..functions.hashing import token_hash64, token_hash_pair
 from ..functions.postings import BOUND_PAIRS, pack_postings, pack_postings_runs
 
 DEFAULT_CHUNK_BITS = 20  # 1M docs per chunk; tests use smaller
@@ -36,13 +36,19 @@ class ExplodeTokens:
     """
 
     def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, with_positions: bool = False,
-                 emit_term: bool = True, carry_cols: tuple[str, ...] = ()):
+                 emit_term: bool = True, carry_cols: tuple[str, ...] = (),
+                 emit_alt: bool = False):
         self.chunk_bits = chunk_bits
         self.with_positions = with_positions
         # emit_term=False drops the term STRING from the shuffle (30%+ of
         # row bytes at web scale) — postings key on the 64-bit hash alone;
         # term strings live in the small vocab sidecar (index_build).
         self.emit_term = emit_term
+        # emit_alt: also emit the SECOND 64-bit half of the same MD5 —
+        # the collision-check passenger that rides the segments exchange
+        # (two distinct terms sharing term_hash must differ in alt,
+        # dual collision ~2^-128 per pair).  Free: one MD5 either way.
+        self.emit_alt = emit_alt
         self.carry_cols = tuple(carry_cols)  # per-doc facet columns, repeated
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -57,11 +63,20 @@ class ExplodeTokens:
         if isinstance(flat_terms, pa.ChunkedArray):
             flat_terms = flat_terms.combine_chunks()
         dict_arr = pc.dictionary_encode(flat_terms)
-        uniq_hashes = np.fromiter(
-            (token_hash64(t) for t in dict_arr.dictionary.to_pylist()),
-            dtype=np.uint64, count=len(dict_arr.dictionary),
-        )
-        hashes = uniq_hashes[dict_arr.indices.to_numpy(zero_copy_only=False)]
+        idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+        n_uniq = len(dict_arr.dictionary)
+        if self.emit_alt:
+            pairs = np.fromiter(
+                (h for t in dict_arr.dictionary.to_pylist()
+                 for h in token_hash_pair(t)),
+                dtype=np.uint64, count=2 * n_uniq)
+            uniq_hashes, uniq_alt = pairs[0::2], pairs[1::2]
+        else:
+            uniq_hashes = np.fromiter(
+                (token_hash64(t) for t in dict_arr.dictionary.to_pylist()),
+                dtype=np.uint64, count=n_uniq,
+            )
+        hashes = uniq_hashes[idx]
         cols = {
             "term_hash": pa.array(hashes),
             "chunk": pa.array((doc_ids >> self.chunk_bits).astype(np.int32)),
@@ -69,6 +84,8 @@ class ExplodeTokens:
             "tf": flat_tfs,
             "dl": pa.array(dls.astype(np.int32)),
         }
+        if self.emit_alt:
+            cols["alt"] = pa.array(uniq_alt[idx])
         if self.emit_term:
             cols["term"] = flat_terms
         if self.with_positions:
@@ -132,9 +149,11 @@ class PackRuns:
 
 def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
                        tfs: np.ndarray, dls: np.ndarray, gs: np.ndarray,
-                       schema: pa.Schema, *, block_size: int) -> pa.Table:
+                       schema: pa.Schema, *, block_size: int,
+                       alt: np.ndarray | None = None) -> pa.Table:
     """Vectorized pack of sorted runs -> one segments-schema Arrow table
-    (zero-copy binary/list columns from offset arrays)."""
+    (zero-copy binary/list columns from offset arrays).  ``alt`` (aligned
+    with ``th``) adds the collision-check passenger column when given."""
     r = pack_postings_runs(ids, tfs, dls, gs, block_size=block_size)
     ng = gs.size
 
@@ -173,6 +192,8 @@ def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
         "block_bound_tf": _blist(r["block_bound_tf"], poff),
         "block_bound_dl": _blist(r["block_bound_dl"], poff),
     }
+    if alt is not None:
+        cols["alt"] = pa.array(alt[gs])
     return pa.table({f.name: cols[f.name].cast(f.type) for f in schema})
 
 
@@ -195,11 +216,19 @@ class PrePackTokens:
     disjoint as intervals, and so are the fragments inside them.
     """
 
-    def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, block_size: int = 32):
+    def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, block_size: int = 32,
+                 emit_alt: bool = True):
         self.block_size = block_size
+        # emit_alt (default on): fragments carry the term's SECOND MD5
+        # half, so the 64-bit-collision check rides the segments sort as
+        # an 8-byte-per-fragment passenger instead of a separate
+        # full-corpus scan + two extra exchanges (see index_build
+        # _verify_alt_sorted for the post-sort adjacency verification).
+        self.emit_alt = emit_alt
         self._explode = ExplodeTokens(chunk_bits=chunk_bits, with_positions=False,
-                                      emit_term=False)
-        self._out_schema = PackGroups(block_size, False)._schema(with_term=False)
+                                      emit_term=False, emit_alt=emit_alt)
+        self._out_schema = PackGroups(block_size, False)._schema(
+            with_term=False, with_alt=emit_alt)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ex = self._explode(batch)
@@ -217,11 +246,30 @@ class PrePackTokens:
         runs = run_of_u[np.searchsorted(u, ids)]
         order = np.lexsort((ids, runs, ch, th.view(np.int64)))
         th, ch, ids, tfs, dls, runs = (a[order] for a in (th, ch, ids, tfs, dls, runs))
+        alt = None
+        if self.emit_alt:
+            alt = ex.column("alt").to_numpy(zero_copy_only=False)[order]
+            _raise_on_alt_mismatch(th, alt)  # in-batch collisions
         gs = np.concatenate(([0], np.flatnonzero(
             (np.diff(th.view(np.int64)) != 0) | (np.diff(ch) != 0)
             | (np.diff(runs) != 0)) + 1))
         return _packed_runs_table(th, ch, ids, tfs, dls, gs, self._out_schema,
-                                  block_size=self.block_size)
+                                  block_size=self.block_size, alt=alt)
+
+
+def _raise_on_alt_mismatch(th: np.ndarray, alt: np.ndarray) -> None:
+    """Raise if any two ADJACENT rows share ``term_hash`` but differ in
+    ``alt`` — proof of a 64-bit term-hash collision (rows sorted by
+    term_hash, so equal hashes are adjacent)."""
+    if th.size < 2:
+        return
+    bad = (th[1:] == th[:-1]) & (alt[1:] != alt[:-1])
+    if bad.any():
+        i = int(np.flatnonzero(bad)[0])
+        raise ValueError(
+            "64-bit term-hash collision detected (two distinct terms share "
+            f"term_hash={int(th[i])}); rebuild with a wider key or inspect "
+            "with build_vocab=True")
 
 
 class RepackFragments:
@@ -244,11 +292,15 @@ class RepackFragments:
     def __init__(self, block_size: int = 32):
         self.block_size = block_size
         self._out_schema = PackGroups(block_size, False)._schema(with_term=False)
+        self._out_schema_alt = PackGroups(block_size, False)._schema(
+            with_term=False, with_alt=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        has_alt = "alt" in batch.column_names
+        schema = self._out_schema_alt if has_alt else self._out_schema
         nrows = len(batch)
         if nrows == 0:
-            return self._out_schema.empty_table()
+            return schema.empty_table()
         from ..functions.codecs import vbyte_decode
 
         def _concat(col: str) -> bytes:
@@ -267,6 +319,15 @@ class RepackFragments:
         th = batch.column("term_hash").to_numpy(zero_copy_only=False)
         ch = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
         df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        alt_post = None
+        if has_alt:
+            alt_rows = batch.column("alt").to_numpy(zero_copy_only=False)
+            # input is sorted by term_hash: equal hashes are adjacent, so
+            # this catches every within-batch collision (incl. across
+            # chunks); batch-boundary pairs are verified post-write by
+            # index_build._verify_alt_sorted
+            _raise_on_alt_mismatch(th, alt_rows)
+            alt_post = np.repeat(alt_rows, df)
         row_breaks = np.concatenate(([0], np.flatnonzero(
             (np.diff(th.view(np.int64)) != 0) | (np.diff(ch) != 0)) + 1))
         post_off = np.concatenate(([0], np.cumsum(df)))
@@ -274,7 +335,8 @@ class RepackFragments:
         th_post = np.repeat(th, df)
         ch_post = np.repeat(ch, df)
         return _packed_runs_table(th_post, ch_post, ids, tfs, dls, gs,
-                                  self._out_schema, block_size=self.block_size)
+                                  schema, block_size=self.block_size,
+                                  alt=alt_post)
 
 
 class PackGroups:
@@ -339,7 +401,7 @@ class PackGroups:
             row["pos_nbytes"] = nbytes
         out.append(row)
 
-    def _schema(self, with_term: bool = True) -> pa.Schema:
+    def _schema(self, with_term: bool = True, with_alt: bool = False) -> pa.Schema:
         fields = [
             *([("term", pa.string())] if with_term else []),
             ("term_hash", pa.uint64()),
@@ -362,4 +424,6 @@ class PackGroups:
         ]
         if self.with_positions:
             fields += [("positions_bytes", pa.binary()), ("pos_nbytes", pa.list_(pa.int32()))]
+        if with_alt:
+            fields += [("alt", pa.uint64())]
         return pa.schema(fields)

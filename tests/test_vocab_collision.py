@@ -34,8 +34,22 @@ def test_vocab_sidecar_and_hashcheck(ray_session, tmp_path):
                 build_vocab=True)
     files = glob.glob(idx + "/vocab/*.parquet")
     assert files, "vocab sidecar not written"
-    # the default-on dual-hash collision check sidecar is also present
-    assert glob.glob(idx + "/hashcheck/*.parquet"), "hashcheck sidecar missing"
+    # default path: the collision check rides the segments sort — the
+    # alt passenger column is stored per posting row and the manifest
+    # records the layout (no separate hashcheck sidecar anymore)
+    seg_files = glob.glob(idx + "/segments/*.parquet")
+    assert seg_files
+    seg = pq.read_table(seg_files[0], columns=["term_hash", "alt"])
+    assert seg.num_rows > 0
+    import json
+    with open(idx + "/manifest.json") as fh:
+        assert json.load(fh).get("alt_layout") is True
+    # alt really is the second MD5 half of the hash's term
+    th0 = int(np.uint64(seg.column("term_hash")[0].as_py()))
+    alt0 = int(np.uint64(seg.column("alt")[0].as_py()))
+    by_hash = {H.token_hash64(t): H.token_hash_pair(t)[1]
+               for t in ("alpha", "beta", "gamma")}
+    assert by_hash[th0] == alt0
     t = pa.concat_tables([pq.read_table(f) for f in files])
     terms = set(t.column("term").to_pylist())
     assert terms == {"alpha", "beta", "gamma"}
@@ -84,3 +98,65 @@ def test_collision_detected_in_pipeline(ray_session):
     }))
     with pytest.raises(Exception, match="collision"):
         _vocab_aggregate(pairs).materialize()
+
+
+def test_prepack_inbatch_collision_raises(monkeypatch):
+    """Two distinct terms FORCED onto one 64-bit hash must fail inside
+    PrePackTokens (the in-batch adjacency check on the alt passenger)."""
+    import news_information_retrieval_system_ray.stages.indexing as IDX
+
+    real_pair = H.token_hash_pair
+
+    def fake_pair(tok):
+        if tok in ("alpha", "beta"):  # same hash, different alt
+            return (777, 1 if tok == "alpha" else 2)
+        return real_pair(tok)
+
+    monkeypatch.setattr(IDX, "token_hash_pair", fake_pair)
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "doc_len": pa.array([2, 2], pa.int64()),
+        "terms": pa.array([["alpha", "x"], ["beta", "y"]]),
+        "tfs": pa.array([[1, 1], [1, 1]], pa.list_(pa.int32())),
+    })
+    with pytest.raises(ValueError, match="collision"):
+        IDX.PrePackTokens(chunk_bits=8)(batch)
+    # sanity: without the forced collision the same batch packs fine
+    monkeypatch.setattr(IDX, "token_hash_pair", real_pair)
+    out = IDX.PrePackTokens(chunk_bits=8)(batch)
+    assert "alt" in out.column_names and out.num_rows > 0
+
+
+def test_alt_edge_check_interior_and_edges():
+    from news_information_retrieval_system_ray.pipelines.index_build import _alt_edge_check
+
+    ok = pa.table({"term_hash": pa.array([1, 1, 2, 3], pa.uint64()),
+                   "alt": pa.array([9, 9, 8, 7], pa.uint64())})
+    edges = _alt_edge_check(ok)
+    assert edges.column("term_hash").to_pylist() == [1, 3]  # first + last row
+    bad = pa.table({"term_hash": pa.array([1, 1, 2], pa.uint64()),
+                    "alt": pa.array([9, 5, 8], pa.uint64())})
+    with pytest.raises(ValueError, match="collision"):
+        _alt_edge_check(bad)
+
+
+def test_verify_alt_sorted_cross_block(ray_session, tmp_path):
+    """A collision whose conflicting rows sit in DIFFERENT parquet files
+    is caught by the driver-side boundary check."""
+    from news_information_retrieval_system_ray.pipelines.index_build import _verify_alt_sorted
+
+    d = tmp_path / "segs"
+    d.mkdir()
+    pq.write_table(pa.table({"term_hash": pa.array([5, 7], pa.uint64()),
+                             "alt": pa.array([1, 2], pa.uint64())}),
+                   str(d / "a.parquet"))
+    pq.write_table(pa.table({"term_hash": pa.array([7, 9], pa.uint64()),
+                             "alt": pa.array([3, 4], pa.uint64())}),
+                   str(d / "b.parquet"))
+    with pytest.raises(ValueError, match="collision"):
+        _verify_alt_sorted(str(d))
+    # consistent boundary rows pass
+    pq.write_table(pa.table({"term_hash": pa.array([7, 9], pa.uint64()),
+                             "alt": pa.array([2, 4], pa.uint64())}),
+                   str(d / "b.parquet"))
+    _verify_alt_sorted(str(d))
