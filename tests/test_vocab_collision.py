@@ -160,3 +160,24 @@ def test_verify_alt_sorted_cross_block(ray_session, tmp_path):
                              "alt": pa.array([2, 4], pa.uint64())}),
                    str(d / "b.parquet"))
     _verify_alt_sorted(str(d))
+
+
+def test_verify_alt_global_across_collections(ray_session, tmp_path):
+    """Append layout: base and append_* segment dirs are each sorted but
+    not mutually — an old-vs-new collision must fail the pairs groupby."""
+    from news_information_retrieval_system_ray.pipelines.index_build import _verify_alt_global
+
+    root = tmp_path / "segments"
+    (root / "append_1").mkdir(parents=True)
+    pq.write_table(pa.table({"term_hash": pa.array([5, 7], pa.uint64()),
+                             "alt": pa.array([1, 2], pa.uint64())}),
+                   str(root / "base.parquet"))
+    pq.write_table(pa.table({"term_hash": pa.array([3, 7], pa.uint64()),
+                             "alt": pa.array([6, 2], pa.uint64())}),
+                   str(root / "append_1" / "seg.parquet"))
+    _verify_alt_global(str(root))  # consistent: 7 -> alt 2 in both
+    pq.write_table(pa.table({"term_hash": pa.array([3, 7], pa.uint64()),
+                             "alt": pa.array([6, 9], pa.uint64())}),
+                   str(root / "append_1" / "seg.parquet"))
+    with pytest.raises(Exception, match="collision"):
+        _verify_alt_global(str(root))
