@@ -167,7 +167,8 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 
 def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                        group_starts: np.ndarray,
-                       block_size: int = BLOCK_SIZE) -> dict:
+                       block_size: int = BLOCK_SIZE,
+                       bounds: bool = True) -> dict:
     """Pack MANY posting lists in one vectorized pass.
 
     Input is the concatenation of posting lists ("runs"): within each run
@@ -190,6 +191,12 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                   block_max_tf, block_min_dl (int32),
                   and flattened bound pairs (block_off * BOUND_PAIRS
                   indexes them): block_bound_tf, block_bound_dl (int32).
+
+    ``bounds=False`` packs shuffle FRAGMENTS (PrePackTokens): only the
+    streams + block_len are emitted — the WAND metadata (Pareto bound
+    pairs, per-block extremes, per-block byte counts) is the dominant
+    pack cost and RepackFragments recomputes it from the decoded
+    streams anyway, so computing or shipping it pre-sort is pure waste.
     """
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs)   # int32 in the explode schema; any
@@ -224,8 +231,7 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         per_group = np.add.reduceat(lens, gs, dtype=np.int64)
         return np.concatenate(([0], np.cumsum(per_group)))
 
-    btf, bdl = _pareto_bound_pairs_gather(tfs, dls, bstarts, bends, block_size)
-    return {
+    r = {
         "df": glens,
         "cf": np.add.reduceat(tfs, gs, dtype=np.int64),
         "docs_all": docs_all,
@@ -235,16 +241,21 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         "tfs_off": _off(t_len),
         "dls_off": _off(l_len),
         "block_off": block_off,
-        "block_doc_nbytes": np.add.reduceat(d_len, bstarts, dtype=np.int32),
-        "block_tf_nbytes": np.add.reduceat(t_len, bstarts, dtype=np.int32),
-        "block_dl_nbytes": np.add.reduceat(l_len, bstarts, dtype=np.int32),
         "block_len": (bends - bstarts).astype(np.int32),
-        "block_last_doc": ids[bends - 1],
-        "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32, copy=False),
-        "block_min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32, copy=False),
-        "block_bound_tf": btf.astype(np.int32, copy=False),
-        "block_bound_dl": bdl.astype(np.int32, copy=False),
     }
+    if bounds:
+        btf, bdl = _pareto_bound_pairs_gather(tfs, dls, bstarts, bends, block_size)
+        r.update({
+            "block_doc_nbytes": np.add.reduceat(d_len, bstarts, dtype=np.int32),
+            "block_tf_nbytes": np.add.reduceat(t_len, bstarts, dtype=np.int32),
+            "block_dl_nbytes": np.add.reduceat(l_len, bstarts, dtype=np.int32),
+            "block_last_doc": ids[bends - 1],
+            "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32, copy=False),
+            "block_min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32, copy=False),
+            "block_bound_tf": btf.astype(np.int32, copy=False),
+            "block_bound_dl": bdl.astype(np.int32, copy=False),
+        })
+    return r
 
 
 def merge_packed(chunks: list[dict]) -> dict:

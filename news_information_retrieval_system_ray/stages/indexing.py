@@ -151,10 +151,15 @@ def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
                        tfs: np.ndarray, dls: np.ndarray, gs: np.ndarray,
                        schema: pa.Schema, *, block_size: int,
                        alt: np.ndarray | None = None) -> pa.Table:
-    """Vectorized pack of sorted runs -> one segments-schema Arrow table
-    (zero-copy binary/list columns from offset arrays).  ``alt`` (aligned
-    with ``th``) adds the collision-check passenger column when given."""
-    r = pack_postings_runs(ids, tfs, dls, gs, block_size=block_size)
+    """Vectorized pack of sorted runs -> one Arrow table following
+    ``schema`` (zero-copy binary/list columns from offset arrays).
+    Only the columns the schema names are computed: the FRAGMENT schema
+    (PrePackTokens) skips the whole WAND metadata family — the dominant
+    pack cost — which RepackFragments re-derives post-sort.  ``alt``
+    (aligned with ``th``) adds the collision-check passenger column."""
+    names = {f.name for f in schema}
+    r = pack_postings_runs(ids, tfs, dls, gs, block_size=block_size,
+                           bounds="block_bound_tf" in names)
     ng = gs.size
 
     def _binary(blob: bytes, off: np.ndarray) -> pa.Array:
@@ -173,28 +178,49 @@ def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
     def _blist(vals: np.ndarray, offsets=boff) -> pa.Array:
         return pa.ListArray.from_arrays(offsets, pa.array(vals))
 
-    cols = {
-        "term_hash": pa.array(th[gs]),
-        "chunk": pa.array(ch[gs].astype(np.int32)),
-        "first_doc": pa.array(ids[gs].astype(np.int64)),
-        "df": pa.array(r["df"]),
-        "cf": pa.array(r["cf"]),
-        "docs_bytes": _binary(r["docs_all"], r["docs_off"]),
-        "tfs_bytes": _binary(r["tfs_all"], r["tfs_off"]),
-        "dls_bytes": _binary(r["dls_all"], r["dls_off"]),
-        "block_doc_nbytes": _blist(r["block_doc_nbytes"]),
-        "block_tf_nbytes": _blist(r["block_tf_nbytes"]),
-        "block_dl_nbytes": _blist(r["block_dl_nbytes"]),
-        "block_len": _blist(r["block_len"]),
-        "block_last_doc": _blist(r["block_last_doc"]),
-        "block_max_tf": _blist(r["block_max_tf"]),
-        "block_min_dl": _blist(r["block_min_dl"]),
-        "block_bound_tf": _blist(r["block_bound_tf"], poff),
-        "block_bound_dl": _blist(r["block_bound_dl"], poff),
+    builders = {
+        "term_hash": lambda: pa.array(th[gs]),
+        "chunk": lambda: pa.array(ch[gs].astype(np.int32)),
+        "first_doc": lambda: pa.array(ids[gs].astype(np.int64)),
+        "df": lambda: pa.array(r["df"]),
+        "cf": lambda: pa.array(r["cf"]),
+        "docs_bytes": lambda: _binary(r["docs_all"], r["docs_off"]),
+        "tfs_bytes": lambda: _binary(r["tfs_all"], r["tfs_off"]),
+        "dls_bytes": lambda: _binary(r["dls_all"], r["dls_off"]),
+        "block_doc_nbytes": lambda: _blist(r["block_doc_nbytes"]),
+        "block_tf_nbytes": lambda: _blist(r["block_tf_nbytes"]),
+        "block_dl_nbytes": lambda: _blist(r["block_dl_nbytes"]),
+        "block_len": lambda: _blist(r["block_len"]),
+        "block_last_doc": lambda: _blist(r["block_last_doc"]),
+        "block_max_tf": lambda: _blist(r["block_max_tf"]),
+        "block_min_dl": lambda: _blist(r["block_min_dl"]),
+        "block_bound_tf": lambda: _blist(r["block_bound_tf"], poff),
+        "block_bound_dl": lambda: _blist(r["block_bound_dl"], poff),
+        "alt": lambda: pa.array(alt[gs]),
     }
-    if alt is not None:
-        cols["alt"] = pa.array(alt[gs])
-    return pa.table({f.name: cols[f.name].cast(f.type) for f in schema})
+    return pa.table({f.name: builders[f.name]().cast(f.type) for f in schema})
+
+
+def fragment_schema(with_alt: bool = True) -> pa.Schema:
+    """The pre-sort shuffle-FRAGMENT schema (PrePackTokens output): sort
+    keys + raw streams + block_len — everything RepackFragments actually
+    reads, and nothing else.  Dropping the WAND metadata (bound pairs,
+    per-block extremes/byte counts, cf) cuts ~40% of exchange row bytes
+    and ~60% of the map-side pack CPU; Repack re-derives it all from the
+    decoded streams for the final segments."""
+    fields = [
+        ("term_hash", pa.uint64()),
+        ("chunk", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("df", pa.int64()),
+        ("docs_bytes", pa.binary()),
+        ("tfs_bytes", pa.binary()),
+        ("dls_bytes", pa.binary()),
+        ("block_len", pa.list_(pa.int32())),
+    ]
+    if with_alt:
+        fields.append(("alt", pa.uint64()))
+    return pa.schema(fields)
 
 
 class PrePackTokens:
@@ -227,8 +253,7 @@ class PrePackTokens:
         self.emit_alt = emit_alt
         self._explode = ExplodeTokens(chunk_bits=chunk_bits, with_positions=False,
                                       emit_term=False, emit_alt=emit_alt)
-        self._out_schema = PackGroups(block_size, False)._schema(
-            with_term=False, with_alt=emit_alt)
+        self._out_schema = fragment_schema(with_alt=emit_alt)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ex = self._explode(batch)
@@ -303,8 +328,18 @@ class RepackFragments:
             return schema.empty_table()
         from ..functions.codecs import vbyte_decode
 
-        def _concat(col: str) -> bytes:
-            return b"".join(batch.column(col).to_pylist())
+        def _concat(col: str):
+            # zero-copy: a non-null pa.binary() column's values buffer IS
+            # the concatenation; slice it by the first/last offsets
+            a = batch.column(col)
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            if a.null_count:
+                return b"".join(a.to_pylist())
+            bufs = a.buffers()
+            off = np.frombuffer(bufs[1], dtype=np.int32,
+                                count=len(a) + 1, offset=a.offset * 4)
+            return memoryview(bufs[2])[int(off[0]):int(off[-1])]
 
         block_len = pc.list_flatten(batch.column("block_len")) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
