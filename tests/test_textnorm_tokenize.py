@@ -144,3 +144,20 @@ def test_sum_by_property_random_frames(ray_session):
         assert np.allclose(got["v"], expect["v"], atol=1e-9)
 
     check()
+
+
+def test_ws_collapse_equivalence():
+    """clean_text's split/join form must equal the reference regex form:
+    str.split()'s whitespace set == re \\s over every Unicode codepoint,
+    and the collapse+strip outputs match on adversarial samples."""
+    import re
+
+    ws = re.compile(r"\s+")
+    mismatch = [cp for cp in range(0x110000)
+                if bool(ws.match(chr(cp))) != chr(cp).isspace()]
+    assert mismatch == []
+    from news_information_retrieval_system_ray.functions.textnorm import clean_text
+    samples = ["", "  ", "a", " a  b\tc\nd　e f ", "\x85x\x1c y",
+               "多  空格 行", "\v\f mixed \r\n"]
+    for s in samples:
+        assert clean_text(s) == ws.sub(" ", s).strip()
