@@ -126,6 +126,7 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
         p50 = lats[len(lats) // 2]
         p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
         naive_lats, naive_cold_s, _ = measure("naive")
+        auto_lats, _, _ = measure("auto")  # per-query metadata dispatch
 
         # query THROUGHPUT: one searcher actor per CPU, each hammering the
         # reference query set — how a cluster actually serves queries
@@ -198,6 +199,7 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
             "query_p50_ms": round(p50 * 1e3, 2),
             "query_p99_ms": round(p99 * 1e3, 2),
             "query_naive_p50_ms": round(naive_lats[len(naive_lats) // 2] * 1e3, 2),
+            "query_auto_p50_ms": round(auto_lats[len(auto_lats) // 2] * 1e3, 2),
             "query_qps": round(qps, 1),
             "n_results": n_results,
         }
@@ -256,6 +258,7 @@ def main_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
         "query_p50_ms": head["query_p50_ms"],
         "query_p99_ms": head["query_p99_ms"],
         "query_naive_p50_ms": head["query_naive_p50_ms"],
+        "query_auto_p50_ms": head["query_auto_p50_ms"],
         "query_qps": head["query_qps"],
     }
     ray.shutdown()

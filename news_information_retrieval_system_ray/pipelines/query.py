@@ -256,7 +256,16 @@ class IndexSearcher:
         """Top-k (doc_id, BM25 score), canonical order.
 
         ``expand_synonyms`` applies the reference's query-side synonym
-        map (text_quality.py:90-177) before scoring."""
+        map (text_quality.py:90-177) before scoring.
+
+        ``method="auto"`` dispatches per query between WAND and the
+        exhaustive kernel from block metadata alone (both are exact and
+        rank-identical, so the dispatch only affects latency): WAND's
+        range pruning can fire only when block upper bounds VARY — if
+        the weighted typical (median) bound is within 10% of the
+        weighted max bound, no range can fall usefully below theta and
+        WAND's range-partition overhead is pure loss, so score
+        exhaustively instead."""
         q_tokens = self._query_terms(query)
         if expand_synonyms:
             from ..functions.synonyms import expand_terms
@@ -264,11 +273,27 @@ class IndexSearcher:
             q_tokens = expand_terms(q_tokens)
         if not q_tokens:
             return []
+        if method == "auto":
+            tw = self._term_weights(q_tokens)
+            if not tw:
+                return []
+            method = "wand" if self._wand_prunable(tw) else "naive"
         if method == "wand":
             return self._search_wand(q_tokens, k)
         if method == "maxscore":
             return self._search_maxscore(q_tokens, k)
         return self._search_naive(q_tokens, k)
+
+    def _wand_prunable(self, tw: list[tuple[str, float]]) -> bool:
+        """Metadata-only WAND-pays-off test for method="auto"."""
+        hi = typ = 0.0
+        for t, w in tw:
+            tp = self._term(t)
+            if tp is None or tp.n_blocks == 0:
+                continue
+            hi += w * tp.max_base_ub
+            typ += w * tp.med_base_ub
+        return hi > 0.0 and typ < 0.9 * hi
 
     def _term_weights(self, q_tokens: list[str]) -> list[tuple[str, float]]:
         """Unique terms with qtf * idf weight (duplicates contribute multiply)."""
@@ -649,9 +674,13 @@ class _TermPostings:
             pair_w = np.where(b_tf > 0, tf_weight(b_tf, b_dl, avgdl, k1, b), 0.0)
             self.block_base_ub = pair_w.reshape(self.n_blocks, -1).max(axis=1)
             self.max_base_ub = float(self.block_base_ub.max())
+            # typical (median) block bound — the method="auto" dispatch
+            # statistic; query-independent, so computed once per term
+            self.med_base_ub = float(np.median(self.block_base_ub))
         else:
             self.block_base_ub = b_tf
             self.max_base_ub = 0.0
+            self.med_base_ub = 0.0
         self.n_blocks_loaded = 0
         self._avgdl, self._k1, self._b = avgdl, k1, b
         self._len_off = np.concatenate(

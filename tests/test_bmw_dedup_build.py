@@ -67,3 +67,20 @@ def test_dedup_first_build(ray_session, tmp_path):
     ids2, _, _ = s.postings("delta")
     assert list(ids2) == [1]
     assert list(s.postings("unique")[0]) == [5]
+
+
+def test_auto_dispatch(skewed_index):
+    """method='auto' must (a) return rank-identical results, (b) pick
+    WAND on the skewed (prunable) query and naive on a flat one."""
+    s = skewed_index
+    assert s.search("common peaky", k=4, method="auto") \
+        == s.search("common peaky", k=4, method="naive")
+    # skewed query: bounds vary -> dispatch says prunable
+    tw = s._term_weights(s._query_terms("common peaky"))
+    assert s._wand_prunable(tw) is True
+    # flat query: 'common' alone has tf~1 everywhere except spikes...
+    # w-terms have uniform tf=1 -> median == max -> not prunable
+    tw_flat = s._term_weights(s._query_terms("w1 w2"))
+    assert s._wand_prunable(tw_flat) is False
+    assert s.search("w1 w2", k=4, method="auto") \
+        == s.search("w1 w2", k=4, method="naive")
