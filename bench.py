@@ -169,14 +169,16 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
                 # sandbox node shares across all workers but a real
                 # cluster does not.
                 for q in qs:
-                    self.s.search(q, k=10, method="wand")
+                    self.s.search(q, k=10, method="auto")
 
             def run(self, seconds: float) -> int:
                 n = 0
                 t0 = time.perf_counter()
                 while time.perf_counter() - t0 < seconds:
                     for q in self.queries:
-                        self.s.search(q, k=10, method="wand")
+                        # serving uses the per-query metadata dispatch
+                        # (exact + rank-identical; picks the faster kernel)
+                        self.s.search(q, k=10, method="auto")
                         n += 1
                         if time.perf_counter() - t0 >= seconds:
                             break
