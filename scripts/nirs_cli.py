@@ -3,7 +3,7 @@ build_indexes.py / build_incremental_index.py / run_test_queries.py).
 
   python scripts/nirs_cli.py build  --input DIR --index DIR [--engine E] [--html]
   python scripts/nirs_cli.py append --input DIR --index DIR
-  python scripts/nirs_cli.py search --index DIR --query "..." [--method wand] [-k 10]
+  python scripts/nirs_cli.py search --index DIR --query "..." [--method auto] [-k 10]
   python scripts/nirs_cli.py bool   --index DIR --query "a AND (b OR c)"
 
 Owns its Ray session (guarded init; the library never calls ray.init).
@@ -55,7 +55,7 @@ def main() -> int:
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
-    s.add_argument("--method", default="wand", choices=["naive", "wand", "maxscore"])
+    s.add_argument("--method", default="auto", choices=["auto", "naive", "wand", "maxscore"])
     s.add_argument("-k", type=int, default=10)
 
     q = sub.add_parser("bool")
