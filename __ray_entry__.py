@@ -15,6 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from news_information_retrieval_system_ray.pipelines import analytics as A
+from news_information_retrieval_system_ray.pipelines import corpus_build as CB
 from news_information_retrieval_system_ray.pipelines import ltr as L
 from news_information_retrieval_system_ray.pipelines import recommend as RC
 from news_information_retrieval_system_ray.pipelines import bertopic as BT
@@ -226,6 +227,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_date_ranges": A.facet_date_ranges,
         # cleaning / dates / feedback
         "clean_corpus": A.clean_corpus,
+        # unified-corpus ETL (corpus_builder.py:91-231): normalize_record
+        # fallback chains + blocked/validation + first-wins dedup +
+        # per-source/global caps (rows), per-source counters, and the
+        # global invalid_reasons tally
+        "corpus_build": CB.corpus_build,
+        "corpus_build_stats": CB.corpus_build_stats,
+        "corpus_invalid_reasons": CB.corpus_invalid_reasons,
         "corpus_audit": A.corpus_audit,
         "standardize_dates": A.standardize_dates,
         "rocchio_topk": A.rocchio_topk,
@@ -474,6 +482,161 @@ def _taxonomy_sql() -> str:
                'news/' || c.topic || '/' || c.leaf AS taxonomy_path
         FROM cls c LEFT JOIN tlab t ON t.topic = c.topic
         ORDER BY c.doc_id"""
+
+
+def _corpus_build_cte() -> str:
+    """Shared CTE prefix replicating pipelines/corpus_build: the fixture
+    derivation arithmetic (derive_raw_batch), the normalize_record
+    fallback chains COALESCED to their effective values (the slot
+    rotation only exercises the Python chain; the result is the same
+    field), blocked/validation flags, the dedup hash
+    (data_contract.py:80-89), and the taxonomy joins (vendored tables
+    generated from functions/taxonomy so they cannot drift)."""
+    from news_information_retrieval_system_ray.functions.taxonomy import (
+        CATEGORY_ALIASES, SOURCE_LABELS)
+    from news_information_retrieval_system_ray.pipelines.analytics import (
+        TAX_CATS, TAX_SRCS)
+
+    cats = ", ".join(f"({i}, '{c}')" for i, c in enumerate(TAX_CATS))
+    srcs = ", ".join(f"({i}, '{s}')" for i, s in enumerate(TAX_SRCS))
+    slab = ", ".join(f"('{k}', '{v}')" for k, v in SOURCE_LABELS.items())
+    amap = ", ".join(f"('{k}', '{t}', '{l}')"
+                     for k, (t, l) in CATEGORY_ALIASES.items() if k)
+    return f"""
+        WITH cats(i, cat) AS (VALUES {cats}),
+        srcs(j, src) AS (VALUES {srcs}),
+        slab(code, label) AS (VALUES {slab}),
+        amap(a, topic, leaf) AS (VALUES {amap}),
+        raw AS (
+          SELECT d.doc_id AS k, d.doc_id AS seq,
+                 CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 1
+                      ELSE d.doc_id END AS dup_key,
+                 d.text AS dtext, c.cat AS cat, s.src AS src
+          FROM documents d
+          JOIN cats c ON c.i = d.doc_id % 12
+          JOIN srcs s ON s.j = d.doc_id % 9),
+        fld AS (
+          SELECT *,
+            trim(coalesce(CASE WHEN k % 29 = 0 THEN 'Sorry, You Have Been Blocked'
+                               WHEN k % 17 = 0 THEN NULL
+                               WHEN k % 23 = 0 THEN 'x'
+                               ELSE 'doc ' || CAST(dup_key AS VARCHAR) END, '')) AS title,
+            trim(coalesce(CASE WHEN k % 13 = 0 THEN NULL
+                               WHEN k % 19 = 0 THEN substr(dtext, 1, 10)
+                               ELSE dtext END, '')) AS content,
+            CASE WHEN k % 11 = 0 THEN
+                   CASE WHEN k % 10 = 0 THEN 'yahoo'
+                        WHEN src = 'dcard' THEN 'dcard'
+                        ELSE 'corpus' END
+                 ELSE src END AS rsrc,
+            CASE WHEN k % 10 = 0 THEN 'data/raw/yahoo_finance_2024.jsonl'
+                 ELSE 'data/processed/corpus_' || src || '.jsonl' END AS origin_path,
+            CASE WHEN k % 31 = 0 THEN NULL
+                 ELSE 'https://news.example.com/' || CAST(dup_key AS VARCHAR) END AS url,
+            CASE WHEN k % 8 = 5 THEN 'talk' ELSE cat END AS category,
+            CASE WHEN k % 8 = 5 THEN '熱門看板' ELSE '' END AS category_name,
+            CASE WHEN k % 8 = 5 THEN '熱門看板' ELSE NULL END AS forum_name,
+            CASE WHEN k % 4 = 0 THEN 'AI|台積電'
+                 WHEN k % 4 = 2 THEN 'topic' || CAST(k AS VARCHAR)
+                 ELSE '' END AS tags,
+            '2024-01-' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0') AS published_date,
+            CASE WHEN k % 5 = 0 THEN 'au' || CAST(k AS VARCHAR)
+                 WHEN k % 5 = 1 THEN 'sch' || CAST(k AS VARCHAR)
+                 ELSE '' END AS author
+          FROM raw),
+        st AS (
+          SELECT *,
+            CASE WHEN k % 21 = 1 THEN 'H' || CAST(dup_key AS VARCHAR)
+                 ELSE md5(lower(title) || '||' || lower(coalesce(url, ''))) END AS dedup_hash,
+            (CASE WHEN title = '' THEN 1 ELSE 0 END)
+              + (CASE WHEN content = '' THEN 1 ELSE 0 END) AS n_missing,
+            CASE WHEN title <> '' AND length(title) < 2 THEN 1 ELSE 0 END AS tshort,
+            CASE WHEN content <> '' AND length(content) < 20 THEN 1 ELSE 0 END AS cshort,
+            CASE WHEN lower(title) = 'sorry, you have been blocked' THEN 'blocked'
+                 WHEN (CASE WHEN title = '' THEN 1 ELSE 0 END)
+                      + (CASE WHEN content = '' THEN 1 ELSE 0 END)
+                      + (CASE WHEN title <> '' AND length(title) < 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN content <> '' AND length(content) < 20 THEN 1 ELSE 0 END) > 0
+                 THEN 'invalid' ELSE 'valid' END AS status
+          FROM fld)"""
+
+
+def _corpus_build_sql() -> str:
+    """Survivor rows: taxonomy-normalized candidates, first-wins dedup
+    (row_number over dedup_hash among valid), per-source cap, global cap
+    — all in seq (arrival) order."""
+    from news_information_retrieval_system_ray.functions.taxonomy import TOPIC_LABELS
+    from news_information_retrieval_system_ray.pipelines.corpus_build import (
+        CAP_PER_SOURCE, CAP_TOTAL)
+
+    tlab = ", ".join(f"('{k}', '{v}')" for k, v in TOPIC_LABELS.items())
+    return _corpus_build_cte() + f""",
+        tlab(topic, label) AS (VALUES {tlab}),
+        cand AS (
+          SELECT s.*,
+            CASE WHEN lower(rsrc) = 'yahoo' THEN 'Yahoo'
+                 WHEN lower(rsrc) = 'cna' THEN 'cna' ELSE rsrc END AS code
+          FROM st s WHERE status = 'valid'),
+        tax AS (
+          SELECT c.*,
+            coalesce(c.forum_name, sl.label, c.code) AS source_name,
+            coalesce(sl.label, c.forum_name, c.code) AS source_label,
+            CASE WHEN k % 10 = 0 THEN 'business'
+                 ELSE coalesce(a1.topic, a2.topic, a3.topic, a4.topic, 'other') END AS topic,
+            CASE WHEN k % 10 = 0 THEN 'finance'
+                 ELSE coalesce(a1.leaf, a2.leaf, a3.leaf, a4.leaf, 'unknown') END AS leaf
+          FROM cand c
+          LEFT JOIN slab sl ON sl.code = c.code
+          LEFT JOIN amap a1 ON a1.a = c.category
+          LEFT JOIN amap a2 ON a2.a = lower(c.category)
+          LEFT JOIN amap a3 ON a3.a = c.category_name
+          LEFT JOIN amap a4 ON a4.a = lower(c.category_name)),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY dedup_hash ORDER BY seq) AS rhash
+               FROM tax),
+        kp AS (SELECT *, row_number() OVER (PARTITION BY rsrc ORDER BY seq) AS rsn
+               FROM rk WHERE rhash = 1),
+        cp AS (SELECT *, row_number() OVER (ORDER BY seq) AS rglob
+               FROM kp WHERE rsn <= {CAP_PER_SOURCE})
+        SELECT seq,
+               CASE WHEN k % 6 IN (0, 1) THEN 'A' || CAST(k AS VARCHAR)
+                    WHEN k % 6 IN (2, 3) THEN 'P' || CAST(k AS VARCHAR)
+                    ELSE dedup_hash END AS article_id,
+               url, code AS source, source_name, source_label, title, content,
+               author, published_date, category, category_name, tags,
+               CASE WHEN lower(rsrc) = 'dcard' THEN 'forum_post'
+                    ELSE 'news_article' END AS content_type,
+               cp.topic AS taxonomy_topic,
+               coalesce(tl.label, '其他 Other') AS taxonomy_label,
+               'news/' || cp.topic || '/' || leaf AS taxonomy_path,
+               origin_path, dedup_hash
+        FROM cp LEFT JOIN tlab tl ON tl.topic = cp.topic
+        WHERE rglob <= {CAP_TOTAL} ORDER BY seq"""
+
+
+def _corpus_stats_sql() -> str:
+    """Per-source scanned/written(uncapped keepers)/invalid/duplicates."""
+    return _corpus_build_cte() + """,
+        rk AS (SELECT seq, row_number() OVER (PARTITION BY dedup_hash ORDER BY seq) AS rhash
+               FROM st WHERE status = 'valid')
+        SELECT s.rsrc AS source,
+               CAST(count(*) AS BIGINT) AS scanned,
+               CAST(coalesce(sum(CASE WHEN r.rhash = 1 THEN 1 END), 0) AS BIGINT) AS written,
+               CAST(sum(CASE WHEN s.status <> 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS invalid,
+               CAST(coalesce(sum(CASE WHEN r.rhash > 1 THEN 1 END), 0) AS BIGINT) AS duplicates
+        FROM st s LEFT JOIN rk r ON r.seq = s.seq
+        GROUP BY s.rsrc ORDER BY s.rsrc"""
+
+
+def _corpus_reasons_sql() -> str:
+    """Global invalid_reasons tally: BLOCKED_PAGE for blocked rows; all
+    issue codes of each invalid record (corpus_builder.py:218-222)."""
+    return _corpus_build_cte() + """
+        SELECT code, CAST(n AS BIGINT) AS n FROM (
+          SELECT 'BLOCKED_PAGE' AS code, count(*) AS n FROM st WHERE status = 'blocked'
+          UNION ALL SELECT 'MISSING_FIELD', sum(n_missing) FROM st WHERE status = 'invalid'
+          UNION ALL SELECT 'TITLE_TOO_SHORT', sum(tshort) FROM st WHERE status = 'invalid'
+          UNION ALL SELECT 'CONTENT_TOO_SHORT', sum(cshort) FROM st WHERE status = 'invalid'
+        ) WHERE n > 0 ORDER BY code"""
 
 
 _FEEDBACK_CTE = """
@@ -2649,6 +2812,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": _CTE + f"""
             SELECT doc_id FROM norm
             WHERE (' ' || t || ' ') LIKE '% {" ".join(A.PHRASE)} %'""",
+        "corpus_build": _corpus_build_sql(),
+        "corpus_build_stats": _corpus_stats_sql(),
+        "corpus_invalid_reasons": _corpus_reasons_sql(),
         "clean_corpus": r"""
             SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_clean
             FROM documents

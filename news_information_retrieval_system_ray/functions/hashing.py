@@ -33,8 +33,9 @@ def content_hash(title: str, content: str) -> str:
 
 
 def dedup_hash(title: str, url: str) -> str:
-    """App-level dedup key hash(title+url) (data_contract.py:80-90)."""
-    return md5_hex(f"{title}{url}")
+    """App-level dedup key MD5(strip-lower(title) || '||' ||
+    strip-lower(url)) (data_contract.py:80-89 compute_dedup_hash)."""
+    return md5_hex(f"{(title or '').strip().lower()}||{(url or '').strip().lower()}")
 
 
 @lru_cache(maxsize=1 << 20)
