@@ -341,7 +341,11 @@ def build_corpus(raw_ds, *, max_docs: int | None = None,
 
     reasons = (norm.map_batches(_reasons, batch_format="pyarrow")
                .groupby("code").aggregate(Sum("n", alias_name="n"))
-               .to_pandas().sort_values("code").reset_index(drop=True))
+               .to_pandas())
+    if "code" not in reasons.columns:  # all-valid input -> empty aggregate
+        reasons = pd.DataFrame({"code": pd.Series(dtype=str),
+                                "n": pd.Series(dtype=np.int64)})
+    reasons = reasons.sort_values("code").reset_index(drop=True)
     reasons["n"] = reasons["n"].astype(np.int64)
 
     return survivors, stats, reasons
@@ -469,3 +473,54 @@ def corpus_invalid_reasons(sf_dir: str) -> pd.DataFrame:
     record (corpus_builder.py:218-222,346-355)."""
     _, _, reasons = build_corpus(_raw_ds(sf_dir))
     return reasons
+
+
+def read_raw_records(path: str | list[str], columns: list[str] | None = None):
+    """Raw crawler records parquet -> Dataset with the deterministic
+    arrival-order ``seq`` column (sorted input fragments x row offset —
+    the reference's sorted-file x line order, corpus_builder.py:110-125),
+    unless the input already carries ``seq``."""
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import list_input_files, read_with_doc_ids
+
+    files = list_input_files(path)
+    has_seq = "seq" in set(pq.read_schema(files[0]).names)
+    ds = read_with_doc_ids(files, columns,
+                           id_col="seq" if has_seq else None)
+    if not has_seq:
+        ds = ds.map_batches(
+            lambda t: t.rename_columns(
+                ["seq" if c == "doc_id" else c for c in t.column_names]),
+            batch_format="pyarrow")
+    return ds
+
+
+def write_corpus(survivors, out_dir: str, stats: pd.DataFrame | None = None,
+                 reasons: pd.DataFrame | None = None) -> None:
+    """Write the unified corpus hive-partitioned by ``source`` with an
+    atomic tmp+rename promote (the index-sink convention: a failed run
+    leaves no half-written corpus), plus the build report
+    (CorpusBuilder.build report_path, corpus_builder.py:147-155)."""
+    import json
+    import os
+    import shutil
+
+    tmp = out_dir.rstrip("/") + ".tmp_write"
+    shutil.rmtree(tmp, ignore_errors=True)
+    survivors.write_parquet(tmp, partition_cols=["source"])
+    report = {}
+    if stats is not None:
+        report["by_source"] = stats.set_index("source").to_dict("index")
+        report["scanned"] = int(stats["scanned"].sum())
+        report["written"] = int(stats["written"].sum())
+        report["invalid"] = int(stats["invalid"].sum())
+        report["duplicates"] = int(stats["duplicates"].sum())
+    if reasons is not None:
+        report["invalid_reasons"] = dict(
+            zip(reasons["code"], (int(n) for n in reasons["n"])))
+    # "_" prefix: parquet dataset discovery ignores the report file
+    with open(os.path.join(tmp, "_build_report.json"), "w", encoding="utf-8") as f:
+        json.dump(report, f, ensure_ascii=False, indent=2)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)

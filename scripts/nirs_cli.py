@@ -5,6 +5,7 @@ build_indexes.py / build_incremental_index.py / run_test_queries.py).
   python scripts/nirs_cli.py append --input DIR --index DIR
   python scripts/nirs_cli.py search --index DIR --query "..." [--method auto] [-k 10]
   python scripts/nirs_cli.py bool   --index DIR --query "a AND (b OR c)"
+  python scripts/nirs_cli.py corpus --input RAW --out DIR [--max-docs N] [--cap-per-source N]
 
 Owns its Ray session (guarded init; the library never calls ray.init).
 """
@@ -62,6 +63,12 @@ def main() -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--query", required=True)
 
+    c = sub.add_parser("corpus", help="unified-corpus ETL (normalize, dedup, caps)")
+    c.add_argument("--input", required=True, help="raw crawler records parquet (file or dir)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--max-docs", type=int, default=None)
+    c.add_argument("--cap-per-source", type=int, default=None)
+
     args = ap.parse_args()
     if args.cmd == "build":
         _ray_init()
@@ -81,6 +88,19 @@ def main() -> int:
         r = append_index(args.index, args.input)
         print(json.dumps({"n_docs": r.n_docs, "avg_doc_length": round(r.avg_doc_length, 4),
                           "posting_rows": r.n_posting_rows}))
+    elif args.cmd == "corpus":
+        _ray_init()
+        from news_information_retrieval_system_ray.pipelines.corpus_build import (
+            build_corpus, read_raw_records, write_corpus)
+
+        surv, stats, reasons = build_corpus(
+            read_raw_records(args.input), max_docs=args.max_docs,
+            max_docs_per_source=args.cap_per_source)
+        write_corpus(surv, args.out, stats, reasons)
+        print(json.dumps({"written": int(stats["written"].sum()),
+                          "scanned": int(stats["scanned"].sum()),
+                          "invalid": int(stats["invalid"].sum()),
+                          "duplicates": int(stats["duplicates"].sum())}))
     elif args.cmd == "search":
         from news_information_retrieval_system_ray.pipelines.query import IndexSearcher
 

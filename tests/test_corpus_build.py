@@ -133,3 +133,38 @@ def test_build_corpus_global_cap(tiny_raw):
     got = surv.to_pandas().sort_values("seq")
     # keepers 0,2,4,5 in arrival order -> first 2
     assert got["seq"].tolist() == [0, 2]
+
+
+def test_etl_file_roundtrip(ray_session, tmp_path):
+    """parquet raw records -> read_raw_records (derived seq) ->
+    build_corpus -> write_corpus (hive partitions + report) -> reread."""
+    import json
+
+    import pyarrow.parquet as pq
+    from ray.data import read_parquet
+
+    from news_information_retrieval_system_ray.pipelines.corpus_build import (
+        read_raw_records, write_corpus)
+
+    raw = pa.table({
+        "title": pa.array([f"title {i}" for i in range(6)] + ["title 2"]),
+        "content": pa.array(["c" * 30] * 7),
+        "source": pa.array(["A", "A", "B", "B", "A", "B", "B"]),
+        "url": pa.array([f"u{i}" for i in range(6)] + ["u2"]),  # row 6 dups row 2
+    })
+    src = tmp_path / "raw"
+    src.mkdir()
+    pq.write_table(raw, src / "part-0.parquet")
+
+    ds = read_raw_records(str(src))
+    assert "seq" in ds.schema().names
+    surv, stats, reasons = build_corpus(ds, num_partitions=2)
+    out = tmp_path / "corpus"
+    write_corpus(surv, str(out), stats, reasons)
+
+    assert (out / "_build_report.json").exists()
+    rep = json.loads((out / "_build_report.json").read_text())
+    assert rep["written"] == 6 and rep["duplicates"] == 1
+    back = read_parquet(str(out)).to_pandas()
+    assert len(back) == 6
+    assert set(back["source"]) == {"A", "B"}  # hive partition column survives
