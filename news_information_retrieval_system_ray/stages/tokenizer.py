@@ -68,6 +68,9 @@ class TokenizeStage:
             self.stops: frozenset[str] = load_stopwords(stopword_lang)
         else:
             self.stops = frozenset()
+        # per-actor key->term decode memo for the vectorized cjk path
+        # (webtext vocab repeats across batches; see fast_tokenize)
+        self._decode_cache: dict[int, str] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if (not self.with_positions and self.engine in ("cjk_bigram", "whitespace")
@@ -160,10 +163,8 @@ class TokenizeStage:
             col = col.combine_chunks()
         n = batch.num_rows
         texts = ["" if t is None else t for t in col.to_pylist()]
-        pair_doc, pair_key, pair_tf, key_to_term, fb = tokenize_batch(texts)
-        uniq = np.unique(pair_key)
-        vocab: list[str] = [key_to_term[k] for k in uniq.tolist()]
-        term_idx = np.searchsorted(uniq, pair_key).astype(np.int64)
+        pair_doc, term_idx, pair_tf, vocab, fb = tokenize_batch(
+            texts, decode_cache=self._decode_cache)
         if fb.size:
             vpos = {t: i for i, t in enumerate(vocab)}
             add_d: list[int] = []
@@ -213,8 +214,7 @@ class TokenizeStage:
         if self.emit_hashpairs:
             from ..functions.hashing import token_hash_pair
 
-            vset = sorted(set(np.asarray(term_idx).tolist()))
-            uniq_terms = [vocab[i] for i in vset]
+            uniq_terms = [vocab[i] for i in np.unique(term_idx).tolist()]
             pairs = np.fromiter(
                 (h for t in uniq_terms for h in token_hash_pair(t)),
                 dtype=np.uint64, count=2 * len(uniq_terms)).view(np.int64)
