@@ -52,12 +52,18 @@ class ExtractNormalize:
         # NFKC is the identity on every such codepoint, so the chain is
         # 臺→台 + lower + ASCII-\s collapse + strip — Arrow kernels, no
         # per-doc unicodedata.normalize
+        # extract_text_from_html output is already whitespace-collapsed
+        # and stripped (clean_text per paragraph / the equivalent single
+        # collapse), and neither 臺→台 nor lower() introduces whitespace,
+        # so the collapse+trim kernels are provably no-ops on the HTML
+        # path — skip them (they were ~60% of the vectorized normalize).
+        pre_collapsed = self.use_html and self.html_col in batch.column_names
         simple = pc.match_substring_regex(texts_arr, self._SIMPLE)
         if pc.all(simple).as_py():
-            norms_arr = self._normalize_vec(texts_arr)
+            norms_arr = self._normalize_vec(texts_arr, pre_collapsed)
         else:
             smask = simple.to_pylist()
-            vec = self._normalize_vec(texts_arr).to_pylist()
+            vec = self._normalize_vec(texts_arr, pre_collapsed).to_pylist()
             norms_arr = pa.array(
                 [vec[i] if ok else normalize_text(texts[i])
                  for i, ok in enumerate(smask)], pa.string())
@@ -70,10 +76,12 @@ class ExtractNormalize:
         return pa.table(cols)
 
     @staticmethod
-    def _normalize_vec(texts: pa.Array) -> pa.Array:
+    def _normalize_vec(texts: pa.Array, pre_collapsed: bool = False) -> pa.Array:
         import pyarrow.compute as pc
 
         t = pc.replace_substring(texts, "臺", "台")
         t = pc.utf8_lower(t)
+        if pre_collapsed:
+            return t
         t = pc.replace_substring_regex(t, "[\\t\\n\\x0b\\f\\r ]+", " ")
         return pc.utf8_trim(t, " ")

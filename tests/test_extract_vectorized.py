@@ -63,3 +63,50 @@ def test_extract_real_corpus_file_parity():
     want = [extract_text_from_html(h) for h in htmls]
     assert out.column("text").to_pylist() == want
     assert out.column("text_norm").to_pylist() == [normalize_text(w) for w in want]
+
+
+def test_extract_split_scan_parity_adversarial():
+    """The split-scan fast path must be byte-identical to the regex loop
+    (textnorm._extract_regex) on every shape, including the ones that
+    force its exact-fallback guards."""
+    from news_information_retrieval_system_ray.functions.textnorm import _extract_regex
+
+    cases = [
+        # mixed-case tags (re.I in the regex) -> case guard fallback
+        "<P>upper open</P>",
+        "<p>lower open, upper close</P>",
+        "<P attr='x'>upper with attr</P><p>then lower</p>",
+        # opener whose tag never closes inside its segment: the regex tag
+        # [^>]*> swallows the first </p>'s '>' and the match spans
+        # segments -> pathological-guard fallback
+        "<p foo</p>bar</p>",
+        "<p attr\nnever-closes</p>tail</p>",
+        # opener candidates the regex skips (<pre>, <param...) before a
+        # real one
+        "<pre>skip me</pre><p>real</p>",
+        "<param x><p>after param</p>",
+        "<p　ideographic-space attr>unicode ws in tag</p>",
+        # empty / whitespace-only paragraphs, nested openers, tags inside
+        "<p></p><p> \t </p><p>keep</p>",
+        "<p>a<p>b</p>",
+        "<p>x <b>y</b> z</p><p>w</p>",
+        # stray closers / openers with no partner
+        "</p></p><p>only</p>",
+        "<p>unclosed at end",
+        "text </p> then <p>ok</p>",
+        # multi-paragraph whitespace variety (per-para vs per-doc collapse)
+        "<p>a  b</p><p></p><p>  c\nd  </p><p>\te\t</p>",
+    ]
+    for h in cases:
+        assert extract_text_from_html(h) == _extract_regex(h), h
+
+
+def test_normalize_vec_precollapsed_skip_is_noop():
+    """pre_collapsed=True must equal the full chain whenever the input is
+    already collapsed+stripped (the HTML-extract invariant)."""
+    texts = pa.array(
+        ["already collapsed text", "", "臺灣 MIXED Case 中文",
+         "single", "a b c 中 文"], pa.string())
+    full = ExtractNormalize._normalize_vec(texts, False)
+    fast = ExtractNormalize._normalize_vec(texts, True)
+    assert full.equals(fast)
