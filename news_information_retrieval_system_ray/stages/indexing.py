@@ -266,10 +266,21 @@ class PrePackTokens:
         tfs = ex.column("tf").to_numpy(zero_copy_only=False)
         dls = ex.column("dl").to_numpy(zero_copy_only=False)
         # run id per row: maximal contiguous intervals of this batch's docs
-        u = np.unique(ids)
-        run_of_u = np.concatenate(([0], np.cumsum(np.diff(u) > 1)))
-        runs = run_of_u[np.searchsorted(u, ids)]
-        order = np.lexsort((ids, runs, ch, th.view(np.int64)))
+        d = np.diff(ids)
+        if ids.size < 2 or bool((d >= 0).all()):
+            # build path: explode preserves row order and the tokens table
+            # is read by ascending doc_id, so ids are nondecreasing —
+            # runs are a direct cumsum, and ONE stable argsort on the
+            # hash gives the full (th, chunk, run, doc) order for free
+            # (chunk = doc>>bits and run index are both monotone in
+            # doc_id, so stability supplies the remaining three keys)
+            runs = np.concatenate(([0], np.cumsum(d > 1)))
+            order = np.argsort(th.view(np.int64), kind="stable")
+        else:
+            u = np.unique(ids)
+            run_of_u = np.concatenate(([0], np.cumsum(np.diff(u) > 1)))
+            runs = run_of_u[np.searchsorted(u, ids)]
+            order = np.lexsort((ids, runs, ch, th.view(np.int64)))
         th, ch, ids, tfs, dls, runs = (a[order] for a in (th, ch, ids, tfs, dls, runs))
         alt = None
         if self.emit_alt:
