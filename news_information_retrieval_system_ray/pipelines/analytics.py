@@ -293,40 +293,69 @@ def _bm25_scores_over(ex_full, n_docs: int, avgdl: float,
                       term_to_qids: dict[str, list[str]]):
     """Same scoring over an arbitrary (doc_id, term, tf, dl) exploded
     stream (e.g. the field-weighted one)."""
-    from ray.data.aggregate import Count, Sum
-
     qterms = sorted(term_to_qids)
     ex = ex_full.map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
         batch_format="pyarrow",
     ).materialize()  # small: query-term postings only
-    dfs = {r["term"]: int(r["df"]) for r in
-           ex.groupby("term").aggregate(Count(alias_name="df")).take_all()}
+    # per-batch partial counts + tiny merge (_sum_by) instead of Ray's
+    # sort-based aggregate — same ~7 us/row overhead reason as _sum_by's
+    # docstring; query-term postings are 1e5+ rows at bench scale
+    dft = _sum_by(ex.select_columns(["term"]), ("term",), (),
+                  counts=("df",)).to_pandas()
+    dfs = dict(zip(dft["term"], dft["df"].astype(int)))
+
+    # per-term expansion tables (tiny: |query vocab|): idf, the flat
+    # qid-code list and its offsets — score_batch then runs fully
+    # vectorized (dictionary-encode rows, repeat by each term's qid
+    # count, gather qids from the flat list)
+    qid_strings = sorted({q for qs in term_to_qids.values() for q in qs})
+    qid_code = {q: i for i, q in enumerate(qid_strings)}
 
     def score_batch(t: pa.Table) -> pa.Table:
-        terms = t.column("term").to_pylist()
         tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        w = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
-        out_q, out_d, out_c = [], [], []
-        for i, term in enumerate(terms):
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t.column("term")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        denc = pa.compute.dictionary_encode(col)
+        idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = denc.dictionary.to_pylist()
+        idf_u = np.zeros(len(uniq))
+        nq_u = np.zeros(len(uniq), dtype=np.int64)
+        flat_q: list[int] = []
+        offs_u = np.zeros(len(uniq), dtype=np.int64)
+        for j, term in enumerate(uniq):
             df = dfs.get(term, 0)
+            offs_u[j] = len(flat_q)
             if df == 0:
                 continue
-            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-            for qid in term_to_qids[term]:
-                out_q.append(qid)
-                out_d.append(int(doc[i]))
-                out_c.append(idf * w[i])
+            idf_u[j] = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            ql = term_to_qids[term]
+            nq_u[j] = len(ql)
+            flat_q.extend(qid_code[q] for q in ql)
+        w = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        reps = nq_u[idx]
+        total = int(reps.sum())
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)))[:-1], reps)
+        qcodes = np.asarray(flat_q, dtype=np.int64)[
+            np.repeat(offs_u[idx], reps) + within] if total else \
+            np.empty(0, dtype=np.int64)
         return pa.table({
-            "qid": pa.array(out_q, pa.string()),
-            "doc_id": pa.array(out_d, pa.int64()),
-            "c": pa.array(out_c, pa.float64()),
+            "qid": pa.compute.take(pa.array(qid_strings, pa.string()),
+                                   pa.array(qcodes)),
+            "doc_id": pa.array(np.repeat(doc, reps)),
+            "c": pa.array(np.repeat(idf_u[idx] * w, reps)),
         })
 
-    return ex.map_batches(score_batch, batch_format="pyarrow") \
-             .groupby(["qid", "doc_id"]).aggregate(Sum("c", alias_name="score"))
+    scored = ex.map_batches(score_batch, batch_format="pyarrow")
+    summed = _sum_by(scored, ("qid", "doc_id"), ("c",))
+    return summed.map_batches(
+        lambda t: t.rename_columns(
+            ["score" if c == "c" else c for c in t.column_names]),
+        batch_format="pyarrow")
 
 
 def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
