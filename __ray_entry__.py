@@ -1031,8 +1031,12 @@ def oracle_sql() -> dict[str, str]:
             uniq AS (SELECT doc_id, phrase, any_value(score) AS score
                      FROM pscore GROUP BY doc_id, phrase),
             rranked AS (SELECT doc_id, phrase, score,
+                               -- rank on the ROUNDED score: the raw sum's float
+                               -- value depends on member-word addition order, so
+                               -- equal phrase scores can differ by one ulp between
+                               -- engines and flip the tie (kernel matches)
                                row_number() OVER (PARTITION BY doc_id
-                                                  ORDER BY score DESC, phrase) AS rank
+                                                  ORDER BY round(score, 4) DESC, phrase) AS rank
                         FROM uniq)
             SELECT doc_id, rank, phrase, round(score, 4) AS score
             FROM rranked WHERE rank <= 5 ORDER BY doc_id, rank"""

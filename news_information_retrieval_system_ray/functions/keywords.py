@@ -106,7 +106,13 @@ def rake_keywords(tokens: list[str], stops: frozenset[str], k: int = 5,
     every word pair (including self-pairs) co-occurs once, so
     ``deg(w) = sum of len(phrase) over phrase occurrences containing w``
     (counted with multiplicity); ``score(w) = deg(w) / freq(w)``;
-    phrase score = sum of member word scores; ties by phrase asc."""
+    phrase score = sum of member word scores; ties by phrase asc.
+
+    Ranking uses the 4-dp-rounded score: the raw sum's float value
+    depends on member-word addition order, so two mathematically-equal
+    phrase scores can differ by one ulp and flip the tie between this
+    kernel and the SQL oracle — rounding makes the rank key
+    order-independent (same convention as the rocchio/keybert entries)."""
     phrases = rake_phrases(tokens, stops, max_len)
     if not phrases:
         return []
@@ -122,5 +128,5 @@ def rake_keywords(tokens: list[str], stops: frozenset[str], k: int = 5,
         text = " ".join(ph)
         if text not in seen:
             seen[text] = sum(wscore[w] for w in ph)
-    ranked = sorted(seen.items(), key=lambda x: (-x[1], x[0]))
+    ranked = sorted(seen.items(), key=lambda x: (-round(x[1], 4), x[0]))
     return [(p, float(s)) for p, s in ranked[:k]]
