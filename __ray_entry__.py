@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 82-197 filter-then-truncate rule)
         "search_serving": A.search_serving,
         "fuzzy_match": A.fuzzy_match,
+        "fuzzy_expand": A.fuzzy_expand,
+        "fuzzy_distance_groups": A.fuzzy_distance_groups,
         "wildcard_match": A.wildcard_match,
         "facet_filtered_search": A.facet_filtered_search,
         # multi-condition FacetFilter engine (IN + STARTS_WITH + RANGE
@@ -2776,6 +2778,18 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match": _CTE + f"""
             SELECT DISTINCT doc_id FROM tf WHERE term IN (
               SELECT DISTINCT term FROM tf WHERE levenshtein(term, '{A.FUZZY_TERM}') <= 1)""",
+        "fuzzy_expand": _CTE + f""",
+            vocab AS (SELECT DISTINCT term FROM tf),
+            d AS (SELECT term, levenshtein(term, '{A.FUZZY_EXPAND_TERM}') AS dist FROM vocab)
+            SELECT term, CAST(dist AS BIGINT) AS dist FROM d
+            WHERE dist <= {A.FUZZY_MAX_DIST}
+            ORDER BY dist, term LIMIT {A.FUZZY_MAX_EXPANSIONS}""",
+        "fuzzy_distance_groups": _CTE + f""",
+            vocab AS (SELECT DISTINCT term FROM tf),
+            d AS (SELECT term, levenshtein(term, '{A.FUZZY_EXPAND_TERM}') AS dist FROM vocab)
+            SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_terms
+            FROM d WHERE dist <= {A.FUZZY_MAX_DIST}
+            GROUP BY dist ORDER BY dist""",
         "wildcard_match": _CTE + f""",
             ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
             SELECT term, df FROM ts WHERE term LIKE '{A.WILDCARD_PREFIX}%'""",

@@ -45,6 +45,7 @@ PHRASE = ["batch", "stream"]
 BOOL_AND = ["spark", "vector"]
 BOOL_NOT = (["spark", "join"], ["dup"])
 FUZZY_TERM = "spark"      # edit-distance<=1 expansion target (fuzzy.py:63-213)
+FUZZY_EXPAND_TERM = "part"  # distance<=2 expand/stats target (richest neighborhood in the test vocab)
 WILDCARD_PREFIX = "wind"  # prefix wildcard 'wind*' (wildcard.py:81-175)
 FACET_LANG = "en"         # facet filter value (search_service.py:413-432)
 MU = 2000.0               # Dirichlet smoothing (index_service.py:383-388)
@@ -684,6 +685,98 @@ def fuzzy_match(sf_dir: str, term: str | None = None) -> pd.DataFrame:
         batch_format="pyarrow",
     ).to_pandas()
     return hits.drop_duplicates().sort_values("doc_id").reset_index(drop=True)
+
+
+FUZZY_MAX_DIST = 2        # FuzzyMatcher default max_distance (fuzzy.py:43-61)
+FUZZY_MAX_EXPANSIONS = 50  # expansion cap (fuzzy.py:43-61,170-178)
+
+
+def _levenshtein_banded(a: str, b: str, maxd: int) -> int:
+    """Levenshtein distance, banded: returns the exact distance when it
+    is <= maxd, else any value > maxd (reference DP: fuzzy.py:63-128;
+    the band makes the scan O(len * maxd) instead of O(len^2))."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > maxd:
+        return maxd + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - maxd)
+        hi = min(lb, i + maxd)
+        cur = [maxd + 1] * (lb + 1)
+        cur[0] = i if i <= maxd else maxd + 1
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[max(0, lo - 1):hi + 1]) > maxd:
+            return maxd + 1
+        prev = cur
+    return prev[lb]
+
+
+def _fuzzy_dist_ds(sf_dir: str, term: str, max_distance: int):
+    """Dataset of (term, dist) vocabulary matches within ``max_distance``
+    of ``term`` — the FuzzyMatcher vocabulary scan (fuzzy.py:129-188)
+    distributed over the term_stats vocab.  A vectorized utf8-length
+    band prefilter drops most of the vocab before the per-term DP."""
+    ts = term_stats(sf_dir)
+    q = term.lower()
+    lq = len(q)
+
+    def _batch(t):
+        lens = pa.compute.utf8_length(t.column("term"))
+        band = pa.compute.and_(
+            pa.compute.greater_equal(lens, lq - max_distance),
+            pa.compute.less_equal(lens, lq + max_distance))
+        cand = t.filter(band).column("term").to_pylist()
+        out_t, out_d = [], []
+        for x in cand:
+            d = _levenshtein_banded(x, q, max_distance)
+            if d <= max_distance:
+                out_t.append(x)
+                out_d.append(d)
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    return ts.map_batches(_batch, batch_format="pyarrow")
+
+
+def fuzzy_expand(sf_dir: str, term: str | None = None,
+                 max_distance: int = FUZZY_MAX_DIST,
+                 max_expansions: int = FUZZY_MAX_EXPANSIONS) -> pd.DataFrame:
+    """(term, dist) expansion of the query term over the index vocabulary,
+    sorted by (distance, term) and capped at ``max_expansions`` — the
+    FuzzyMatcher.expand surface (fuzzy.py:129-213).  Spec-tightening as
+    elsewhere: the reference applies the cap in set-iteration order
+    BEFORE sorting (nondeterministic in the reference itself); we sort
+    the full match set first so the cap is deterministic.  The matched
+    set is tiny (<= a few hundred terms), so the sort+cap runs driver-side."""
+    term = term or FUZZY_EXPAND_TERM
+    m = _fuzzy_dist_ds(sf_dir, term, max_distance).to_pandas()
+    return (m.sort_values(["dist", "term"]).head(max_expansions)
+             .reset_index(drop=True))
+
+
+def fuzzy_distance_groups(sf_dir: str, term: str | None = None,
+                          max_distance: int = FUZZY_MAX_DIST) -> pd.DataFrame:
+    """(dist, n_terms) — FuzzyMatcher.get_stats ``distance_distribution``
+    over the full (uncapped) match set (fuzzy.py:214-278).  Per-batch
+    partial counts; only the <= max_distance+1 distinct distances reach
+    the driver."""
+    term = term or FUZZY_EXPAND_TERM
+    ds = _fuzzy_dist_ds(sf_dir, term, max_distance)
+    parts = ds.map_batches(
+        lambda t: pa.Table.from_pandas(
+            t.column("dist").to_pandas().value_counts().rename_axis("dist")
+             .reset_index(name="n_terms"), preserve_index=False),
+        batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"dist": pd.Series(dtype=np.int64),
+                             "n_terms": pd.Series(dtype=np.int64)})
+    out = parts.groupby("dist", as_index=False)["n_terms"].sum()
+    return out.sort_values("dist").reset_index(drop=True).astype(np.int64)
 
 
 def wildcard_match(sf_dir: str, prefix: str | None = None) -> pd.DataFrame:

@@ -25,6 +25,8 @@ SUBSET = [
     "ner_entities", "ner_type_stats", "ner_top_entities",
     # dense bi-encoder retrieval (feature-hashing encoder)
     "dense_retrieval",
+    # distance-2 fuzzy expansion (banded Levenshtein vs DuckDB levenshtein)
+    "fuzzy_expand", "fuzzy_distance_groups",
     # KeyBERT keyphrases: hashing encoder + the MMR greedy loop
     # unrolled as 4 chained SQL argmax steps
     "keybert_keywords",
