@@ -21,6 +21,7 @@ from news_information_retrieval_system_ray.pipelines import recommend as RC
 from news_information_retrieval_system_ray.pipelines import bertopic as BT
 from news_information_retrieval_system_ray.pipelines import feedback as FB
 from news_information_retrieval_system_ray.pipelines import topics as T
+from news_information_retrieval_system_ray.pipelines import curation as CU
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments. Tokenization contract (matches the Ray side exactly —
@@ -270,6 +271,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # encoder, MMR loop oracle-checked via 4 unrolled argmax steps)
         "keybert_keywords": A.keybert_keywords,
         # dedup family
+        # training-data curation (hash split / epoch shuffle / keep-drop
+        # composite — pipelines/curation.py)
+        "train_split": CU.train_split,
+        "train_shuffle_head": CU.train_shuffle_head,
+        "corpus_curate": CU.corpus_curate,
         "dedup_exact": A.dedup_exact,
         "dedup_minhash": A.dedup_minhash,
         "dedup_simhash": A.dedup_simhash,
@@ -3331,6 +3337,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
                    count(*) AS n_docs
             FROM documents GROUP BY md5(text)""",
+        "train_split": f"""
+            WITH b AS (SELECT doc_id,
+                              CAST(('0x' || substr(md5('{CU.SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS BIGINT) AS bucket
+                       FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < {CU.SPLIT_TEST_LT} THEN 'test'
+                        WHEN bucket < {CU.SPLIT_VAL_LT} THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b""",
+        "train_shuffle_head": f"""
+            WITH keyed AS (SELECT doc_id,
+                                  substr(md5('{CU.SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 16) AS key_hex
+                           FROM documents),
+            ranked AS (SELECT CAST(row_number() OVER (ORDER BY key_hex, doc_id) AS BIGINT) AS pos,
+                              doc_id, key_hex FROM keyed)
+            SELECT pos, doc_id, key_hex FROM ranked WHERE pos <= {CU.SHUFFLE_HEAD_K}""",
+        "corpus_curate": _CTE + f""",
+            cnt AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS nd
+                    FROM ft GROUP BY doc_id),
+            k AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+                  FROM documents GROUP BY md5(text))
+            SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN d.doc_id != k.keeper THEN 'drop_dup'
+                        WHEN d.lang != '{CU.CURATE_LANG}' THEN 'drop_lang'
+                        WHEN coalesce(c.n, 0) < {CU.CURATE_MIN_TOKENS} THEN 'drop_short'
+                        WHEN coalesce(c.n, 0) > {CU.CURATE_MAX_TOKENS} THEN 'drop_long'
+                        WHEN {CU.CURATE_LOWQ_NUM} * coalesce(c.nd, 0) < coalesce(c.n, 0) THEN 'drop_lowq'
+                        ELSE 'keep' END AS status
+            FROM documents d JOIN k ON md5(d.text) = k.h
+            LEFT JOIN cnt c ON d.doc_id = c.doc_id""",
         "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
         "dedup_embedding": """
             WITH sims AS (

@@ -1,0 +1,102 @@
+"""Training-data curation operators (pipelines/curation.py):
+deterministic hash split, seeded epoch-shuffle head, keep/drop
+composite with precedence."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from news_information_retrieval_system_ray.pipelines import curation as CU
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    rows = []
+    # doc 0/1: exact dups (same text) -> 1 keeps, other drop_dup
+    dup_text = " ".join(f"dup{i}" for i in range(30))  # 30 distinct tokens
+    rows.append((0, "en", dup_text))
+    rows.append((1, "en", dup_text))
+    # doc 2: wrong lang
+    rows.append((2, "de", "ein zwei drei vier funf sechs sieben acht " * 3))
+    # doc 3: too short
+    rows.append((3, "en", "tiny doc here"))
+    # doc 4: too long (> 80 tokens)
+    rows.append((4, "en", " ".join(f"w{i}" for i in range(120))))
+    # doc 5: low quality (2 distinct tokens, 40 total)
+    rows.append((5, "en", "spam ham " * 20))
+    # doc 6: clean keep (30 distinct tokens)
+    rows.append((6, "en", " ".join(f"tok{i}" for i in range(30))))
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    df["source"] = "s"
+    df.to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_corpus_curate_precedence(corpus_dir):
+    out = CU.corpus_curate(corpus_dir).to_pandas().set_index("doc_id")
+    # dup group keeper = min doc_id = 0
+    assert out.loc[0, "status"] == "keep"
+    assert out.loc[1, "status"] == "drop_dup"
+    assert out.loc[2, "status"] == "drop_lang"
+    assert out.loc[3, "status"] == "drop_short"
+    assert out.loc[4, "status"] == "drop_long"
+    assert out.loc[5, "status"] == "drop_lowq"
+    assert out.loc[6, "status"] == "keep"
+    assert len(out) == 7
+
+
+def test_corpus_curate_dup_beats_lang(tmp_path):
+    """Precedence: a non-keeper dup in the wrong language is drop_dup."""
+    t = " ".join(f"es{i}" for i in range(20))
+    df = pd.DataFrame({"doc_id": [7, 9], "lang": ["es", "es"],
+                       "text": [t, t], "source": ["s", "s"]})
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = CU.corpus_curate(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[7, "status"] == "drop_lang"   # keeper, then lang rule
+    assert out.loc[9, "status"] == "drop_dup"    # non-keeper short-circuits
+
+
+def test_train_split_deterministic_and_complete(corpus_dir):
+    a = CU.train_split(corpus_dir).to_pandas().sort_values("doc_id")
+    b = CU.train_split(corpus_dir).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert len(a) == 7
+    # assignment matches the documented md5 formula
+    for _, r in a.iterrows():
+        h = int.from_bytes(hashlib.md5(
+            f"{CU.SPLIT_SALT}:{r.doc_id}".encode()).digest()[:8], "big") % 100
+        assert r.bucket == h
+        expect = "test" if h < CU.SPLIT_TEST_LT else (
+            "val" if h < CU.SPLIT_VAL_LT else "train")
+        assert r.split == expect
+
+
+def test_train_split_proportions():
+    """Buckets are ~uniform over a larger id range (pure function, no Ray)."""
+    buckets = np.array([CU._md5_u64(f"{CU.SPLIT_SALT}:{i}") % 100
+                        for i in range(20000)])
+    frac_test = float(np.mean(buckets < CU.SPLIT_TEST_LT))
+    frac_val = float(np.mean((buckets >= CU.SPLIT_TEST_LT)
+                             & (buckets < CU.SPLIT_VAL_LT)))
+    assert 0.005 < frac_test < 0.015
+    assert 0.005 < frac_val < 0.015
+
+
+def test_train_shuffle_head_order_and_seed(corpus_dir):
+    h1 = CU.train_shuffle_head(corpus_dir, seed="epoch1", k=5)
+    assert list(h1["pos"]) == [1, 2, 3, 4, 5]
+    # ordering is by (key_hex, doc_id)
+    assert list(h1["key_hex"]) == sorted(h1["key_hex"])
+    # key is the documented md5 prefix
+    for _, r in h1.iterrows():
+        assert r.key_hex == hashlib.md5(
+            f"epoch1:{r.doc_id}".encode()).hexdigest()[:16]
+    # a different seed permutes the order
+    h2 = CU.train_shuffle_head(corpus_dir, seed="epoch2", k=5)
+    assert list(h1["doc_id"]) != list(h2["doc_id"]) or \
+        list(h1["key_hex"]) != list(h2["key_hex"])
+    # deterministic per seed
+    h1b = CU.train_shuffle_head(corpus_dir, seed="epoch1", k=5)
+    pd.testing.assert_frame_equal(h1, h1b)

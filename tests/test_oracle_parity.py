@@ -27,6 +27,8 @@ SUBSET = [
     "dense_retrieval",
     # distance-2 fuzzy expansion (banded Levenshtein vs DuckDB levenshtein)
     "fuzzy_expand", "fuzzy_distance_groups",
+    # training-data curation (hash split + keep/drop composite)
+    "train_split", "corpus_curate",
     # KeyBERT keyphrases: hashing encoder + the MMR greedy loop
     # unrolled as 4 chained SQL argmax steps
     "keybert_keywords",
