@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": CU.train_split,
         "train_shuffle_head": CU.train_shuffle_head,
         "corpus_curate": CU.corpus_curate,
+        "decontaminate": CU.decontaminate,
+        "pack_sequences": CU.pack_sequences,
         "dedup_exact": A.dedup_exact,
         "dedup_minhash": A.dedup_minhash,
         "dedup_simhash": A.dedup_simhash,
@@ -3353,6 +3355,39 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT CAST(row_number() OVER (ORDER BY key_hex, doc_id) AS BIGINT) AS pos,
                               doc_id, key_hex FROM keyed)
             SELECT pos, doc_id, key_hex FROM ranked WHERE pos <= {CU.SHUFFLE_HEAD_K}""",
+        "decontaminate": f"""
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            nfl AS (
+              SELECT doc_id, list_filter(string_split(t, ' '),
+                     x -> regexp_matches(x, '[a-z0-9_]')) AS toks
+              FROM norm),
+            nseq AS (
+              SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+              FROM nfl WHERE len(toks) > 0),
+            sh AS (
+              SELECT doc_id,
+                     term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS g
+              FROM nseq WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY g IS NOT NULL),
+            bench AS (SELECT DISTINCT g FROM sh
+                      WHERE doc_id IN {CU.DECON_BENCH_DOC_IDS}),
+            hits AS (SELECT s.doc_id, count(DISTINCT s.g) AS n_matched
+                     FROM sh s JOIN bench USING (g) GROUP BY s.doc_id)
+            SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched FROM hits""",
+        "pack_sequences": _CTE + f""",
+            cnt AS (SELECT d.doc_id, coalesce(c.n, 0) AS n
+                    FROM documents d LEFT JOIN
+                         (SELECT doc_id, count(*) AS n FROM ft GROUP BY doc_id) c
+                         ON d.doc_id = c.doc_id),
+            cum AS (SELECT doc_id, n,
+                           coalesce(sum(n) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                    FROM cnt)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(cb // {CU.PACK_SEQ_TOKENS} AS BIGINT) AS seq_id
+            FROM cum""",
         "corpus_curate": _CTE + f""",
             cnt AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS nd
                     FROM ft GROUP BY doc_id),

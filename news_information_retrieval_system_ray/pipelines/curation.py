@@ -99,6 +99,91 @@ def train_shuffle_head(sf_dir: str, seed: str = SHUFFLE_SEED,
     return head
 
 
+DECON_BENCH_DOC_IDS = (3, 7, 11)   # the pinned "eval set" docs
+DECON_SHINGLE = 3                  # word n-gram size
+
+PACK_SEQ_TOKENS = 512              # training-sequence token budget
+PACK_BUCKET_SHIFT = 6              # 64 docs per prefix-sum bucket
+
+
+def _doc_shingles(text: str) -> list[str]:
+    """Ordered word 3-gram shingles of the filtered token stream (the
+    _CTE ft tokenization: normalize -> whitespace -> [a-z0-9_] filter)."""
+    from ..functions.textnorm import normalize_text
+    from ..functions.tokenize import get_tokenizer
+
+    toks = get_tokenizer("whitespace")(normalize_text(text or ""))
+    return [" ".join(toks[i:i + DECON_SHINGLE])
+            for i in range(len(toks) - DECON_SHINGLE + 1)]
+
+
+def decontaminate(sf_dir: str):
+    """(doc_id, n_matched) — documents sharing >= 1 word-3-gram shingle
+    with the pinned benchmark docs (eval-set decontamination: training
+    corpora must drop text that overlaps the eval set).  The benchmark
+    shingle set is tiny (a handful of docs) and is read with a doc_id
+    filter pushed into the scan, then rides each task as a broadcast
+    frozenset; the corpus side is a pure per-batch map — no shuffle."""
+    import pyarrow.compute as pc
+
+    from .analytics import _docs_ds
+
+    bench_rows = _docs_ds(sf_dir, ["doc_id", "text"]).filter(
+        lambda r: r["doc_id"] in DECON_BENCH_DOC_IDS).take_all()
+    bench = frozenset(g for r in bench_rows for g in _doc_shingles(r["text"]))
+
+    def _batch(t: pa.Table) -> pa.Table:
+        ids, hits = [], []
+        for i, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            n = len(set(_doc_shingles(txt)) & bench)
+            if n:
+                ids.append(i)
+                hits.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_matched": pa.array(hits, pa.int64())})
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _batch, batch_format="pyarrow")
+
+
+def pack_sequences(sf_dir: str):
+    """(doc_id, n_tokens, seq_id) — document-order sequence packing:
+    ``seq_id = floor(tokens_before_me / PACK_SEQ_TOKENS)`` over the
+    global doc_id order (the deterministic chunk assignment a training
+    loader uses to slice a corpus into ~fixed-token shards).
+
+    Distributed prefix sum, two passes: (1) per-bucket token sums via a
+    small groupby (buckets = contiguous doc_id ranges), cumsum'd on the
+    driver into per-bucket offsets (n_docs/64 rows — tiny); (2) a
+    groupby(bucket).map_groups within-bucket scan adds the offset.  No
+    pass materializes the corpus; the only all-to-all moves one row per
+    doc of 3 ints."""
+    from .analytics import doc_quality
+
+    q = doc_quality(sf_dir).select_columns(["doc_id", "n_tokens"])
+    q = q.map_batches(
+        lambda t: t.append_column(
+            "bucket", pa.compute.shift_right(t.column("doc_id"),
+                                             PACK_BUCKET_SHIFT)),
+        batch_format="pyarrow")
+    sums = q.groupby("bucket").sum("n_tokens").to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    csum = sums["sum(n_tokens)"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(sums["bucket"].astype(int), csum.astype(int)))
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        before = g["n_tokens"].cumsum().shift(1, fill_value=0) \
+            + offsets[int(g["bucket"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "n_tokens": g["n_tokens"].astype(np.int64),
+            "seq_id": (before // PACK_SEQ_TOKENS).astype(np.int64)})
+
+    return q.groupby("bucket").map_groups(_pack, batch_format="pandas")
+
+
 def corpus_curate(sf_dir: str):
     """(doc_id, n_tokens, status) — keep/drop with one status per doc.
 

@@ -100,3 +100,42 @@ def test_train_shuffle_head_order_and_seed(corpus_dir):
     # deterministic per seed
     h1b = CU.train_shuffle_head(corpus_dir, seed="epoch1", k=5)
     pd.testing.assert_frame_equal(h1, h1b)
+
+
+def test_decontaminate_flags_overlap(tmp_path):
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    # doc 3 is a benchmark doc (DECON_BENCH_DOC_IDS); doc 20 copies a
+    # 5-token span of it; doc 21 is clean
+    leak = "x y " + " ".join(f"b{i}" for i in range(10, 15)) + " z"
+    df = pd.DataFrame({
+        "doc_id": [3, 20, 21],
+        "lang": ["en"] * 3,
+        "text": [bench_text, leak, " ".join(f"c{i}" for i in range(20))],
+        "source": ["s"] * 3,
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = CU.decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[3, "n_matched"] == 18        # all own shingles
+    assert out.loc[20, "n_matched"] == 3        # 5-token span -> 3 shingles
+    assert 21 not in out.index
+
+
+def test_pack_sequences_prefix_sum(tmp_path):
+    """Distributed bucket prefix-sum == single-pass driver cumsum, with
+    doc_ids spanning several buckets (shift 6 -> 64 docs/bucket)."""
+    rng = np.random.default_rng(3)
+    ids = np.sort(rng.choice(500, size=200, replace=False))
+    texts = [" ".join(f"t{i}w{j}" for j in range(rng.integers(1, 40)))
+             for i in ids]
+    df = pd.DataFrame({"doc_id": ids, "lang": ["en"] * len(ids),
+                       "text": texts, "source": ["s"] * len(ids)})
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = CU.pack_sequences(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == list(ids)
+    before = out["n_tokens"].cumsum().shift(1, fill_value=0)
+    expect = (before // CU.PACK_SEQ_TOKENS).astype(np.int64)
+    assert list(out["seq_id"]) == list(expect)
+    # seq ids are nondecreasing and start at 0
+    assert out["seq_id"].iloc[0] == 0
+    assert (out["seq_id"].diff().fillna(0) >= 0).all()
