@@ -181,6 +181,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # document-detail assembly: lead-2 summary + per-doc tf.idf
         # keywords (document_detail_service.py:32-136)
         "document_detail": A.document_detail,
+        # explainable related documents: related-query -> hybrid RRF ->
+        # field boost -> relation boost (search_service.py:803-989)
+        "related_documents": A.related_documents,
+        # typed no-result suggestions: synonym/fuzzy/csoundex/rocchio
+        # expansions (search_service.py:750-801)
+        "search_suggestions": A.search_suggestions,
         "eval_metrics": A.eval_metrics,
         "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
@@ -2189,6 +2195,227 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (PARTITION BY qid ORDER BY adj DESC, doc_id) AS rank
                        FROM adjusted)
             SELECT qid, rank, doc_id, round(adj, 4) AS score FROM ranked WHERE rank <= 10"""
+    # related_documents: related-query build -> hybrid RRF -> field boost
+    # -> relation boost -> top-5 (search_service.py:803-989); every stage
+    # of analytics.related_documents replicated (rank keys round9,
+    # boosts round6, fields per the field_boost_topk derivation)
+    related_sql = _CTE + f""",
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            dtoks AS (SELECT list_filter(string_split(t, ' '),
+                             x -> regexp_matches(x, '[a-z0-9_]')) AS toks,
+                             source AS psrc, lang AS pcat
+                      FROM norm WHERE doc_id = {A.RELATED_DOC_ID}),
+            kwsc AS (SELECT t.term,
+                            round(t.tf * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)), 9) AS s
+                     FROM tf t JOIN dfs USING (term) CROSS JOIN stats
+                     WHERE t.doc_id = {A.RELATED_DOC_ID} AND length(t.term) > 1),
+            kw8 AS (SELECT term FROM kwsc ORDER BY s DESC, term LIMIT {A.RELATED_KW_K}),
+            qtok AS (SELECT term FROM (SELECT unnest(toks) AS term,
+                                              generate_subscripts(toks, 1) AS pos
+                                       FROM dtoks) WHERE pos <= 5
+                     UNION ALL SELECT term FROM kw8
+                     UNION ALL SELECT psrc FROM dtoks),
+            qmult AS (SELECT term, count(*) AS m FROM qtok GROUP BY term),
+            bmc AS (SELECT tf.doc_id,
+                           q.m * ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                           * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+                    FROM tf JOIN qmult q USING (term) JOIN dfs USING (term)
+                    JOIN dln ON tf.doc_id = dln.doc_id CROSS JOIN stats),
+            bms AS (SELECT doc_id, round(sum(c), 9) AS score FROM bmc GROUP BY doc_id),
+            bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                    FROM bms),
+            bm300 AS (SELECT * FROM bmr WHERE r <= {A.RELATED_RANKER_DEPTH}),
+            qvw AS (SELECT q.term,
+                           (1 + log10(q.m)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                    FROM qmult q JOIN dfs USING (term) CROSS JOIN stats),
+            qnorm AS (SELECT sqrt(sum(w * w)) AS nn FROM qvw),
+            dw AS (SELECT tf.doc_id, tf.term,
+                          (1 + log10(tf.tf)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM tf JOIN dfs USING (term) CROSS JOIN stats),
+            dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM dw GROUP BY doc_id),
+            tfsq AS (SELECT dw.doc_id,
+                            round(sum((qvw.w / qnorm.nn) * (dw.w / dnorm.nn)), 9) AS score
+                     FROM dw JOIN qvw USING (term) CROSS JOIN qnorm
+                     JOIN dnorm ON dw.doc_id = dnorm.doc_id
+                     GROUP BY dw.doc_id),
+            tfr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                    FROM tfsq),
+            tf300 AS (SELECT * FROM tfr WHERE r <= {A.RELATED_RANKER_DEPTH}),
+            fusedq AS (SELECT coalesce(b.doc_id, x.doc_id) AS doc_id,
+                              coalesce({A.RRF_W_BM25} / ({A.RRF_K0} + b.r), 0)
+                            + coalesce({A.RRF_W_TFIDF} / ({A.RRF_K0} + x.r), 0) AS f
+                       FROM bm300 b FULL OUTER JOIN tf300 x ON b.doc_id = x.doc_id),
+            top60 AS (SELECT doc_id, f FROM fusedq
+                      ORDER BY f DESC, doc_id LIMIT {A.RELATED_DEPTH}),
+            qdist AS (SELECT DISTINCT term FROM qmult),
+            fields AS (SELECT n2.doc_id, n2.source, n2.lang,
+                              list_slice(string_split(n2.t, ' '), 1, 5) AS title5,
+                              string_split(n2.t, ' ') AS alltoks
+                       FROM norm n2 JOIN top60 USING (doc_id)),
+            fbv AS (SELECT f.doc_id,
+                      round(least(1.5,
+                        0.45 * least(count(DISTINCT q.term)
+                                     FILTER (list_contains(f.title5, q.term)), 3)
+                      + 0.25 * least(count(DISTINCT q.term)
+                                     FILTER (q.term = f.source), 3)
+                      + 0.18 * least(count(DISTINCT q.term)
+                                     FILTER (q.term = f.lang), 3)
+                      + 0.06 * least(count(DISTINCT q.term)
+                                     FILTER (list_contains(f.alltoks, q.term)), 3)), 6) AS boost
+                    FROM fields f CROSS JOIN qdist q GROUP BY f.doc_id),
+            cnts AS (SELECT doc_id, count(*) AS n FROM ft GROUP BY doc_id),
+            prof AS (SELECT ('g' || (('0x' || substr(md5(psrc), 1, 16))::UBIGINT % 3)) AS ptopic,
+                            pcat, psrc,
+                            CASE WHEN len(dtoks.toks) > {A.RELATED_CTYPE_MIN}
+                                 THEN 'long' ELSE 'short' END AS pctype
+                     FROM dtoks),
+            relc AS (SELECT t.doc_id, t.f, coalesce(fbv.boost, 0) AS boost,
+                            CASE WHEN ('g' || (('0x' || substr(md5(d.source), 1, 16))::UBIGINT % 3)) = prof.ptopic
+                                 THEN 1 ELSE 0 END AS same_topic,
+                            CASE WHEN d.lang = prof.pcat THEN 1 ELSE 0 END AS same_category,
+                            CASE WHEN d.source = prof.psrc THEN 1 ELSE 0 END AS same_source,
+                            CASE WHEN (CASE WHEN coalesce(c.n, 0) > {A.RELATED_CTYPE_MIN}
+                                            THEN 'long' ELSE 'short' END) = prof.pctype
+                                 THEN 1 ELSE 0 END AS same_ctype
+                     FROM top60 t JOIN norm d USING (doc_id)
+                     LEFT JOIN fbv ON t.doc_id = fbv.doc_id
+                     LEFT JOIN cnts c ON t.doc_id = c.doc_id
+                     CROSS JOIN prof),
+            boosted AS (SELECT doc_id, same_topic, same_category, same_source,
+                               round({A.REL_W_TOPIC} * same_topic + {A.REL_W_CAT} * same_category
+                                     + {A.REL_W_SRC} * same_source + {A.REL_W_CTYPE} * same_ctype
+                                     + least({A.REL_W_TAG} * same_source, {A.REL_W_TAG_CAP}), 6) AS rel,
+                               f, boost
+                        FROM relc WHERE doc_id != {A.RELATED_DOC_ID}),
+            scored2 AS (SELECT doc_id, same_topic, same_category, same_source, rel,
+                               f + boost + rel AS score
+                        FROM boosted),
+            sel AS (SELECT * FROM scored2
+                    ORDER BY score DESC, doc_id LIMIT {A.RELATED_TOPK}),
+            final AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                             doc_id, round(score, 6) AS score,
+                             round(least(1, greatest(0, score / max(score) OVER ())), 6) AS similarity,
+                             rel AS relation_boost,
+                             CAST(same_topic AS BIGINT) AS same_topic,
+                             CAST(same_category AS BIGINT) AS same_category,
+                             CAST(same_source AS BIGINT) AS same_source
+                      FROM sel)
+            SELECT * FROM final"""
+    # search_suggestions: the four typed no-result expansions
+    # (search_service.py:750-801) with each branch's emission condition
+    # derived in SQL (synonym map embedded from functions/synonyms;
+    # fuzzy/csoundex identity-expansions suppressed like the reference)
+    from news_information_retrieval_system_ray.functions.synonyms import SYNONYMS as _SYN
+    _sq_terms = list(A.FIXED_QUERIES[A.SUGGEST_QID])
+    _sq_list = "[" + ", ".join(repr(t) for t in _sq_terms) + "]"
+    _sq_vals = ", ".join(f"({t!r}, {i})" for i, t in enumerate(_sq_terms, 1))
+    _syn_vals = ", ".join(
+        f"({a!r}, {b!r})" for a in sorted(_SYN) for b in sorted(_SYN[a])) \
+        or "('', '')"
+    _sq_raw = " ".join(_sq_terms)
+    suggestions_sql = _CTE + f""",
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            vocab AS (SELECT DISTINCT term FROM tf),
+            qts(term, qpos) AS (VALUES {_sq_vals}),
+            -- synonym branch (text_quality.py:114-135): term hits +
+            -- phrase-in-text hits, first-wins order
+            synmap(a, b) AS (VALUES {_syn_vals}),
+            synhit AS (
+              SELECT b AS term, q.qpos * 1000 AS k FROM qts q JOIN synmap ON a = q.term
+              WHERE b NOT IN (SELECT term FROM qts)
+              UNION ALL
+              SELECT b AS term, 1000000 AS k FROM synmap
+              WHERE a NOT IN (SELECT term FROM qts) AND a != ''
+                AND position(lower(a) IN '{_sq_raw}') > 0
+                AND b NOT IN (SELECT term FROM qts)),
+            synord AS (SELECT term, min(k) AS k FROM synhit GROUP BY term),
+            semit AS (SELECT 'synonym' AS stype,
+                             CAST(row_number() OVER (ORDER BY k, term) AS BIGINT) AS rank,
+                             term FROM synord),
+            -- fuzzy branch (:384-395): per-term dist<=1 expand, (dist,
+            -- term) order, cap {A.FUZZY_MAX_EXPANSIONS}, first-wins
+            -- dedup; emitted only if != the query term list
+            fexp AS (SELECT q.qpos, v.term, levenshtein(v.term, q.term) AS dist
+                     FROM qts q JOIN vocab v ON levenshtein(v.term, q.term) <= {A.SUGGEST_FUZZY_DIST}),
+            fcap AS (SELECT * FROM (
+                       SELECT qpos, term,
+                              row_number() OVER (PARTITION BY qpos ORDER BY dist, term) AS rn
+                       FROM fexp) WHERE rn <= {A.FUZZY_MAX_EXPANSIONS}),
+            ford AS (SELECT term, min(qpos * 1000000 + rn) AS k FROM fcap GROUP BY term),
+            flist AS (SELECT coalesce(list(term ORDER BY k), []) AS l FROM ford),
+            femit AS (SELECT 'fuzzy' AS stype,
+                             CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rank,
+                             term FROM ford
+                      WHERE (SELECT len(l) FROM flist) > 0
+                        AND (SELECT l FROM flist) != {_sq_list}),
+            -- csoundex branch (:397-411): ASCII positional-match
+            -- similarity >= {A.SUGGEST_CS_THRESHOLD}, top-{A.SUGGEST_CS_K} per term
+            csim AS (SELECT q.qpos, v.term,
+                            round(len(list_filter(
+                                range(least(length(v.term), length(q.term))),
+                                i -> substr(v.term, i::INT + 1, 1)
+                                     = substr(q.term, i::INT + 1, 1)))::DOUBLE
+                            / greatest(length(v.term), length(q.term)), 4) AS s
+                     FROM qts q JOIN vocab v ON regexp_matches(v.term, '^[a-z]+$')),
+            ccap AS (SELECT * FROM (
+                       SELECT qpos, term,
+                              row_number() OVER (PARTITION BY qpos ORDER BY s DESC, term) AS rn
+                       FROM csim WHERE s >= {A.SUGGEST_CS_THRESHOLD})
+                     WHERE rn <= {A.SUGGEST_CS_K}),
+            cord AS (SELECT term, min(qpos * 1000000 + rn) AS k FROM ccap GROUP BY term),
+            clist AS (SELECT coalesce(list(term ORDER BY k), []) AS l FROM cord),
+            cemit AS (SELECT 'csoundex' AS stype,
+                             CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rank,
+                             term FROM cord
+                      WHERE (SELECT len(l) FROM clist) > 0
+                        AND (SELECT l FROM clist) != {_sq_list}),
+            -- rocchio branch (:587-625 + rocchio.py:177-333, app params
+            -- alpha=1 beta={A.ROCCHIO_APP_BETA} max_terms={A.ROCCHIO_APP_MAX_TERMS}
+            -- min_w={A.ROCCHIO_APP_MIN_W}): BM25 top-{A.SUGGEST_FEEDBACK_K} PRF
+            bmc AS (SELECT tf.doc_id,
+                           ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                           * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+                    FROM tf JOIN qts USING (term) JOIN dfs USING (term)
+                    JOIN dln ON tf.doc_id = dln.doc_id CROSS JOIN stats),
+            bms AS (SELECT doc_id, round(sum(c), 9) AS score FROM bmc GROUP BY doc_id),
+            top5 AS (SELECT doc_id FROM bms
+                     ORDER BY score DESC, doc_id LIMIT {A.SUGGEST_FEEDBACK_K}),
+            nrel AS (SELECT count(*) AS nr FROM top5),
+            dw AS (SELECT tf.doc_id, tf.term,
+                          (1 + log10(tf.tf)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM tf JOIN dfs USING (term) CROSS JOIN stats
+                   WHERE tf.doc_id IN (SELECT doc_id FROM top5)),
+            dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM dw GROUP BY doc_id),
+            qv AS (SELECT q.term,
+                          coalesce(ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)), 1.0) AS w
+                   FROM (SELECT DISTINCT term FROM qts) q
+                   LEFT JOIN dfs ON q.term = dfs.term CROSS JOIN stats),
+            newq AS (SELECT term, greatest(0, sum(w)) AS w FROM (
+                       SELECT term, {A.ROCCHIO_APP_ALPHA} * w AS w FROM qv
+                       UNION ALL
+                       SELECT dw.term,
+                              ({A.ROCCHIO_APP_BETA} / nrel.nr) * dw.w / dnorm.nn AS w
+                       FROM dw JOIN dnorm USING (doc_id) CROSS JOIN nrel)
+                     GROUP BY term),
+            drift AS (SELECT 1.0
+                             - (SELECT sum(qv.w * newq.w) FROM qv JOIN newq USING (term))
+                             / ((SELECT sqrt(sum(w * w)) FROM qv)
+                                * (SELECT sqrt(sum(w * w)) FROM newq)) AS d),
+            maxt AS (SELECT CASE WHEN d > {A.ROCCHIO_APP_MAX_DRIFT}
+                                 THEN greatest(1, CAST(trunc({A.ROCCHIO_APP_MAX_TERMS}
+                                      * {A.ROCCHIO_APP_MAX_DRIFT} / d) AS BIGINT))
+                                 ELSE {A.ROCCHIO_APP_MAX_TERMS} END AS mt FROM drift),
+            rcand AS (SELECT term, round(w, 9) AS w9 FROM newq
+                      WHERE term NOT IN (SELECT term FROM qts)
+                        AND w >= {A.ROCCHIO_APP_MIN_W}),
+            remit AS (SELECT 'rocchio' AS stype, rank, term FROM (
+                        SELECT term,
+                               CAST(row_number() OVER (ORDER BY w9 DESC, term) AS BIGINT) AS rank
+                        FROM rcand) CROSS JOIN maxt WHERE rank <= maxt.mt)
+            SELECT stype, rank, term FROM semit
+            UNION ALL SELECT stype, rank, term FROM femit
+            UNION ALL SELECT stype, rank, term FROM cemit
+            UNION ALL SELECT stype, rank, term FROM remit"""
     # bigram events of the fixed LM test texts, one <START> pad (n=2)
     ev_rows = []
     for tid, text in A.NGRAM_TEST_TEXTS.items():
@@ -2353,6 +2580,8 @@ def oracle_sql() -> dict[str, str]:
                      GROUP BY qid, term)"""
     return {
         "field_boost_topk": field_boost_sql,
+        "related_documents": related_sql,
+        "search_suggestions": suggestions_sql,
         "search_serving": search_serving_sql,
         "fieldweighted_bm25": fieldweighted_sql,
         # bigram-LM perplexity under 4 smoothers (functions/ngram_lm.py

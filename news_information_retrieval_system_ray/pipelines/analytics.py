@@ -310,6 +310,15 @@ def _bm25_scores_over(ex_full, n_docs: int, avgdl: float,
     # docstring; query-term postings are 1e5+ rows at bench scale
     dft = _sum_by(ex.select_columns(["term"]), ("term",), (),
                   counts=("df",)).to_pandas()
+    if dft.empty:
+        # no query term occurs in the corpus -> no candidates (the
+        # reference returns an empty ranking); empty frames lose their
+        # schema through Ray, so build the typed empty result directly
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"qid": pa.array([], pa.string()),
+                                       "doc_id": pa.array([], pa.int64()),
+                                       "score": pa.array([], pa.float64())}))
     dfs = dict(zip(dft["term"], dft["df"].astype(int)))
 
     # per-term expansion tables (tiny: |query vocab|): idf, the flat
@@ -396,17 +405,11 @@ def bm25_wand_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
-def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """SMART-style TF-IDF cosine top-k (app math: (1+log10 tf)·idf,
-    L2-normalized doc & query vectors — index_service.py:297-306).
-
-    Per-doc norms need the FULL doc vector, so the per-doc group stage
-    computes the norm and emits only query-term dot contributions.  The
-    vocab-wide df map is collected driver-side here (tiny corpus vocab);
-    at web scale it would be a broadcast join keyed on term.
-    """
-    from ray.data.aggregate import Count
-
+def _tfidf_scores_for(sf_dir: str, qvecs: dict[str, dict[str, float]]):
+    """(qid, doc_id, score>0) Dataset: cosine of the given NORMALIZED
+    query vectors against the app TF-IDF doc vectors ((1+log10 tf)·idf,
+    L2-normalized per doc — index_service.py:297-306).  Per-doc norms
+    need the full doc vector, so scoring is a per-doc group stage."""
     n_docs, _ = _corpus_stats(sf_dir)
     ex = _exploded_ds(sf_dir).materialize()
     df_map = _df_map(sf_dir)
@@ -416,13 +419,6 @@ def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         if df == 0:
             return 0.0
         return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-
-    # query vectors (normalized), driver-side: queries are tiny
-    qvecs: dict[str, dict[str, float]] = {}
-    for qid, terms in FIXED_QUERIES.items():
-        w = {t: (1.0 + math.log10(1)) * idf(t) for t in terms if df_map.get(t)}
-        nrm = math.sqrt(sum(v * v for v in w.values()))
-        qvecs[qid] = {t: v / nrm for t, v in w.items()} if nrm else {}
 
     def doc_scores(group: pd.DataFrame) -> pd.DataFrame:
         tfs = group["tf"].to_numpy(dtype=np.float64)
@@ -440,7 +436,35 @@ def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
                 rows.append((qid, doc_id, s))
         return pd.DataFrame(rows, columns=["qid", "doc_id", "score"])
 
-    scored = ex.groupby("doc_id").map_groups(doc_scores, batch_format="pandas")
+    return ex.groupby("doc_id").map_groups(doc_scores, batch_format="pandas")
+
+
+def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """SMART-style TF-IDF cosine top-k (app math: (1+log10 tf)·idf,
+    L2-normalized doc & query vectors — index_service.py:297-306).
+
+    Per-doc norms need the FULL doc vector, so the per-doc group stage
+    computes the norm and emits only query-term dot contributions.  The
+    vocab-wide df map is collected driver-side here (tiny corpus vocab);
+    at web scale it would be a broadcast join keyed on term.
+    """
+    n_docs, _ = _corpus_stats(sf_dir)
+    df_map = _df_map(sf_dir)
+
+    def idf(term: str) -> float:
+        df = df_map.get(term, 0)
+        if df == 0:
+            return 0.0
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    # query vectors (normalized), driver-side: queries are tiny
+    qvecs: dict[str, dict[str, float]] = {}
+    for qid, terms in FIXED_QUERIES.items():
+        w = {t: (1.0 + math.log10(1)) * idf(t) for t in terms if df_map.get(t)}
+        nrm = math.sqrt(sum(v * v for v in w.values()))
+        qvecs[qid] = {t: v / nrm for t, v in w.items()} if nrm else {}
+
+    scored = _tfidf_scores_for(sf_dir, qvecs)
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["score", "doc_id"], ascending=[False, True]).head(k).copy()
@@ -1337,13 +1361,15 @@ def field_boost_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
-def _field_boosts_ds(sf_dir: str):
+def _field_boosts_ds(sf_dir: str, qsets: dict[str, list[str]] | None = None):
     """(qid, doc_id, boost) Dataset: the reference field-boost per doc
-    and fixed query (search_service.py:434-481 weights/caps; fields
-    derived deterministically as documented in field_boost_topk)."""
+    and query (search_service.py:434-481 weights/caps; fields derived
+    deterministically as documented in field_boost_topk).  ``qsets``
+    defaults to the fixed query battery."""
     from ..functions.textnorm import normalize_text
 
-    qsets = {qid: list(dict.fromkeys(ts)) for qid, ts in FIXED_QUERIES.items()}
+    qsets = {qid: list(dict.fromkeys(ts))
+             for qid, ts in (qsets or FIXED_QUERIES).items()}
 
     def boost_batch(t: pa.Table) -> pa.Table:
         out_q, out_d, out_b = [], [], []
@@ -2555,6 +2581,305 @@ def document_detail(sf_dir: str, n_docs: int = 15) -> pd.DataFrame:
     det["keywords"] = det["doc_id"].map(lambda d: kws.get(int(d), ""))
     return det.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "available", "summary", "keywords"]]
+
+
+RELATED_DOC_ID = 0        # related_documents source doc
+RELATED_TOPK = 5
+RELATED_KW_K = 8          # _related_query tfidf keywords (search_service.py:898)
+RELATED_DEPTH = 60        # search_top_k = max(50, top_k*12)
+RELATED_RANKER_DEPTH = 300  # _search_hybrid ranker_topk = max(50, depth*5)
+RELATED_CTYPE_MIN = 40    # content_type = 'long' if n_tokens > 40 (derived field)
+# relation-boost weights (search_service.py:913-941)
+REL_W_TOPIC, REL_W_CAT, REL_W_SRC, REL_W_CTYPE = 0.25, 0.18, 0.08, 0.05
+REL_W_TAG, REL_W_TAG_CAP = 0.06, 0.18
+
+
+def round6(x: float) -> float:
+    """Half-away-from-zero to 6 places (matches DuckDB round)."""
+    return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
+
+def round9(x: float) -> float:
+    return math.floor(abs(x) * 1e9 + 0.5) / 1e9 * (1 if x >= 0 else -1)
+
+
+def _topic_code(source: str) -> str:
+    """Derived taxonomy_topic: md5-hash group of the source (3 groups —
+    coarser than source so same_topic != same_source; md5 convention
+    mirrored in SQL)."""
+    import hashlib
+
+    g = int.from_bytes(hashlib.md5(source.encode("utf-8")).digest()[:8],
+                       "big") % 3
+    return f"g{g}"
+
+
+def related_documents(sf_dir: str, doc_id: int = RELATED_DOC_ID,
+                      k: int = RELATED_TOPK) -> pd.DataFrame:
+    """Explainable related documents (search_service.py:803-948):
+    related query = title + per-doc tfidf top-8 keywords + tags
+    (:882-897, extract_keywords :1004-1029 = tf*idf, len>1) -> hybrid
+    RRF search (0.65 BM25 / 0.35 TFIDF, k0=60, ranker depth 300 :268-295)
+    at depth 60 -> field-boost rerank (:434-481) -> relation metadata
+    boost (+0.25 topic / +0.18 category / +0.08 source / +0.05
+    content_type / +min(0.06*tag_overlap, 0.18), :913-941) -> exclude
+    the source doc -> top-5 with similarity = clamp(score/max_selected)
+    and the relation-reason flags (:943-989).
+
+    Fields derive deterministically (the field_boost_topk convention):
+    title = first-5 filtered tokens, tags = {source}, category = lang,
+    taxonomy_topic = md5-group of source, content_type = token-count
+    band.  BM25 counts duplicate query terms multiply (bm25.py:228-231,
+    the reference's query-tf proxy); TFIDF uses (1+log10 qtf).  Rank
+    keys rounded 9dp both sides; boosts rounded 6dp (:941).
+
+    Distributed shape: BM25/TFIDF scoring and the field boosts are the
+    existing distributed stages; the fused/boosted candidate list is
+    depth-bounded (<= 300 rows) driver-side, as the reference reranks
+    its ranked list."""
+    from collections import Counter
+
+    from ..functions.textnorm import normalize_text
+    from ..functions.tokenize import get_tokenizer
+
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    df_map = _df_map(sf_dir)
+    tokenize = get_tokenizer("whitespace")
+
+    def idf_app(t: str) -> float:
+        df = df_map.get(t, 0)
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
+
+    srow = _docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]) \
+        .filter(lambda r: r["doc_id"] == doc_id).take_all()[0]
+    toks = tokenize(normalize_text(srow["text"] or ""))
+    tfc = Counter(toks)
+    kwsc = [(t, round9(c * idf_app(t))) for t, c in tfc.items() if len(t) > 1]
+    kws = [t for t, _ in sorted(kwsc, key=lambda x: (-x[1], x[0]))[:RELATED_KW_K]]
+    qtoks = toks[:5] + kws + [srow["source"]]
+    mult = Counter(qtoks)
+
+    # hybrid: BM25 + TFIDF each at ranker depth, RRF-fused to depth 60
+    bm = _bm25_scores(sf_dir, n_docs, avgdl,
+                      {t: ["rq"] * m for t, m in mult.items()}).to_pandas()
+    bm["key"] = bm["score"].map(round9)
+    bm = bm.sort_values(["key", "doc_id"], ascending=[False, True]) \
+        .head(RELATED_RANKER_DEPTH).reset_index(drop=True)
+    bm["r"] = np.arange(1, len(bm) + 1)
+
+    qw = {t: (1.0 + math.log10(m)) * idf_app(t)
+          for t, m in mult.items() if df_map.get(t)}
+    nrm = math.sqrt(sum(v * v for v in qw.values()))
+    qv = {t: v / nrm for t, v in qw.items()} if nrm else {}
+    tfd = _tfidf_scores_for(sf_dir, {"rq": qv}).to_pandas()
+    tfd["key"] = tfd["score"].map(round9)
+    tfd = tfd.sort_values(["key", "doc_id"], ascending=[False, True]) \
+        .head(RELATED_RANKER_DEPTH).reset_index(drop=True)
+    tfd["r"] = np.arange(1, len(tfd) + 1)
+
+    fused = bm[["doc_id", "r"]].merge(tfd[["doc_id", "r"]], on="doc_id",
+                                      how="outer", suffixes=("_b", "_t"))
+    fused["f"] = (RRF_W_BM25 / (RRF_K0 + fused["r_b"])).fillna(0.0) \
+        + (RRF_W_TFIDF / (RRF_K0 + fused["r_t"])).fillna(0.0)
+    cand = fused.sort_values(["f", "doc_id"], ascending=[False, True]) \
+        .head(RELATED_DEPTH).reset_index(drop=True)
+    ids = pa.array(sorted(int(x) for x in cand["doc_id"]))
+
+    # field boosts for the related query (distributed per-doc stage)
+    fb = _field_boosts_ds(sf_dir, {"rq": qtoks}).to_pandas()
+    cand = cand.merge(fb[["doc_id", "boost"]], on="doc_id", how="left")
+    cand["boost"] = cand["boost"].fillna(0.0)
+
+    # candidate metadata + token counts (pruned distributed filters)
+    meta = _docs_ds(sf_dir, ["doc_id", "source", "lang"]).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=ids)),
+        batch_format="pyarrow").to_pandas()
+    nq = doc_quality(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=ids))
+        .select(["doc_id", "n_tokens"]), batch_format="pyarrow").to_pandas()
+    cand = cand.merge(meta, on="doc_id").merge(nq, on="doc_id")
+
+    ptopic, pcat, psrc = _topic_code(srow["source"]), srow["lang"], srow["source"]
+    pctype = "long" if len(toks) > RELATED_CTYPE_MIN else "short"
+    same_topic = cand["source"].map(_topic_code) == ptopic
+    same_cat = cand["lang"] == pcat
+    same_src = cand["source"] == psrc
+    same_ctype = np.where(cand["n_tokens"] > RELATED_CTYPE_MIN,
+                          "long", "short") == pctype
+    rel = (REL_W_TOPIC * same_topic + REL_W_CAT * same_cat
+           + REL_W_SRC * same_src + REL_W_CTYPE * same_ctype
+           + np.minimum(REL_W_TAG * same_src, REL_W_TAG_CAP))
+    cand["rel"] = [round6(x) for x in rel]
+    cand["same_topic"] = same_topic.astype(np.int64)
+    cand["same_category"] = same_cat.astype(np.int64)
+    cand["same_source"] = same_src.astype(np.int64)
+    cand = cand[cand["doc_id"] != doc_id].copy()
+    cand["score"] = cand["f"] + cand["boost"] + cand["rel"]
+    sel = cand.sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    mx = float(sel["score"].max()) or 1.0
+    return pd.DataFrame({
+        "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+        "doc_id": sel["doc_id"].astype(np.int64),
+        "score": sel["score"].map(round6),
+        "similarity": sel["score"].map(
+            lambda s: round6(min(1.0, max(0.0, s / mx)))),
+        "relation_boost": sel["rel"],
+        "same_topic": sel["same_topic"],
+        "same_category": sel["same_category"],
+        "same_source": sel["same_source"],
+    })
+
+
+SUGGEST_QID = "q1"          # suggestions query = FIXED_QUERIES[q1]
+SUGGEST_FUZZY_DIST = 1      # _fuzzy_expansion max_distance (search_service.py:394)
+SUGGEST_CS_THRESHOLD = 0.72  # _csoundex_expansion (:407)
+SUGGEST_CS_K = 8
+ROCCHIO_APP_ALPHA, ROCCHIO_APP_BETA = 1.0, 0.75   # RocchioExpander defaults
+ROCCHIO_APP_MAX_TERMS = 8    # app expander (index_service.py:390)
+ROCCHIO_APP_MIN_W = 0.01
+ROCCHIO_APP_MAX_DRIFT = 0.7
+SUGGEST_FEEDBACK_K = 5       # expand_query top_k (search_service.py:587)
+
+
+def search_suggestions(sf_dir: str, terms: list[str] | None = None) -> pd.DataFrame:
+    """No-result fallback suggestions (search_service.py:750-801):
+    up to four typed expansions of the query —
+
+    - ``synonym``: vendored synonym-map hits not already in the query
+      (text_quality.py:114-135; empty on this ASCII corpus — branch
+      exercised by unit tests);
+    - ``fuzzy``: per-term edit-distance<=1 vocabulary expansion
+      (:384-395), emitted only when it differs from the query terms
+      (identity on this corpus — no dist-1 vocab pairs exist);
+    - ``csoundex``: per-term phonetic find_similar 0.72/top-8 (:397-411),
+      first-wins dedup across terms;
+    - ``rocchio``: expand_query PRF (:587-625) — BM25 top-5 feedback,
+      tfidf doc vectors, query vector idf-or-1, the app expander
+      (alpha=1, beta=0.75, max_terms=8, min_w=0.01,
+      index_service.py:390) with the drift-guard CASE.
+
+    Output (stype, rank, term) — one row per suggested term; a branch
+    whose condition fails emits no rows (the reference omits the entry).
+    Vocabulary scans (fuzzy/csoundex) and the BM25/tfidf feedback run
+    distributed; only per-branch top-k term lists reach the driver."""
+    from collections import Counter
+
+    from ..functions.csoundex import similarity as cs_similarity
+    from ..functions.synonyms import SYNONYMS
+    from ..functions.textnorm import normalize_text
+
+    terms = list(terms if terms is not None else FIXED_QUERIES[SUGGEST_QID])
+    raw_query = " ".join(terms)
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    df_map = _df_map(sf_dir)
+    rows: list[tuple[str, int, str]] = []
+
+    # --- synonym (text_quality.synonym_terms: term hits + phrase-in-text)
+    originals = {normalize_text(t) for t in terms}
+    syn: list[str] = []
+    for t in terms:
+        for s in sorted(SYNONYMS.get(t, ())):
+            if normalize_text(s) not in originals and s not in syn:
+                syn.append(s)
+    ntext = normalize_text(raw_query)
+    for phrase in sorted(SYNONYMS):
+        if phrase in terms or not normalize_text(phrase):
+            continue
+        if normalize_text(phrase) in ntext:
+            for s in sorted(SYNONYMS[phrase]):
+                if normalize_text(s) not in originals and s not in syn:
+                    syn.append(s)
+    rows += [("synonym", i, t) for i, t in enumerate(syn, 1)]
+
+    # --- fuzzy (expand per term, dist<=1, (dist, term) order, cap 50)
+    fz: list[str] = []
+    for t in terms:
+        m = _fuzzy_dist_ds(sf_dir, t, SUGGEST_FUZZY_DIST).to_pandas()
+        if m.empty:
+            continue  # empty Dataset -> schemaless frame (no 'dist' col)
+        m = m.sort_values(["dist", "term"]).head(FUZZY_MAX_EXPANSIONS)
+        fz += [x for x in m["term"] if x not in fz]
+    if fz and fz != terms:
+        rows += [("fuzzy", i, t) for i, t in enumerate(fz, 1)]
+
+    # --- csoundex (find_similar 0.72 top-8 per term, first-wins dedup)
+    ts_ds = term_stats(sf_dir).materialize()
+    cs: list[str] = []
+    for t in terms:
+        def score(b: pa.Table, q=t) -> pa.Table:
+            out_t, out_s = [], []
+            for x in b.column("term").to_pylist():
+                if not x.isalpha():
+                    continue
+                s = cs_similarity(q, x, "fuzzy")
+                if s >= SUGGEST_CS_THRESHOLD:
+                    out_t.append(x)
+                    out_s.append(round4(s))
+            return pa.table({"term": pa.array(out_t, pa.string()),
+                             "sim": pa.array(out_s, pa.float64())})
+
+        hits = ts_ds.map_batches(score, batch_format="pyarrow").to_pandas()
+        if hits.empty:
+            continue  # empty Dataset -> schemaless frame (no 'sim' col)
+        hits = hits.sort_values(["sim", "term"],
+                                ascending=[False, True]).head(SUGGEST_CS_K)
+        cs += [x for x in hits["term"] if x not in cs]
+    if cs and cs != terms:
+        rows += [("csoundex", i, t) for i, t in enumerate(cs, 1)]
+
+    # --- rocchio expand_query (BM25 top-5 PRF + app expander)
+    t2q = {t: ["rq"] for t in dict.fromkeys(terms)}
+    bm = _bm25_scores(sf_dir, n_docs, avgdl, t2q).to_pandas()
+    if bm.empty:  # Ray drops the schema on empty frames
+        bm = pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+    bm["key"] = bm["score"].map(round9)
+    top5 = bm.sort_values(["key", "doc_id"], ascending=[False, True]) \
+        .head(SUGGEST_FEEDBACK_K)
+    fb_ids = pa.array(sorted(int(x) for x in top5["doc_id"]))
+
+    def idf_app(t: str) -> float:
+        df = df_map.get(t, 0)
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
+
+    # normalized tfidf vectors of the 5 feedback docs (pruned scan)
+    if len(fb_ids):
+        fb = _exploded_ds(sf_dir).map_batches(
+            lambda b: b.filter(pa.compute.is_in(b.column("doc_id"),
+                                                value_set=fb_ids)),
+            batch_format="pyarrow").to_pandas()
+    else:  # no feedback docs -> empty expansion (rocchio.py:214-223)
+        fb = pd.DataFrame({"doc_id": [], "term": [], "tf": []})
+    vecs: list[dict[str, float]] = []
+    for _, g in fb.groupby("doc_id"):
+        ws = {t: (1.0 + math.log10(tf)) * idf_app(t)
+              for t, tf in zip(g["term"], g["tf"])}
+        nrm = math.sqrt(sum(v * v for v in ws.values()))
+        vecs.append({t: v / nrm for t, v in ws.items()} if nrm else {})
+    qvec = {t: (idf_app(t) or 1.0) for t in dict.fromkeys(terms)}
+    new_q = Counter()
+    for t, w in qvec.items():
+        new_q[t] += ROCCHIO_APP_ALPHA * w
+    for v in vecs:
+        for t, w in v.items():
+            new_q[t] += (ROCCHIO_APP_BETA / len(vecs)) * w
+    new_q = {t: max(0.0, w) for t, w in new_q.items()}
+    common = set(qvec) & set(new_q)
+    n1 = math.sqrt(sum(v * v for v in qvec.values()))
+    n2 = math.sqrt(sum(v * v for v in new_q.values()))
+    drift = (1.0 - sum(qvec[t] * new_q[t] for t in common) / (n1 * n2)) \
+        if (common and n1 and n2) else 1.0
+    max_terms = ROCCHIO_APP_MAX_TERMS
+    if drift > ROCCHIO_APP_MAX_DRIFT:
+        max_terms = max(1, int(ROCCHIO_APP_MAX_TERMS
+                               * ROCCHIO_APP_MAX_DRIFT / drift))
+    cands = [(t, round9(w)) for t, w in new_q.items()
+             if t not in set(terms) and w >= ROCCHIO_APP_MIN_W]
+    exp = [t for t, _ in sorted(cands, key=lambda x: (-x[1], x[0]))[:max_terms]]
+    rows += [("rocchio", i, t) for i, t in enumerate(exp, 1)]
+
+    return pd.DataFrame(rows, columns=["stype", "rank", "term"]).astype(
+        {"rank": np.int64})
 
 
 def structured_query_or(sf_dir: str) -> pd.DataFrame:

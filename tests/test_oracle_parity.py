@@ -29,6 +29,8 @@ SUBSET = [
     "fuzzy_expand", "fuzzy_distance_groups",
     # training-data curation (hash split + keep/drop composite)
     "train_split", "corpus_curate",
+    # related-documents serving chain (hybrid RRF + field/relation boosts)
+    "related_documents",
     # KeyBERT keyphrases: hashing encoder + the MMR greedy loop
     # unrolled as 4 chained SQL argmax steps
     "keybert_keywords",
