@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_jm_topk": A.lm_jm_topk,
         "bim_topk": A.bim_topk,
         "hybrid_rrf": A.hybrid_rrf,
+        # SMART lnc.ltc vector-space model (vsm.py:86-300)
+        "vsm_topk": A.vsm_topk,
         "field_boost_topk": A.field_boost_topk,
         # the app's INDEX-side field weighting (title x3 + tags +
         # category + content composed text, index_service.py:220-231)
@@ -2582,6 +2584,26 @@ def oracle_sql() -> dict[str, str]:
         "field_boost_topk": field_boost_sql,
         "related_documents": related_sql,
         "search_suggestions": suggestions_sql,
+        "vsm_topk": _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            qn AS (SELECT qid, sqrt(count(*)::DOUBLE) AS nn
+                   FROM (SELECT DISTINCT qid, term FROM qterms) GROUP BY qid),
+            dw AS (SELECT tf.doc_id, tf.term,
+                          (1 + log10(tf.tf)) * log10(stats.n::DOUBLE / dfs.df) AS w
+                   FROM tf JOIN dfs USING (term) CROSS JOIN stats),
+            dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM dw GROUP BY doc_id),
+            sc AS (SELECT q.qid, dw.doc_id,
+                          sum((1.0 / qn.nn) * (dw.w / dnorm.nn)) AS score
+                   FROM dw JOIN (SELECT DISTINCT qid, term FROM qterms) q USING (term)
+                   JOIN qn ON q.qid = qn.qid
+                   JOIN dnorm ON dw.doc_id = dnorm.doc_id
+                   GROUP BY q.qid, dw.doc_id),
+            ranked AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                       FROM sc WHERE score > 0)
+            SELECT qid, rank, doc_id, round(score, 4) AS score
+            FROM ranked WHERE rank <= 10""",
         "search_serving": search_serving_sql,
         "fieldweighted_bm25": fieldweighted_sql,
         # bigram-LM perplexity under 4 smoothers (functions/ngram_lm.py

@@ -405,20 +405,24 @@ def bm25_wand_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
-def _tfidf_scores_for(sf_dir: str, qvecs: dict[str, dict[str, float]]):
+def _tfidf_scores_for(sf_dir: str, qvecs: dict[str, dict[str, float]],
+                      idf=None):
     """(qid, doc_id, score>0) Dataset: cosine of the given NORMALIZED
-    query vectors against the app TF-IDF doc vectors ((1+log10 tf)·idf,
-    L2-normalized per doc — index_service.py:297-306).  Per-doc norms
-    need the full doc vector, so scoring is a per-doc group stage."""
+    query vectors against (1+log10 tf)·idf, L2-normalized-per-doc
+    vectors.  ``idf`` defaults to the app TF-IDF variant
+    (index_service.py:297-306); pass e.g. the SMART 't' idf for VSM.
+    Per-doc norms need the full doc vector, so scoring is a per-doc
+    group stage."""
     n_docs, _ = _corpus_stats(sf_dir)
     ex = _exploded_ds(sf_dir).materialize()
     df_map = _df_map(sf_dir)
 
-    def idf(term: str) -> float:
-        df = df_map.get(term, 0)
-        if df == 0:
-            return 0.0
-        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    if idf is None:
+        def idf(term: str) -> float:
+            df = df_map.get(term, 0)
+            if df == 0:
+                return 0.0
+            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
     def doc_scores(group: pd.DataFrame) -> pd.DataFrame:
         tfs = group["tf"].to_numpy(dtype=np.float64)
@@ -474,6 +478,37 @@ def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out = scored.groupby("qid").map_groups(topk, batch_format="pandas").to_pandas()
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
+
+
+def vsm_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """SMART lnc.ltc Vector-Space-Model top-k (vsm.py:86-300): document
+    vectors ltc = (1+log10 tf)·log10(N/df), cosine-normalized
+    (term_weighting.py:138-185); query vector lnc = (1+log10 qtf), NO
+    idf, cosine-normalized (the use_idf_for_query=False default,
+    vsm.py:242); score = dot of the two normalized vectors over shared
+    terms, candidates = docs with >= 1 query term, score > 0 only.
+    Canonical tie order (-score, doc_id) — the reference's
+    heapq.nlargest leaves equal-score order unspecified (spec-tightening
+    as SURVEY §7.6.2).  Same distributed shape as tfidf_topk: per-doc
+    group stage for the norms, tiny driver top-k."""
+    n_docs, _ = _corpus_stats(sf_dir)
+    df_map = _df_map(sf_dir)
+
+    def idf_t(term: str) -> float:
+        df = df_map.get(term, 0)
+        return math.log10(n_docs / df) if df else 0.0
+
+    qvecs: dict[str, dict[str, float]] = {}
+    for qid, terms in FIXED_QUERIES.items():
+        w = {t: 1.0 for t in dict.fromkeys(terms)}  # (1+log10(1)), idf 'n'
+        nrm = math.sqrt(sum(v * v for v in w.values()))
+        qvecs[qid] = {t: v / nrm for t, v in w.items()} if nrm else {}
+
+    scored = _tfidf_scores_for(sf_dir, qvecs, idf=idf_t)
+    out = _topk_by_qid(scored, k)
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)[
+        ["qid", "rank", "doc_id", "score"]]
 
 
 LAMBDA_JM = 0.7           # Jelinek-Mercer interpolation (language_model_retrieval.py:90)
