@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # typed no-result suggestions: synonym/fuzzy/csoundex/rocchio
         # expansions (search_service.py:750-801)
         "search_suggestions": A.search_suggestions,
+        # the expand_query API payload (search_service.py:587-625)
+        "expand_query": A.expand_query,
         "eval_metrics": A.eval_metrics,
         "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
@@ -2418,6 +2420,61 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT stype, rank, term FROM femit
             UNION ALL SELECT stype, rank, term FROM cemit
             UNION ALL SELECT stype, rank, term FROM remit"""
+    # expand_query payload: the same rocchio-PRF CTE chain as
+    # suggestions_sql, emitting the API row (search_service.py:587-625)
+    expand_query_sql = _CTE + f""",
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            qts(term, qpos) AS (VALUES {_sq_vals}),
+            bmc AS (SELECT tf.doc_id,
+                           ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                           * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dln.dl / stats.avgdl)) AS c
+                    FROM tf JOIN qts USING (term) JOIN dfs USING (term)
+                    JOIN dln ON tf.doc_id = dln.doc_id CROSS JOIN stats),
+            bms AS (SELECT doc_id, round(sum(c), 9) AS score FROM bmc GROUP BY doc_id),
+            top5 AS (SELECT doc_id FROM bms
+                     ORDER BY score DESC, doc_id LIMIT {A.SUGGEST_FEEDBACK_K}),
+            nrel AS (SELECT count(*) AS nr FROM top5),
+            dw AS (SELECT tf.doc_id, tf.term,
+                          (1 + log10(tf.tf)) * ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+                   FROM tf JOIN dfs USING (term) CROSS JOIN stats
+                   WHERE tf.doc_id IN (SELECT doc_id FROM top5)),
+            dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM dw GROUP BY doc_id),
+            qvx AS (SELECT q.term,
+                           coalesce(ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)), 1.0) AS w
+                    FROM (SELECT DISTINCT term FROM qts) q
+                    LEFT JOIN dfs ON q.term = dfs.term CROSS JOIN stats),
+            newq AS (SELECT term, greatest(0, sum(w)) AS w FROM (
+                       SELECT term, {A.ROCCHIO_APP_ALPHA} * w AS w FROM qvx
+                       UNION ALL
+                       SELECT dw.term,
+                              ({A.ROCCHIO_APP_BETA} / nrel.nr) * dw.w / dnorm.nn AS w
+                       FROM dw JOIN dnorm USING (doc_id) CROSS JOIN nrel)
+                     GROUP BY term),
+            drift AS (SELECT 1.0
+                             - (SELECT sum(qvx.w * newq.w) FROM qvx JOIN newq USING (term))
+                             / ((SELECT sqrt(sum(w * w)) FROM qvx)
+                                * (SELECT sqrt(sum(w * w)) FROM newq)) AS d),
+            maxt AS (SELECT CASE WHEN d > {A.ROCCHIO_APP_MAX_DRIFT}
+                                 THEN greatest(1, CAST(trunc({A.ROCCHIO_APP_MAX_TERMS}
+                                      * {A.ROCCHIO_APP_MAX_DRIFT} / d) AS BIGINT))
+                                 ELSE {A.ROCCHIO_APP_MAX_TERMS} END AS mt FROM drift),
+            rcand AS (SELECT term, round(w, 9) AS w9 FROM newq
+                      WHERE term NOT IN (SELECT term FROM qts)
+                        AND w >= {A.ROCCHIO_APP_MIN_W}),
+            rexp AS (SELECT term, rank FROM (
+                       SELECT term,
+                              CAST(row_number() OVER (ORDER BY w9 DESC, term) AS BIGINT) AS rank
+                       FROM rcand) CROSS JOIN maxt WHERE rank <= maxt.mt),
+            agg AS (SELECT count(*) AS ne,
+                           coalesce(string_agg(term, ' ' ORDER BY rank), '') AS etxt
+                    FROM rexp)
+            SELECT '{_sq_raw}' AS original_query,
+                   CASE WHEN agg.ne > 0 THEN '{_sq_raw}' || ' ' || agg.etxt
+                        ELSE '{_sq_raw}' END AS expanded_query,
+                   CAST(agg.ne AS BIGINT) AS n_expanded,
+                   round(drift.d, 6) AS query_drift,
+                   CAST(CASE WHEN drift.d > {A.ROCCHIO_APP_MAX_DRIFT} THEN 1 ELSE 0 END AS BIGINT) AS drift_warning
+            FROM agg CROSS JOIN drift"""
     # bigram events of the fixed LM test texts, one <START> pad (n=2)
     ev_rows = []
     for tid, text in A.NGRAM_TEST_TEXTS.items():
@@ -2584,6 +2641,7 @@ def oracle_sql() -> dict[str, str]:
         "field_boost_topk": field_boost_sql,
         "related_documents": related_sql,
         "search_suggestions": suggestions_sql,
+        "expand_query": expand_query_sql,
         "vsm_topk": _CTE + f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

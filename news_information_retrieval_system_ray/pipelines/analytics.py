@@ -2864,6 +2864,23 @@ def search_suggestions(sf_dir: str, terms: list[str] | None = None) -> pd.DataFr
         rows += [("csoundex", i, t) for i, t in enumerate(cs, 1)]
 
     # --- rocchio expand_query (BM25 top-5 PRF + app expander)
+    exp, _ = _rocchio_expand_app(sf_dir, terms)
+    rows += [("rocchio", i, t) for i, t in enumerate(exp, 1)]
+
+    return pd.DataFrame(rows, columns=["stype", "rank", "term"]).astype(
+        {"rank": np.int64})
+
+
+def _rocchio_expand_app(sf_dir: str, terms: list[str]) -> tuple[list[str], float]:
+    """expand_query's Rocchio PRF core (search_service.py:587-625 +
+    rocchio.py:177-333, app expander params): BM25 top-5 feedback docs,
+    normalized tfidf vectors, query vector = idf-or-1, alpha/beta
+    accumulation, drift-guarded candidate cut.  Returns (expansion
+    terms, query_drift)."""
+    from collections import Counter
+
+    n_docs, avgdl = _corpus_stats(sf_dir)
+    df_map = _df_map(sf_dir)
     t2q = {t: ["rq"] for t in dict.fromkeys(terms)}
     bm = _bm25_scores(sf_dir, n_docs, avgdl, t2q).to_pandas()
     if bm.empty:  # Ray drops the schema on empty frames
@@ -2911,10 +2928,25 @@ def search_suggestions(sf_dir: str, terms: list[str] | None = None) -> pd.DataFr
     cands = [(t, round9(w)) for t, w in new_q.items()
              if t not in set(terms) and w >= ROCCHIO_APP_MIN_W]
     exp = [t for t, _ in sorted(cands, key=lambda x: (-x[1], x[0]))[:max_terms]]
-    rows += [("rocchio", i, t) for i, t in enumerate(exp, 1)]
+    return exp, drift
 
-    return pd.DataFrame(rows, columns=["stype", "rank", "term"]).astype(
-        {"rank": np.int64})
+
+def expand_query(sf_dir: str, terms: list[str] | None = None) -> pd.DataFrame:
+    """The expand_query API payload (search_service.py:587-625): one row
+    with the original query, the expanded query string
+    (dict.fromkeys(query_terms + expansion)), the expansion count, the
+    query drift (round6) and the drift-warning flag."""
+    terms = list(terms if terms is not None else FIXED_QUERIES[SUGGEST_QID])
+    exp, drift = _rocchio_expand_app(sf_dir, terms)
+    all_terms = list(dict.fromkeys(terms + exp))
+    return pd.DataFrame({
+        "original_query": [" ".join(terms)],
+        "expanded_query": [" ".join(all_terms)],
+        "n_expanded": np.array([len(exp)], dtype=np.int64),
+        "query_drift": [round6(drift)],
+        "drift_warning": np.array(
+            [1 if drift > ROCCHIO_APP_MAX_DRIFT else 0], dtype=np.int64),
+    })
 
 
 def structured_query_or(sf_dir: str) -> pd.DataFrame:
