@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_suggestions": A.search_suggestions,
         # the expand_query API payload (search_service.py:587-625)
         "expand_query": A.expand_query,
+        # query-analysis payload: stopword/protected/synonym machinery
+        # (text_quality.py:137-156)
+        "query_analysis": A.query_analysis,
         "eval_metrics": A.eval_metrics,
         "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
@@ -2314,24 +2317,30 @@ def oracle_sql() -> dict[str, str]:
     _sq_list = "[" + ", ".join(repr(t) for t in _sq_terms) + "]"
     _sq_vals = ", ".join(f"({t!r}, {i})" for i, t in enumerate(_sq_terms, 1))
     _syn_vals = ", ".join(
-        f"({a!r}, {b!r})" for a in sorted(_SYN) for b in sorted(_SYN[a])) \
-        or "('', '')"
+        f"({a!r}, {b!r}, {ai}, {bi})"
+        for ai, (a, bs) in enumerate(_SYN.items())
+        for bi, b in enumerate(bs)) or "('', '', 0, 0)"
     _sq_raw = " ".join(_sq_terms)
     suggestions_sql = _CTE + f""",
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
             vocab AS (SELECT DISTINCT term FROM tf),
             qts(term, qpos) AS (VALUES {_sq_vals}),
-            -- synonym branch (text_quality.py:114-135): term hits +
-            -- phrase-in-text hits, first-wins order
-            synmap(a, b) AS (VALUES {_syn_vals}),
+            -- synonym branch (text_quality.py:114-135): term hits (query
+            -- order, then map-list order) + phrase-in-text hits (map
+            -- insertion order), first-wins dedup; a synonym whose
+            -- NORMALIZED form is already a normalized query term is
+            -- excluded (the 臺灣->台灣 collapse)
+            synmap(a, b, ai, bi) AS (VALUES {_syn_vals}),
+            qnormed AS (SELECT replace(lower(term), '臺', '台') AS nt FROM qts),
             synhit AS (
-              SELECT b AS term, q.qpos * 1000 AS k FROM qts q JOIN synmap ON a = q.term
-              WHERE b NOT IN (SELECT term FROM qts)
+              SELECT b AS term, q.qpos * 100000 + bi AS k
+              FROM qts q JOIN synmap ON a = q.term
+              WHERE replace(lower(b), '臺', '台') NOT IN (SELECT nt FROM qnormed)
               UNION ALL
-              SELECT b AS term, 1000000 AS k FROM synmap
+              SELECT b AS term, 100000000 + ai * 100 + bi AS k FROM synmap
               WHERE a NOT IN (SELECT term FROM qts) AND a != ''
-                AND position(lower(a) IN '{_sq_raw}') > 0
-                AND b NOT IN (SELECT term FROM qts)),
+                AND position(replace(lower(a), '臺', '台') IN '{_sq_raw}') > 0
+                AND replace(lower(b), '臺', '台') NOT IN (SELECT nt FROM qnormed)),
             synord AS (SELECT term, min(k) AS k FROM synhit GROUP BY term),
             semit AS (SELECT 'synonym' AS stype,
                              CAST(row_number() OVER (ORDER BY k, term) AS BIGINT) AS rank,
@@ -2475,6 +2484,45 @@ def oracle_sql() -> dict[str, str]:
                    round(drift.d, 6) AS query_drift,
                    CAST(CASE WHEN drift.d > {A.ROCCHIO_APP_MAX_DRIFT} THEN 1 ELSE 0 END AS BIGINT) AS drift_warning
             FROM agg CROSS JOIN drift"""
+    # query_analysis: stopword/protected/synonym machinery replicated
+    # with the vendored tables embedded (functions/text_quality.py)
+    from news_information_retrieval_system_ray.functions import text_quality as _TQ
+    from news_information_retrieval_system_ray.functions.textnorm import normalize_text as _NORM
+    _stop_vals = ", ".join(f"({s!r})" for s in sorted(_TQ._STOPS))
+    _prot_vals = ", ".join(f"({p!r})" for p in sorted(_TQ._PROTECTED_NORM))
+    _aq = A.ANALYSIS_QUERY
+    query_analysis_sql = f"""
+            WITH nq AS (SELECT trim(regexp_replace(replace(lower('{_aq}'), '臺', '台'),
+                                                   '\\s+', ' ', 'g')) AS n),
+            tl AS (SELECT string_split(n, ' ') AS toks FROM nq),
+            terms AS (SELECT unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl),
+            stops(s) AS (VALUES {_stop_vals}),
+            prot(p) AS (VALUES {_prot_vals}),
+            cls AS (SELECT term, pos,
+                           CASE WHEN replace(lower(term), '臺', '台') IN (SELECT p FROM prot) THEN 0
+                                WHEN replace(lower(term), '臺', '台') IN (SELECT s FROM stops) THEN 1
+                                ELSE 0 END AS lowinfo
+                    FROM terms),
+            sig AS (SELECT term, pos FROM cls WHERE lowinfo = 0),
+            rem AS (SELECT term, pos FROM cls WHERE lowinfo = 1),
+            signorm AS (SELECT replace(lower(term), '臺', '台') AS nt FROM sig),
+            synmap(a, b, ai, bi) AS (VALUES {_syn_vals}),
+            synhit AS (
+              SELECT b AS term, sig.pos * 100000 + bi AS k
+              FROM sig JOIN synmap ON a = sig.term
+              WHERE replace(lower(b), '臺', '台') NOT IN (SELECT nt FROM signorm)
+              UNION ALL
+              SELECT b AS term, 100000000 + ai * 100 + bi AS k FROM synmap
+              WHERE a NOT IN (SELECT term FROM sig) AND a != ''
+                AND position(replace(lower(a), '臺', '台') IN (SELECT n FROM nq)) > 0
+                AND replace(lower(b), '臺', '台') NOT IN (SELECT nt FROM signorm)),
+            synord AS (SELECT term, min(k) AS k FROM synhit GROUP BY term)
+            SELECT '{_aq}' AS raw_query,
+                   (SELECT n FROM nq) AS normalized_query,
+                   (SELECT CAST(count(*) AS BIGINT) FROM terms) AS term_count,
+                   coalesce((SELECT string_agg(term, ' ' ORDER BY pos) FROM sig), '') AS significant_terms,
+                   coalesce((SELECT string_agg(term, ' ' ORDER BY pos) FROM rem), '') AS removed_stopwords,
+                   coalesce((SELECT string_agg(term, ' ' ORDER BY k) FROM synord), '') AS synonym_terms"""
     # bigram events of the fixed LM test texts, one <START> pad (n=2)
     ev_rows = []
     for tid, text in A.NGRAM_TEST_TEXTS.items():
@@ -2642,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         "related_documents": related_sql,
         "search_suggestions": suggestions_sql,
         "expand_query": expand_query_sql,
+        "query_analysis": query_analysis_sql,
         "vsm_topk": _CTE + f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

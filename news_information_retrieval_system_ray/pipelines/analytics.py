@@ -2801,30 +2801,15 @@ def search_suggestions(sf_dir: str, terms: list[str] | None = None) -> pd.DataFr
     from collections import Counter
 
     from ..functions.csoundex import similarity as cs_similarity
-    from ..functions.synonyms import SYNONYMS
-    from ..functions.textnorm import normalize_text
+    from ..functions.text_quality import synonym_terms
 
     terms = list(terms if terms is not None else FIXED_QUERIES[SUGGEST_QID])
     raw_query = " ".join(terms)
-    n_docs, avgdl = _corpus_stats(sf_dir)
-    df_map = _df_map(sf_dir)
     rows: list[tuple[str, int, str]] = []
 
-    # --- synonym (text_quality.synonym_terms: term hits + phrase-in-text)
-    originals = {normalize_text(t) for t in terms}
-    syn: list[str] = []
-    for t in terms:
-        for s in sorted(SYNONYMS.get(t, ())):
-            if normalize_text(s) not in originals and s not in syn:
-                syn.append(s)
-    ntext = normalize_text(raw_query)
-    for phrase in sorted(SYNONYMS):
-        if phrase in terms or not normalize_text(phrase):
-            continue
-        if normalize_text(phrase) in ntext:
-            for s in sorted(SYNONYMS[phrase]):
-                if normalize_text(s) not in originals and s not in syn:
-                    syn.append(s)
+    # --- synonym (text_quality.synonym_terms: term hits + phrase-in-text,
+    # map order, first-wins dedup)
+    syn = synonym_terms(terms, raw_query)
     rows += [("synonym", i, t) for i, t in enumerate(syn, 1)]
 
     # --- fuzzy (expand per term, dist<=1, (dist, term) order, cap 50)
@@ -2869,6 +2854,33 @@ def search_suggestions(sf_dir: str, terms: list[str] | None = None) -> pd.DataFr
 
     return pd.DataFrame(rows, columns=["stype", "rank", "term"]).astype(
         {"rank": np.int64})
+
+
+ANALYSIS_QUERY = "的 Spark ai 臺灣 記者 foo"  # exercises stopword drop,
+# protected-term guard, low-info drop, case fold, 臺->台 collapse and the
+# normalized-original synonym exclusion
+
+
+def query_analysis(sf_dir: str) -> pd.DataFrame:
+    """The query-analysis API payload (text_quality.py:137-156) for the
+    pinned fixture query: normalized query, term count, significant
+    terms (stopword/low-info dropped unless protected), removed terms
+    and the synonym expansion (the 臺灣 synonym collapses to an original
+    and is excluded).  Pure query-side kernel — sf_dir unused; list
+    fields joined with spaces for the relational compare."""
+    from ..functions.text_quality import analysis
+    from ..functions.textnorm import normalize_text
+
+    terms = normalize_text(ANALYSIS_QUERY).split()
+    a = analysis(ANALYSIS_QUERY, terms)
+    return pd.DataFrame({
+        "raw_query": [a["raw_query"]],
+        "normalized_query": [a["normalized_query"]],
+        "term_count": np.array([a["term_count"]], np.int64),
+        "significant_terms": [" ".join(a["significant_terms"])],
+        "removed_stopwords": [" ".join(a["removed_stopwords"])],
+        "synonym_terms": [" ".join(a["synonym_terms"])],
+    })
 
 
 def _rocchio_expand_app(sf_dir: str, terms: list[str]) -> tuple[list[str], float]:
