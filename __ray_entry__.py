@@ -194,6 +194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query-analysis payload: stopword/protected/synonym machinery
         # (text_quality.py:137-156)
         "query_analysis": A.query_analysis,
+        # ranking-diagnostics field matrix + query coverage
+        # (ranking_diagnostics_service.py:190-280)
+        "explain_field_matrix": A.explain_field_matrix,
+        "explain_coverage": A.explain_coverage,
         "eval_metrics": A.eval_metrics,
         "explain_scores": A.explain_scores,
         "eval_pr_at_k": A.eval_pr_at_k,
@@ -888,6 +892,9 @@ def _dedup_embedding_lsh_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     qv = _qterms_values()
+    qv_pos = ", ".join(f"('{qid}', '{t}', {i})"
+                       for qid, terms in A.FIXED_QUERIES.items()
+                       for i, t in enumerate(terms, 1))
     bm25_rank_cte = f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -2691,6 +2698,38 @@ def oracle_sql() -> dict[str, str]:
         "search_suggestions": suggestions_sql,
         "expand_query": expand_query_sql,
         "query_analysis": query_analysis_sql,
+        "explain_field_matrix": _CTE + f""",
+            qterms(qid, term) AS (VALUES {qv}),
+            fields AS (SELECT doc_id, source, lang,
+                              list_slice(string_split(t, ' '), 1, 5) AS title5,
+                              string_split(t, ' ') AS alltoks
+                       FROM norm WHERE doc_id < 20),
+            mat AS (SELECT q.qid, f.doc_id, fld.field, q.term,
+                           CASE fld.field
+                                WHEN 'title' THEN CASE WHEN list_contains(f.title5, q.term) THEN 1 ELSE 0 END
+                                WHEN 'tags' THEN CASE WHEN q.term = f.source THEN 1 ELSE 0 END
+                                WHEN 'category' THEN CASE WHEN q.term = f.lang THEN 1 ELSE 0 END
+                                ELSE CASE WHEN list_contains(f.alltoks, q.term) THEN 1 ELSE 0 END
+                           END AS matched
+                    FROM fields f CROSS JOIN qterms q
+                    CROSS JOIN (SELECT unnest(['title', 'tags', 'category', 'content']) AS field) fld)
+            SELECT qid, doc_id, field, term, CAST(matched AS BIGINT) AS matched FROM mat""",
+        "explain_coverage": _CTE + f""",
+            qterms(qid, term, tpos) AS (VALUES {qv_pos}),
+            fields AS (SELECT doc_id, source, lang,
+                              list_slice(string_split(t, ' '), 1, 5) AS title5,
+                              string_split(t, ' ') AS alltoks
+                       FROM norm),
+            cov AS (SELECT q.qid, f.doc_id, q.term, q.tpos,
+                           CASE WHEN list_contains(f.title5, q.term) OR q.term = f.source
+                                  OR q.term = f.lang OR list_contains(f.alltoks, q.term)
+                                THEN 1 ELSE 0 END AS m
+                    FROM fields f CROSS JOIN qterms q)
+            SELECT qid, doc_id,
+                   coalesce(string_agg(term, ' ' ORDER BY tpos) FILTER (m = 1), '') AS matched_terms,
+                   coalesce(string_agg(term, ' ' ORDER BY tpos) FILTER (m = 0), '') AS missing_terms,
+                   round(sum(m)::DOUBLE / count(*), 6) AS coverage_ratio
+            FROM cov GROUP BY qid, doc_id""",
         "vsm_topk": _CTE + f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

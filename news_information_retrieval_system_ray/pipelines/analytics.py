@@ -2766,6 +2766,80 @@ def related_documents(sf_dir: str, doc_id: int = RELATED_DOC_ID,
     })
 
 
+def _field_matrix_ds(sf_dir: str):
+    """(qid, doc_id, field, term, matched) Dataset — the ranking-
+    diagnostics field-match matrix (ranking_diagnostics_service.py:
+    190-280) for every fixed query x document x field, fields derived
+    per the field_boost_topk convention (title = first-5 split tokens,
+    tags = {source}, category = {lang}, content = all tokens).  Pure
+    per-batch map over the documents scan."""
+    from ..functions.textnorm import normalize_text
+
+    qsets = {qid: list(dict.fromkeys(ts)) for qid, ts in FIXED_QUERIES.items()}
+    fields = ("title", "tags", "category", "content")
+
+    def m(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("qid", "doc_id", "field", "term", "matched")}
+        for row in t.to_pylist():
+            toks = normalize_text(row["text"] or "").split()
+            title5, allset = set(toks[:5]), set(toks)
+            member = {"title": lambda x: x in title5,
+                      "tags": lambda x: x == row["source"],
+                      "category": lambda x: x == row["lang"],
+                      "content": lambda x: x in allset}
+            for qid, terms in qsets.items():
+                for f in fields:
+                    for term in terms:
+                        out["qid"].append(qid)
+                        out["doc_id"].append(row["doc_id"])
+                        out["field"].append(f)
+                        out["term"].append(term)
+                        out["matched"].append(1 if member[f](term) else 0)
+        return pa.table({
+            "qid": pa.array(out["qid"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "field": pa.array(out["field"], pa.string()),
+            "term": pa.array(out["term"], pa.string()),
+            "matched": pa.array(out["matched"], pa.int64())})
+
+    return _docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]) \
+        .map_batches(m, batch_format="pyarrow")
+
+
+def explain_field_matrix(sf_dir: str, n_docs: int = 20):
+    """The field-match matrix rows for the first ``n_docs`` docs
+    (ranking_diagnostics_service.py:250-280 flattened)."""
+    return _field_matrix_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.less(t.column("doc_id"), n_docs)),
+        batch_format="pyarrow")
+
+
+def explain_coverage(sf_dir: str) -> pd.DataFrame:
+    """(qid, doc_id, matched_terms, missing_terms, coverage_ratio) —
+    _query_coverage (ranking_diagnostics_service.py:223-248): a query
+    term is covered when ANY field matches it; term order = the query's
+    unique-term order; ratio round6.  Aggregated from the distributed
+    matrix via a per-batch shrink, assembled per doc driver-side
+    (n_docs x n_queries rows)."""
+    qsets = {qid: list(dict.fromkeys(ts)) for qid, ts in FIXED_QUERIES.items()}
+    agg = _sum_by(_field_matrix_ds(sf_dir).select_columns(
+        ["qid", "doc_id", "term", "matched"]),
+        ("qid", "doc_id", "term"), ("matched",)).to_pandas()
+    cov = {(q, d, t): (m > 0) for q, d, t, m in
+           zip(agg["qid"], agg["doc_id"], agg["term"], agg["matched"])}
+    doc_ids = sorted(agg["doc_id"].unique())
+    rows = []
+    for qid, terms in qsets.items():
+        for d in doc_ids:
+            hit = [t for t in terms if cov.get((qid, d, t))]
+            miss = [t for t in terms if not cov.get((qid, d, t))]
+            rows.append((qid, int(d), " ".join(hit), " ".join(miss),
+                         round6((len(terms) - len(miss)) / len(terms))
+                         if terms else 0.0))
+    return pd.DataFrame(rows, columns=[
+        "qid", "doc_id", "matched_terms", "missing_terms", "coverage_ratio"])
+
+
 SUGGEST_QID = "q1"          # suggestions query = FIXED_QUERIES[q1]
 SUGGEST_FUZZY_DIST = 1      # _fuzzy_expansion max_distance (search_service.py:394)
 SUGGEST_CS_THRESHOLD = 0.72  # _csoundex_expansion (:407)
