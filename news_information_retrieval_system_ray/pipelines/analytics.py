@@ -2686,7 +2686,9 @@ def related_documents(sf_dir: str, doc_id: int = RELATED_DOC_ID,
         return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
 
     srow = _docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]) \
-        .filter(lambda r: r["doc_id"] == doc_id).take_all()[0]
+        .map_batches(lambda t: t.filter(
+            pa.compute.equal(t.column("doc_id"), doc_id)),
+            batch_format="pyarrow").take_all()[0]
     toks = tokenize(normalize_text(srow["text"] or ""))
     tfc = Counter(toks)
     kwsc = [(t, round9(c * idf_app(t))) for t, c in tfc.items() if len(t) > 1]

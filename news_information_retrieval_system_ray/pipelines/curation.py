@@ -128,8 +128,10 @@ def decontaminate(sf_dir: str):
 
     from .analytics import _docs_ds
 
-    bench_rows = _docs_ds(sf_dir, ["doc_id", "text"]).filter(
-        lambda r: r["doc_id"] in DECON_BENCH_DOC_IDS).take_all()
+    bench_set = pa.array(sorted(DECON_BENCH_DOC_IDS))
+    bench_rows = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=bench_set)),
+        batch_format="pyarrow").take_all()
     bench = frozenset(g for r in bench_rows for g in _doc_shingles(r["text"]))
 
     def _batch(t: pa.Table) -> pa.Table:
