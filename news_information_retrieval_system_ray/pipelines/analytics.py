@@ -2874,8 +2874,6 @@ def search_suggestions(sf_dir: str, terms: list[str] | None = None) -> pd.DataFr
     whose condition fails emits no rows (the reference omits the entry).
     Vocabulary scans (fuzzy/csoundex) and the BM25/tfidf feedback run
     distributed; only per-branch top-k term lists reach the driver."""
-    from collections import Counter
-
     from ..functions.csoundex import similarity as cs_similarity
     from ..functions.text_quality import synonym_terms
 
