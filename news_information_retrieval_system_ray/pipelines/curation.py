@@ -103,7 +103,11 @@ DECON_BENCH_DOC_IDS = (3, 7, 11)   # the pinned "eval set" docs
 DECON_SHINGLE = 3                  # word n-gram size
 
 PACK_SEQ_TOKENS = 512              # training-sequence token budget
-PACK_BUCKET_SHIFT = 6              # 64 docs per prefix-sum bucket
+PACK_BUCKET_SHIFT = 6              # MIN docs-per-bucket shift (64); the
+PACK_TARGET_BUCKETS = 4096         # shift auto-scales so the driver's
+                                   # offsets dict stays O(4k) at any
+                                   # corpus size (seq_id output is
+                                   # bucket-granularity-invariant)
 
 
 def _doc_shingles(text: str) -> list[str]:
@@ -156,18 +160,25 @@ def pack_sequences(sf_dir: str):
     loader uses to slice a corpus into ~fixed-token shards).
 
     Distributed prefix sum, two passes: (1) per-bucket token sums via a
-    small groupby (buckets = contiguous doc_id ranges), cumsum'd on the
-    driver into per-bucket offsets (n_docs/64 rows — tiny); (2) a
+    small groupby (buckets = contiguous doc_id ranges; the bucket shift
+    auto-scales so there are O(PACK_TARGET_BUCKETS) buckets at any
+    corpus size — seq_id does not depend on the granularity), cumsum'd
+    on the driver into per-bucket offsets; (2) a
     groupby(bucket).map_groups within-bucket scan adds the offset.  No
     pass materializes the corpus; the only all-to-all moves one row per
     doc of 3 ints."""
-    from .analytics import doc_quality
+    from .analytics import _corpus_stats, doc_quality
 
+    n_docs, _ = _corpus_stats(sf_dir)
+    # clamp docs-per-bucket to [2^6, 2^20]: the upper bound keeps one
+    # bucket's rows inside a single map_groups task; past ~10^9 buckets
+    # the offsets dict itself would need one more scan level (noted)
+    shift = min(20, max(PACK_BUCKET_SHIFT,
+                        (max(1, n_docs // PACK_TARGET_BUCKETS)).bit_length()))
     q = doc_quality(sf_dir).select_columns(["doc_id", "n_tokens"])
     q = q.map_batches(
         lambda t: t.append_column(
-            "bucket", pa.compute.shift_right(t.column("doc_id"),
-                                             PACK_BUCKET_SHIFT)),
+            "bucket", pa.compute.shift_right(t.column("doc_id"), shift)),
         batch_format="pyarrow")
     sums = q.groupby("bucket").sum("n_tokens").to_pandas() \
         .sort_values("bucket").reset_index(drop=True)
