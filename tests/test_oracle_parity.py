@@ -31,6 +31,9 @@ SUBSET = [
     "train_split", "corpus_curate",
     # related-documents serving chain (hybrid RRF + field/relation boosts)
     "related_documents",
+    # suggestion/expansion endpoints + diagnostics + VSM
+    "search_suggestions", "expand_query", "query_analysis",
+    "vsm_topk", "explain_coverage",
     # KeyBERT keyphrases: hashing encoder + the MMR greedy loop
     # unrolled as 4 chained SQL argmax steps
     "keybert_keywords",
