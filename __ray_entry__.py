@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": A.hybrid_rrf,
         # SMART lnc.ltc vector-space model (vsm.py:86-300)
         "vsm_topk": A.vsm_topk,
+        # deterministic md5-keyed sketches (stages/sketches.py)
+        "distinct_terms_hll": A.distinct_terms_hll,
+        "term_counts_cms": A.term_counts_cms,
         "field_boost_topk": A.field_boost_topk,
         # the app's INDEX-side field weighting (title x3 + tags +
         # category + content composed text, index_service.py:220-231)
@@ -895,6 +898,9 @@ def oracle_sql() -> dict[str, str]:
     qv_pos = ", ".join(f"('{qid}', '{t}', {i})"
                        for qid, terms in A.FIXED_QUERIES.items()
                        for i, t in enumerate(terms, 1))
+    from news_information_retrieval_system_ray.stages import sketches as _SK
+    cms_terms_vals = ", ".join(
+        f"({t!r})" for t in sorted({x for ts in A.FIXED_QUERIES.values() for x in ts}))
     bm25_rank_cte = f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -2730,6 +2736,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(term, ' ' ORDER BY tpos) FILTER (m = 0), '') AS missing_terms,
                    round(sum(m)::DOUBLE / count(*), 6) AS coverage_ratio
             FROM cov GROUP BY qid, doc_id""",
+        "distinct_terms_hll": _CTE + f""",
+            vocab AS (SELECT DISTINCT term FROM tf),
+            hh AS (SELECT ('0x' || substr(md5(term), 1, 16))::UBIGINT AS hv FROM vocab),
+            regs AS (SELECT CAST(hv >> {64 - _SK.HLL_P} AS BIGINT) AS bucket,
+                            max(CASE WHEN hv % {1 << (64 - _SK.HLL_P)} = 0
+                                     THEN {64 - _SK.HLL_P + 1}
+                                     ELSE {64 - _SK.HLL_P + 1}
+                                          - length(bin(hv % {1 << (64 - _SK.HLL_P)}))
+                                END) AS rho
+                     FROM hh GROUP BY 1),
+            agg AS (SELECT count(*) AS nhit, sum(power(2.0, -rho)) AS s FROM regs),
+            est AS (SELECT nhit,
+                           {0.7213 / (1.0 + 1.079 / _SK.HLL_M) * _SK.HLL_M * _SK.HLL_M}::DOUBLE
+                           / (s + ({_SK.HLL_M} - nhit)) AS e,
+                           {_SK.HLL_M} - nhit AS v
+                    FROM agg)
+            SELECT CAST(nhit AS BIGINT) AS n_registers_hit,
+                   round(CASE WHEN e <= {2.5 * _SK.HLL_M} AND v > 0
+                              THEN {_SK.HLL_M} * ln({_SK.HLL_M}::DOUBLE / v)
+                              ELSE e END, 4) AS estimate
+            FROM est""",
+        "term_counts_cms": _CTE + f""",
+            cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+            rws AS (SELECT unnest([0, 1, 2, 3]) AS i),
+            cells AS (SELECT r.i AS row_,
+                             ('0x' || substr(md5(r.i || ':' || c.term), 1, 16))::UBIGINT % {_SK.CMS_W} AS cell,
+                             sum(c.cf) AS cnt
+                      FROM cf c CROSS JOIN rws r GROUP BY 1, 2),
+            qt(term) AS (VALUES {cms_terms_vals}),
+            est AS (SELECT q.term, min(coalesce(cl.cnt, 0)) AS est_count
+                    FROM qt q CROSS JOIN rws r
+                    LEFT JOIN cells cl ON cl.row_ = r.i
+                         AND cl.cell = ('0x' || substr(md5(r.i || ':' || q.term), 1, 16))::UBIGINT % {_SK.CMS_W}
+                    GROUP BY q.term)
+            SELECT term, CAST(est_count AS BIGINT) AS est_count FROM est""",
         "vsm_topk": _CTE + f""",
             qterms(qid, term) AS (VALUES {qv}),
             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

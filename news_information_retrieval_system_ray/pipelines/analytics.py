@@ -480,6 +480,25 @@ def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
 
 
+def distinct_terms_hll(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-term estimate over the exploded corpus
+    (stages/sketches.py: p=8, md5-keyed, deterministic — the SQL twin
+    computes bit-identical registers)."""
+    from ..stages.sketches import hll_distinct_terms
+
+    return hll_distinct_terms(_exploded_ds(sf_dir))
+
+
+def term_counts_cms(sf_dir: str) -> pd.DataFrame:
+    """Count-Min collection-frequency estimates for the fixed query
+    terms (stages/sketches.py: 4x1024, md5-keyed — integer outputs,
+    never under the true count)."""
+    from ..stages.sketches import cms_term_counts
+
+    terms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+    return cms_term_counts(_exploded_ds(sf_dir), terms)
+
+
 def vsm_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """SMART lnc.ltc Vector-Space-Model top-k (vsm.py:86-300): document
     vectors ltc = (1+log10 tf)·log10(N/df), cosine-normalized
