@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate": CU.corpus_curate,
         "decontaminate": CU.decontaminate,
         "pack_sequences": CU.pack_sequences,
+        "stratified_sample": CU.stratified_sample,
+        "source_mix_sample": CU.source_mix_sample,
         "dedup_exact": A.dedup_exact,
         "dedup_minhash": A.dedup_minhash,
         "dedup_simhash": A.dedup_simhash,
@@ -3826,6 +3828,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
                    CAST(cb // {CU.PACK_SEQ_TOKENS} AS BIGINT) AS seq_id
             FROM cum""",
+        "stratified_sample": f"""
+            WITH keyed AS (SELECT source, doc_id,
+                                  substr(md5('{CU.SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 16) AS skey
+                           FROM documents),
+            ranked AS (SELECT source, doc_id, skey,
+                              row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn
+                       FROM keyed)
+            SELECT source, doc_id, skey FROM ranked WHERE rn <= {CU.STRATA_N}""",
+        "source_mix_sample": f"""
+            WITH rates(src, cut) AS (VALUES {", ".join(f"({s!r}, {int(r * CU.MIX_SCALE)})" for s, r in CU.MIX_RATES.items())})
+            SELECT d.doc_id, d.source,
+                   CAST(CASE WHEN ('0x' || substr(md5('{CU.MIX_SALT}:' || CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT % {CU.MIX_SCALE}
+                             < coalesce(r.cut, {int(CU.MIX_DEFAULT_RATE * CU.MIX_SCALE)})
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM documents d LEFT JOIN rates r ON d.source = r.src""",
         "corpus_curate": _CTE + f""",
             cnt AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS nd
                     FROM ft GROUP BY doc_id),

@@ -99,6 +99,65 @@ def train_shuffle_head(sf_dir: str, seed: str = SHUFFLE_SEED,
     return head
 
 
+STRATA_N = 5                # stratified sample size per source
+MIX_SALT = "mix"
+# per-source sampling rates (data mixing: up/down-weight sources);
+# sources not listed use MIX_DEFAULT_RATE
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIX_DEFAULT_RATE = 0.1
+MIX_SCALE = 10000
+
+
+def stratified_sample(sf_dir: str, n_per_source: int = STRATA_N):
+    """(source, doc_id, skey) — a deterministic n-per-source sample:
+    within each source keep the n docs with the smallest
+    ``md5("{salt}:{doc_id}")`` keys (hash order = a uniform but
+    reproducible draw).  Per-batch partial top-n per source, then a
+    tiny per-source merge — the groupby ships <= n rows per (batch,
+    source), never the corpus."""
+    from .analytics import _docs_ds
+
+    def _batch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t.column("source").to_pandas(),
+            "doc_id": t.column("doc_id").to_pandas()})
+        df["skey"] = [_md5_hex16(f"{SPLIT_SALT}:{i}") for i in df["doc_id"]]
+        part = df.sort_values(["source", "skey", "doc_id"]) \
+            .groupby("source", sort=False).head(n_per_source)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = _docs_ds(sf_dir, ["doc_id", "source"]).map_batches(
+        _batch, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["source", "skey", "doc_id"]) \
+        .groupby("source", sort=False).head(n_per_source)
+    return out.sort_values(["source", "skey"]).reset_index(drop=True) \
+        .astype({"doc_id": np.int64})
+
+
+def source_mix_sample(sf_dir: str):
+    """(doc_id, source, keep) — source-weighted mixing: keep a doc when
+    ``md5("mix:{doc_id}") % 10000 < rate(source) * 10000`` (per-source
+    up/down-sampling with a deterministic, resume-stable draw).  Pure
+    narrow map — no shuffle at any scale."""
+    from .analytics import _docs_ds
+
+    def _batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_pylist()
+        draws = np.fromiter((_md5_u64(f"{MIX_SALT}:{i}") % MIX_SCALE
+                             for i in ids), np.int64, count=len(ids))
+        cuts = np.fromiter(
+            (int(MIX_RATES.get(s, MIX_DEFAULT_RATE) * MIX_SCALE)
+             for s in srcs), np.int64, count=len(srcs))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "keep": pa.array((draws < cuts).astype(np.int64))})
+
+    return _docs_ds(sf_dir, ["doc_id", "source"]).map_batches(
+        _batch, batch_format="pyarrow")
+
+
 DECON_BENCH_DOC_IDS = (3, 7, 11)   # the pinned "eval set" docs
 DECON_SHINGLE = 3                  # word n-gram size
 

@@ -139,3 +139,36 @@ def test_pack_sequences_prefix_sum(tmp_path):
     # seq ids are nondecreasing and start at 0
     assert out["seq_id"].iloc[0] == 0
     assert (out["seq_id"].diff().fillna(0) >= 0).all()
+
+
+def test_stratified_sample_determinism_and_size(tmp_path):
+    df = pd.DataFrame({
+        "doc_id": range(40),
+        "lang": ["en"] * 40,
+        "text": [f"doc {i}" for i in range(40)],
+        "source": [f"s{i % 4}" for i in range(40)],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    a = CU.stratified_sample(str(tmp_path), n_per_source=3)
+    b = CU.stratified_sample(str(tmp_path), n_per_source=3)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("source").size() == 3).all()
+    # keys are the documented md5 prefixes (same salt as train_split)
+    for _, r in a.iterrows():
+        assert r.skey == hashlib.md5(
+            f"{CU.SPLIT_SALT}:{r.doc_id}".encode()).hexdigest()[:16]
+
+
+def test_source_mix_rates(tmp_path):
+    n = 4000
+    df = pd.DataFrame({
+        "doc_id": range(n),
+        "lang": ["en"] * n,
+        "text": [f"doc {i}" for i in range(n)],
+        "source": ["src0" if i < 2000 else "srcX" for i in range(n)],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = CU.source_mix_sample(str(tmp_path)).to_pandas()
+    kept = out.groupby("source")["keep"].mean()
+    assert kept["src0"] == 1.0                      # rate 1.0 keeps all
+    assert abs(kept["srcX"] - CU.MIX_DEFAULT_RATE) < 0.03  # ~10%
