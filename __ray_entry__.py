@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": CU.pack_sequences,
         "stratified_sample": CU.stratified_sample,
         "source_mix_sample": CU.source_mix_sample,
+        # CCNet-style LM quality gate (per-doc bigram perplexity)
+        "perplexity_filter": CU.perplexity_filter,
         "dedup_exact": A.dedup_exact,
         "dedup_minhash": A.dedup_minhash,
         "dedup_simhash": A.dedup_simhash,
@@ -3828,6 +3830,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
                    CAST(cb // {CU.PACK_SEQ_TOKENS} AS BIGINT) AS seq_id
             FROM cum""",
+        "perplexity_filter": f"""
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            fl AS (
+              SELECT doc_id, list_filter(string_split(t, ' '),
+                     x -> regexp_matches(x, '[a-z0-9_]')) AS toks
+              FROM norm),
+            seq AS (
+              SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+              FROM fl WHERE len(toks) > 0),
+            pairs AS (
+              SELECT doc_id, term AS w2,
+                     lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM seq),
+            bg AS (SELECT w1, w2, count(*) AS n_ab FROM pairs
+                   WHERE w1 IS NOT NULL GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(n_ab) AS n_ctx FROM bg GROUP BY w1),
+            tot AS (SELECT count(DISTINCT term) AS v FROM seq),
+            ev AS (SELECT doc_id, coalesce(w1, '<START>') AS w1, w2 FROM pairs),
+            j AS (SELECT ev.doc_id,
+                         (coalesce(bg.n_ab, 0) + 1.0)
+                         / (coalesce(ctx.n_ctx, 0) + tot.v) AS p
+                  FROM ev LEFT JOIN bg ON ev.w1 = bg.w1 AND ev.w2 = bg.w2
+                  LEFT JOIN ctx ON ev.w1 = ctx.w1 CROSS JOIN tot),
+            ppl AS (SELECT doc_id, pow(2.0, -avg(log2(p))) AS ppl
+                    FROM j GROUP BY doc_id)
+            SELECT doc_id, round(ppl, 4) AS ppl,
+                   CAST(CASE WHEN ppl > {CU.PPL_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS high_ppl
+            FROM ppl""",
         "stratified_sample": f"""
             WITH keyed AS (SELECT source, doc_id,
                                   substr(md5('{CU.SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 16) AS skey

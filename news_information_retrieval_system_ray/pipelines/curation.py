@@ -158,6 +158,51 @@ def source_mix_sample(sf_dir: str):
         _batch, batch_format="pyarrow")
 
 
+PPL_THRESHOLD = 30.0   # high-perplexity flag cutoff (fixture-scaled)
+
+
+def perplexity_filter(sf_dir: str, threshold: float = PPL_THRESHOLD):
+    """(doc_id, ppl, high_ppl) — CCNet-style LM quality gate: Laplace
+    bigram perplexity of every document under the corpus-trained model
+    (functions/ngram_lm.NGramLM; training counts are the SAME
+    distributed aggregates the collocation/LM queries use), flagging
+    docs above ``threshold``.  Scoring is a pure per-batch map with the
+    (vocab-sized) count tables riding the task closure — at web scale
+    the count tables would be pruned/quantized before broadcast (CCNet
+    ships a fixed KenLM binary the same way).  Docs with no tokens are
+    skipped (perplexity undefined)."""
+    from ..functions.ngram_lm import NGramLM
+    from ..functions.textnorm import normalize_text
+    from ..functions.tokenize import get_tokenizer
+    from .analytics import _bigram_counts, _docs_ds, round4
+
+    pair_counts, cf, _, _ = _bigram_counts(sf_dir)
+    ngrams = {(a, b): int(n) for a, b, n in
+              zip(pair_counts["w1"], pair_counts["w2"], pair_counts["n_ab"])}
+    ctx = pair_counts.groupby("w1")["n_ab"].sum()
+    contexts = {(w,): int(n) for w, n in ctx.items()}
+    model = NGramLM.from_counts(2, ngrams, contexts, cf, smoothing="laplace")
+    tokenize = get_tokenizer("whitespace")
+
+    def _batch(t: pa.Table) -> pa.Table:
+        ids, ppls, flags = [], [], []
+        for i, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = tokenize(normalize_text(txt or ""))
+            if not toks:
+                continue
+            p = model.perplexity(toks)
+            ids.append(i)
+            ppls.append(round4(p))
+            flags.append(1 if p > threshold else 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "ppl": pa.array(ppls, pa.float64()),
+                         "high_ppl": pa.array(flags, pa.int64())})
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _batch, batch_format="pyarrow")
+
+
 DECON_BENCH_DOC_IDS = (3, 7, 11)   # the pinned "eval set" docs
 DECON_SHINGLE = 3                  # word n-gram size
 

@@ -172,3 +172,20 @@ def test_source_mix_rates(tmp_path):
     kept = out.groupby("source")["keep"].mean()
     assert kept["src0"] == 1.0                      # rate 1.0 keeps all
     assert abs(kept["srcX"] - CU.MIX_DEFAULT_RATE) < 0.03  # ~10%
+
+
+def test_perplexity_filter_orders_quality(tmp_path):
+    """A doc made of the corpus's dominant bigrams scores lower
+    perplexity than a doc of corpus-rare sequences."""
+    common = "the cat sat on the mat " * 20
+    docs = [common] * 8 + ["zq xv jk wp mn bt dl rs gh fy " * 4]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "lang": ["en"] * len(docs),
+                       "text": docs, "source": ["s"] * len(docs)})
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = CU.perplexity_filter(str(tmp_path), threshold=10.0) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[0, "ppl"] < out.loc[8, "ppl"]
+    # the flag is exactly the threshold predicate
+    for _, r in out.iterrows():
+        assert r.high_ppl == (1 if r.ppl > 10.0 else 0)
+    assert len(out) == 9
