@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_sample": CU.source_mix_sample,
         # CCNet-style LM quality gate (per-doc bigram perplexity)
         "perplexity_filter": CU.perplexity_filter,
+        # the END-TO-END training-data pipeline: curate -> decontaminate
+        # -> perplexity gate -> split -> per-split sequence packing
+        "llm_corpus_pipeline": CU.llm_corpus_pipeline,
         "dedup_exact": A.dedup_exact,
         "dedup_minhash": A.dedup_minhash,
         "dedup_simhash": A.dedup_simhash,
@@ -3830,6 +3833,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
                    CAST(cb // {CU.PACK_SEQ_TOKENS} AS BIGINT) AS seq_id
             FROM cum""",
+        "llm_corpus_pipeline": _CTE + f""",
+            cnt AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS nd
+                    FROM ft GROUP BY doc_id),
+            k AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+                  FROM documents GROUP BY md5(text)),
+            curated AS (
+              SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+              FROM documents d JOIN k ON md5(d.text) = k.h
+              LEFT JOIN cnt c ON d.doc_id = c.doc_id
+              WHERE d.doc_id = k.keeper AND d.lang = '{CU.CURATE_LANG}'
+                AND coalesce(c.n, 0) >= {CU.CURATE_MIN_TOKENS}
+                AND coalesce(c.n, 0) <= {CU.CURATE_MAX_TOKENS}
+                AND {CU.CURATE_LOWQ_NUM} * coalesce(c.nd, 0) >= coalesce(c.n, 0)),
+            nfl AS (SELECT doc_id, list_filter(string_split(t, ' '),
+                           x -> regexp_matches(x, '[a-z0-9_]')) AS toks
+                    FROM norm),
+            nseq AS (SELECT doc_id, unnest(toks) AS term,
+                            generate_subscripts(toks, 1) AS pos
+                     FROM nfl WHERE len(toks) > 0),
+            sh AS (SELECT doc_id,
+                          term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS g
+                   FROM nseq WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+                   QUALIFY g IS NOT NULL),
+            bench AS (SELECT DISTINCT g FROM sh
+                      WHERE doc_id IN {CU.DECON_BENCH_DOC_IDS}),
+            contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (g)),
+            prs AS (SELECT doc_id, term AS w2,
+                           lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+                    FROM nseq),
+            bg AS (SELECT w1, w2, count(*) AS n_ab FROM prs
+                   WHERE w1 IS NOT NULL GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(n_ab) AS n_ctx FROM bg GROUP BY w1),
+            tot AS (SELECT count(DISTINCT term) AS v FROM nseq),
+            evp AS (SELECT doc_id, coalesce(w1, '<START>') AS w1, w2 FROM prs),
+            jp AS (SELECT evp.doc_id,
+                          (coalesce(bg.n_ab, 0) + 1.0)
+                          / (coalesce(ctx.n_ctx, 0) + tot.v) AS p
+                   FROM evp LEFT JOIN bg ON evp.w1 = bg.w1 AND evp.w2 = bg.w2
+                   LEFT JOIN ctx ON evp.w1 = ctx.w1 CROSS JOIN tot),
+            highppl AS (SELECT doc_id FROM (
+                          SELECT doc_id, pow(2.0, -avg(log2(p))) AS ppl
+                          FROM jp GROUP BY doc_id)
+                        WHERE ppl > {CU.PPL_THRESHOLD}),
+            kept AS (SELECT cu.doc_id, cu.n_tokens,
+                            CASE WHEN ('0x' || substr(md5('{CU.SPLIT_SALT}:' || CAST(cu.doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < {CU.SPLIT_TEST_LT} THEN 'test'
+                                 WHEN ('0x' || substr(md5('{CU.SPLIT_SALT}:' || CAST(cu.doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < {CU.SPLIT_VAL_LT} THEN 'val'
+                                 ELSE 'train' END AS split
+                     FROM curated cu
+                     WHERE cu.doc_id NOT IN (SELECT doc_id FROM contaminated)
+                       AND cu.doc_id NOT IN (SELECT doc_id FROM highppl)),
+            packed AS (SELECT doc_id, split, n_tokens,
+                              coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                       FROM kept)
+            SELECT doc_id, split, n_tokens,
+                   CAST(cb // {CU.PACK_SEQ_TOKENS} AS BIGINT) AS seq_id
+            FROM packed""",
         "perplexity_filter": f"""
             WITH norm AS (
               SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

@@ -203,6 +203,84 @@ def perplexity_filter(sf_dir: str, threshold: float = PPL_THRESHOLD):
         _batch, batch_format="pyarrow")
 
 
+def llm_corpus_pipeline(sf_dir: str, ppl_threshold: float = PPL_THRESHOLD):
+    """(doc_id, split, n_tokens, seq_id) — the END-TO-END training-data
+    pipeline over the raw corpus, composing this module's stages:
+
+    1. ``corpus_curate`` keep/drop (dup > lang > length band > quality);
+    2. drop every doc sharing an eval-set shingle (``decontaminate``,
+       including the benchmark docs themselves);
+    3. drop high-perplexity docs (``perplexity_filter`` LM gate);
+    4. deterministic ``train_split`` hash assignment on the survivors;
+    5. per-SPLIT sequence packing: ``seq_id = floor(tokens_before_me /
+       PACK_SEQ_TOKENS)`` over doc_id order within each split (train /
+       val / test shard streams pack independently).
+
+    Composition is Dataset joins end-to-end: the keep set is curate
+    filtered to 'keep' LEFT-ANTI-joined against the decontamination and
+    perplexity flag sets; the split is a narrow map; packing reuses the
+    two-pass bucket prefix sum, partitioned by (split, bucket).  Every
+    stage's semantics are individually oracle-checked; this entry
+    oracle-checks the composition."""
+    from .analytics import _corpus_stats
+
+    cur = corpus_curate(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("status"), "keep"))
+        .select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow").repartition(2)
+    decon = decontaminate(sf_dir).select_columns(["doc_id"]).repartition(2)
+    highppl = perplexity_filter(sf_dir, threshold=ppl_threshold).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("high_ppl"), 1))
+        .select(["doc_id"]), batch_format="pyarrow").repartition(2)
+    kept = cur
+    for flagged in (decon, highppl):
+        # an EMPTY right side breaks the arrow anti join (zero-schema
+        # blocks) and means "drop nothing"; the flag sets are tiny so
+        # the count is cheap
+        if flagged.count() > 0:
+            kept = kept.join(flagged, "left_anti", num_partitions=8,
+                             on=("doc_id",)).repartition(2)
+
+    n_docs, _ = _corpus_stats(sf_dir)
+    shift = min(20, max(PACK_BUCKET_SHIFT,
+                        (max(1, n_docs // PACK_TARGET_BUCKETS)).bit_length()))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        buckets = np.fromiter(
+            (_md5_u64(f"{SPLIT_SALT}:{i}") % 100 for i in ids),
+            dtype=np.int64, count=len(ids))
+        split = np.select([buckets < SPLIT_TEST_LT, buckets < SPLIT_VAL_LT],
+                          ["test", "val"], "train")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("n_tokens"),
+            "split": pa.array(split.tolist(), pa.string()),
+            "bucket": pa.array(ids >> shift)})
+
+    keyed = kept.map_batches(_assign, batch_format="pyarrow")
+    sums = keyed.groupby(["split", "bucket"]).sum("n_tokens").to_pandas() \
+        .sort_values(["split", "bucket"]).reset_index(drop=True)
+    offsets: dict[tuple[str, int], int] = {}
+    for split, g in sums.groupby("split", sort=True):
+        csum = g["sum(n_tokens)"].cumsum().shift(1, fill_value=0)
+        offsets.update({(split, int(b)): int(c)
+                        for b, c in zip(g["bucket"], csum)})
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        key = (g["split"].iloc[0], int(g["bucket"].iloc[0]))
+        before = g["n_tokens"].cumsum().shift(1, fill_value=0) + offsets[key]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "split": g["split"],
+            "n_tokens": g["n_tokens"].astype(np.int64),
+            "seq_id": (before // PACK_SEQ_TOKENS).astype(np.int64)})
+
+    return keyed.groupby(["split", "bucket"]).map_groups(
+        _pack, batch_format="pandas")
+
+
 DECON_BENCH_DOC_IDS = (3, 7, 11)   # the pinned "eval set" docs
 DECON_SHINGLE = 3                  # word n-gram size
 

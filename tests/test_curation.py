@@ -189,3 +189,40 @@ def test_perplexity_filter_orders_quality(tmp_path):
     for _, r in out.iterrows():
         assert r.high_ppl == (1 if r.ppl > 10.0 else 0)
     assert len(out) == 9
+
+
+def test_llm_corpus_pipeline_invariants(tmp_path):
+    """Composition invariants: survivors are curate-keepers, packing is
+    a per-split prefix sum, splits follow the hash rule."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(20, 60))
+        rows.append((i, "en", " ".join(f"t{i}w{j}" for j in range(n)), "s"))
+    # a few docs that must be dropped: wrong lang, short, exact dup
+    rows.append((60, "de", " ".join(f"x{j}" for j in range(30)), "s"))
+    rows.append((61, "en", "too short", "s"))
+    rows.append((62, "en", rows[0][2], "s"))   # dup of doc 0
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "text", "source"])
+    df.to_parquet(tmp_path / "documents.parquet")
+    # disable the LM gate (the synthetic unique-token vocab makes every
+    # doc "high perplexity"); the gate itself is covered by
+    # test_perplexity_filter_orders_quality and the oracle
+    out = CU.llm_corpus_pipeline(str(tmp_path), ppl_threshold=1e9) \
+        .to_pandas().sort_values(["split", "doc_id"]).reset_index(drop=True)
+    assert not {60, 61, 62} & set(out["doc_id"])
+    # benchmark docs 3/7/11 are decontaminated out
+    assert not {3, 7, 11} & set(out["doc_id"])
+    cur = CU.corpus_curate(str(tmp_path)).to_pandas()
+    keepers = set(cur[cur.status == "keep"].doc_id)
+    assert set(out["doc_id"]) <= keepers
+    # per-split prefix-sum check
+    for _, g in out.groupby("split"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        before = g["n_tokens"].cumsum().shift(1, fill_value=0)
+        assert list(g["seq_id"]) == list(
+            (before // CU.PACK_SEQ_TOKENS).astype(np.int64))
+    # split rule matches train_split's hash assignment
+    sp = CU.train_split(str(tmp_path)).to_pandas().set_index("doc_id")["split"]
+    for _, r in out.iterrows():
+        assert r.split == sp[r.doc_id]
