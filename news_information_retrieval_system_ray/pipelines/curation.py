@@ -224,10 +224,15 @@ def llm_corpus_pipeline(sf_dir: str, ppl_threshold: float = PPL_THRESHOLD):
     oracle-checks the composition."""
     from .analytics import _corpus_stats
 
+    # materialize each stage before the next join: curate's own lineage
+    # already holds two hash-shuffle joins, and fusing further joins
+    # into one streaming DAG deadlocks when the shuffle actor pools
+    # cannot all co-schedule on a small CPU budget (also a natural
+    # per-stage checkpoint; the kept set is 2 narrow columns)
     cur = corpus_curate(sf_dir).map_batches(
         lambda t: t.filter(pa.compute.equal(t.column("status"), "keep"))
         .select(["doc_id", "n_tokens"]),
-        batch_format="pyarrow").repartition(2)
+        batch_format="pyarrow").materialize()
     decon = decontaminate(sf_dir).select_columns(["doc_id"]).repartition(2)
     highppl = perplexity_filter(sf_dir, threshold=ppl_threshold).map_batches(
         lambda t: t.filter(pa.compute.equal(t.column("high_ppl"), 1))
@@ -236,10 +241,14 @@ def llm_corpus_pipeline(sf_dir: str, ppl_threshold: float = PPL_THRESHOLD):
     for flagged in (decon, highppl):
         # an EMPTY right side breaks the arrow anti join (zero-schema
         # blocks) and means "drop nothing"; the flag sets are tiny so
-        # the count is cheap
+        # the count is cheap.  materialize() after each join: chained
+        # hash-shuffle joins in ONE streaming DAG deadlock when the
+        # aggregator actor pools can't all co-schedule on a small CPU
+        # budget — sequencing the shuffles also gives the pipeline a
+        # natural per-stage checkpoint (the kept set is 3 narrow cols)
         if flagged.count() > 0:
             kept = kept.join(flagged, "left_anti", num_partitions=8,
-                             on=("doc_id",)).repartition(2)
+                             on=("doc_id",)).materialize()
 
     n_docs, _ = _corpus_stats(sf_dir)
     shift = min(20, max(PACK_BUCKET_SHIFT,

@@ -34,6 +34,10 @@ SUBSET = [
     # suggestion/expansion endpoints + diagnostics + VSM
     "search_suggestions", "expand_query", "query_analysis",
     "vsm_topk", "explain_coverage",
+    # sketches, mixing, LM gate and the end-to-end curation composite
+    "distinct_terms_hll", "term_counts_cms", "stratified_sample",
+    "source_mix_sample", "perplexity_filter", "pack_sequences",
+    "decontaminate", "llm_corpus_pipeline",
     # KeyBERT keyphrases: hashing encoder + the MMR greedy loop
     # unrolled as 4 chained SQL argmax steps
     "keybert_keywords",
