@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": A.corpus_stats,
         "bm25_topk": A.bm25_topk,
         "bm25_wand_topk": A.bm25_wand_topk,
+        # doc-sharded distributed serving: per-shard WAND over disjoint
+        # chunk sets + driver k-way merge (pipelines/serve.py)
+        "bm25_sharded_topk": A.bm25_sharded_topk,
         "tfidf_topk": A.tfidf_topk,
         "lm_dirichlet_topk": A.lm_dirichlet_topk,
         "lm_jm_topk": A.lm_jm_topk,
@@ -2904,6 +2907,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY qid, k, beta""",
         "eval_metrics": eval_metrics_sql,
         "bm25_wand_topk": bm25_sql,
+        "bm25_sharded_topk": bm25_sql,
         "search_snippets": snippets_sql,
         "summarize_query_focused": qfocus_sql,
         "summarize_key_sentences": keysent_sql,

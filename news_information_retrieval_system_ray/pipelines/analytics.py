@@ -405,6 +405,37 @@ def bm25_wand_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
+def bm25_sharded_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Fixed-query BM25 top-k served by DOC-SHARDED distributed actors
+    (pipelines/serve.py): each shard owns a disjoint chunk set, runs
+    block-max WAND over only its chunks with a theta seeded from the
+    heaviest shard, and the driver k-way-merges the partial top-k's.
+    Shares the bm25_topk oracle SQL — proving sharded serving ==
+    single-searcher == exhaustive == SQL, rank- and score-identically
+    (reference WAND contract: query_optimization.py:191-346)."""
+    import tempfile
+
+    from .index_build import build_index
+    from .serve import ShardedSearcher
+
+    idx = tempfile.mkdtemp(prefix="nirs_shard_idx_")
+    # small chunks (32-doc) so the fixed 500-doc sf tables actually split
+    # across shards; web scale uses the build's auto chunk_bits
+    build_index(f"{sf_dir}/documents.parquet", idx, text_source="text",
+                id_col="doc_id", engine="whitespace", n_shards=4,
+                chunk_bits=5, resume=False)
+    s = ShardedSearcher(idx, n_shards=4)
+    try:
+        rows = []
+        for qid, terms in FIXED_QUERIES.items():
+            for rank, (doc_id, score) in enumerate(
+                    s.search(" ".join(terms), k=k, method="wand"), 1):
+                rows.append((qid, rank, doc_id, round4(score)))
+    finally:
+        s.shutdown()
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
 def _tfidf_scores_for(sf_dir: str, qvecs: dict[str, dict[str, float]],
                       idf=None):
     """(qid, doc_id, score>0) Dataset: cosine of the given NORMALIZED

@@ -51,12 +51,20 @@ class IndexSearcher:
     """Loads one index directory; serves BM25 / boolean / phrase queries."""
 
     def __init__(self, index_dir: str, k1: float = 1.5, b: float = 0.75, delta: float = 0.0,
-                 compact: bool = False):
+                 compact: bool = False, chunks: "frozenset[int] | None" = None):
         """``compact=True`` stores decoded postings as int32 ids +
         float32 base weights — half the per-query memory traffic, the
         standard quantized-impact serving tradeoff (scores differ in the
         last float bits from the exact float64 default, ranks can flip
-        on exact ties).  Correctness paths use the default."""
+        on exact ties).  Correctness paths use the default.
+
+        ``chunks`` restricts this searcher to a subset of doc-id chunks
+        (``chunk = doc_id >> eff_chunk_bits``): only segment rows for
+        those chunks are decoded/cached, so per-term decoded state is
+        bounded by the chunk capacity, never by global df.  This is the
+        shard unit of doc-sharded serving (pipelines/serve.py) — local
+        df then undercounts, so the driver installs global dfs via
+        ``df_global`` before scoring."""
         manifest = read_json(os.path.join(index_dir, "manifest.json"))
         if manifest is None or manifest.get("stats") is None:
             raise FileNotFoundError(f"no completed index manifest in {index_dir}")
@@ -85,6 +93,10 @@ class IndexSearcher:
         self._tp_postings = 0
         self.max_cached_postings = 20_000_000
         self.compact = compact
+        self.chunks = None if chunks is None else frozenset(int(c) for c in chunks)
+        # global term -> df overrides (doc-sharded serving: idf must use
+        # the GLOBAL df even though this searcher decodes only its chunks)
+        self.df_global: dict[str, int] = {}
 
     # ------------------------------------------------------------------ IO
     def _ensure_rg_index(self) -> None:
@@ -187,6 +199,13 @@ class IndexSearcher:
             rows_by_hash.setdefault(int(row["term_hash"]), []).append(row)
         for t in missing:
             rows = rows_by_hash.get(hash_of[t])
+            if rows and self.chunks is not None:
+                # shard restriction: decode only owned chunks.  (The row
+                # FETCH above still reads whole term_hash row groups —
+                # the scale layout partitions segment files by chunk
+                # range so each shard node reads only its own files; see
+                # pipelines/serve.py docstring for the assumption.)
+                rows = [r for r in rows if int(r["chunk"]) in self.chunks]
             if not rows:
                 self._cache[t] = None
                 continue
@@ -304,15 +323,45 @@ class IndexSearcher:
         out = []
         for t, n in qtf.items():
             tp = self._term(t)
-            if tp is None:
+            df = self.df_global.get(t)
+            if df is None:
+                if tp is None:
+                    continue
+                df = tp.df
+            if tp is None or df <= 0:
                 continue
-            out.append((t, n * float(bm25_idf(tp.df, self.n_docs))))
+            out.append((t, n * float(bm25_idf(df, self.n_docs))))
         return out
 
     def _search_naive(self, q_tokens: list[str], k: int) -> list[tuple[int, float]]:
         tw = self._term_weights(q_tokens)
         if not tw:
             return []
+        return self._score_exhaustive(tw, k)
+
+    def search_weighted(self, tw: list[tuple[str, float]], k: int = 10,
+                        method: str = "wand",
+                        theta0: float = float("-inf")) -> list[tuple[int, float]]:
+        """Top-k over EXPLICIT (term, weight) pairs — the doc-sharded
+        serving entry (pipelines/serve.py): the driver computes weights
+        once from GLOBAL dfs and broadcasts them, so every shard scores
+        with identical per-term factors and per-doc float sums are
+        bit-identical to the single-searcher's (a doc's postings live
+        wholly in one chunk).
+
+        ``theta0`` seeds WAND's running k-th-best score: docs whose
+        range upper bound falls below it are pruned without decoding —
+        sound for the global merge because such docs cannot enter the
+        global top-k (theta0 must be a score actually achieved by k
+        docs elsewhere)."""
+        self._fetch_terms([t for t, _ in tw])  # one batched segment fetch
+        tw = [(t, w) for t, w in tw if self._term(t) is not None]
+        if not tw:
+            return []
+        if method == "auto":
+            method = "wand" if self._wand_prunable(tw) else "naive"
+        if method == "wand":
+            return self._search_wand_tw(tw, k, theta0=theta0)
         return self._score_exhaustive(tw, k)
 
     def _agg_topk(self, ids: np.ndarray, contrib: np.ndarray, k: int
@@ -417,6 +466,10 @@ class IndexSearcher:
         tw = self._term_weights(q_tokens)
         if not tw:
             return []
+        return self._search_wand_tw(tw, k)
+
+    def _search_wand_tw(self, tw: list[tuple[str, float]], k: int,
+                        theta0: float = float("-inf")) -> list[tuple[int, float]]:
         lists = [(self._term(t), w) for t, w in tw]
         lists = [(tp, w) for tp, w in lists if tp.n_blocks > 0]
         if not lists:
@@ -519,7 +572,7 @@ class IndexSearcher:
         # each chunk (keeps exact ties); theta = k-th best processed score
         buf_ids = np.empty(0, dtype=np.int64)
         buf_sc = np.empty(0, dtype=np.float64)
-        theta = float("-inf")
+        theta = theta0
         probes = skips = 0
         pos = 0
         chunk = 16
@@ -545,7 +598,7 @@ class IndexSearcher:
                 buf_sc = np.concatenate([buf_sc, s])
                 if buf_sc.size >= k:
                     cut = float(np.partition(buf_sc, buf_sc.size - k)[buf_sc.size - k])
-                    theta = cut
+                    theta = max(theta, cut)  # seeded theta0 never decreases
                     if buf_sc.size > 4 * k + 64:
                         m = buf_sc >= cut
                         buf_ids, buf_sc = buf_ids[m], buf_sc[m]

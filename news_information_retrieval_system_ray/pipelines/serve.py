@@ -1,0 +1,187 @@
+"""Doc-sharded distributed BM25 serving (SURVEY §7.5: per-partition
+WAND top-k -> driver k-way merge).
+
+The index layout already partitions doc-id space into chunks
+(``chunk = doc_id >> eff_chunk_bits``; every packed segment row carries
+its chunk id), so a stopword-class term's posting list is ALREADY split
+into per-chunk fragments.  The single-node ``IndexSearcher`` merges all
+fragments into one actor — fine at sandbox scale, impossible at 10^12
+docs where one term's postings are ~TBs.  This module serves the same
+queries with NO actor ever holding more than its chunk subset:
+
+- N ``_ShardWorker`` actors each own a disjoint chunk set (round-robin
+  ``chunk % n_shards`` — doc ids are assignment-ordered, so round-robin
+  balances hot ranges).  Each wraps a chunk-restricted ``IndexSearcher``
+  (``chunks=...``): per-term decoded state is bounded by the shard's
+  chunk capacity, never by global df.
+- query flow: (1) the driver resolves GLOBAL df per query term as the
+  sum of per-shard local dfs (one metadata-cheap round; cached, so a
+  steady query stream pays it only on first sight of a term), computes
+  the qtf*idf weight per term once, and (2) broadcasts the weighted
+  query.  Each shard runs block-max WAND over its own chunks and
+  returns its local top-k; the driver merges k*N rows by the canonical
+  (-score, doc_id) order.  Exact and rank/score-identical to the
+  single searcher: a doc's whole score lives in one chunk, and every
+  shard uses identical per-term weight factors (float sums per doc are
+  the same additions in the same order).
+- theta seeding: with ``seed=True`` the shard with the largest local
+  posting mass for the query runs first; its k-th score seeds every
+  other shard's WAND threshold, so cold shards prune ranges before
+  decoding them (sound: a doc scoring below a score k docs already
+  achieved can never enter the global top-k).
+
+Reference semantics: query_optimization.py:191-346 (WAND contract);
+the distribution design is SURVEY §7.5's "global top-k: per-partition
+WAND top-k -> driver k-way merge (k<=100)" row.
+
+Partitioning assumption (documented per the custom-operator rule): at
+web scale the segment files themselves would be hive-partitioned by
+chunk range (``segments/chunkband=K/``) so each shard node fetches only
+its own files; in this sandbox layout all shards read the shared
+term_hash-sorted segment files and drop foreign-chunk rows before
+decoding (IO is shared, decode/memory is sharded).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..functions.bm25 import idf as bm25_idf
+from ..state.manifest import read_json
+
+
+def _make_shard_worker():
+    """Actor class defined lazily so importing this module never touches
+    ray (driver contract: only the caller owns the Ray session)."""
+    import ray
+
+    @ray.remote
+    class _ShardWorker:
+        def __init__(self, index_dir: str, chunks: list[int], k1: float,
+                     b: float, delta: float, compact: bool):
+            from .query import IndexSearcher
+
+            self.s = IndexSearcher(index_dir, k1=k1, b=b, delta=delta,
+                                   compact=compact, chunks=frozenset(chunks))
+
+        def local_dfs(self, terms: list[str]) -> dict[str, int]:
+            return {t: self.s.df(t) for t in terms}
+
+        def set_global_dfs(self, dfs: dict[str, int]) -> None:
+            self.s.df_global.update(dfs)
+
+        def search_weighted(self, tw, k: int, method: str, theta0: float):
+            return self.s.search_weighted(tw, k, method=method, theta0=theta0)
+
+        def decoded_df(self, term: str) -> int:
+            """Test hook: postings this shard holds decoded state for."""
+            tp = self.s._term(term)
+            return 0 if tp is None else int(tp.df)
+
+    return _ShardWorker
+
+
+class ShardedSearcher:
+    """Driver-side facade over N chunk-sharded searcher actors."""
+
+    def __init__(self, index_dir: str, n_shards: int = 4, k1: float = 1.5,
+                 b: float = 0.75, delta: float = 0.0, compact: bool = False):
+        manifest = read_json(os.path.join(index_dir, "manifest.json"))
+        if manifest is None or manifest.get("stats") is None:
+            raise FileNotFoundError(f"no completed index manifest in {index_dir}")
+        self.config = manifest["config"]
+        self.n_docs = int(manifest["stats"]["n_docs"])
+        self.k1, self.b, self.delta = k1, b, delta
+        bits = manifest.get("eff_chunk_bits") or self.config.get("chunk_bits")
+        if bits is None:  # same fallback build_index uses when unset
+            bits = max(10, self.n_docs.bit_length() - 3)
+        self.chunk_bits = int(bits)
+        n_chunks = ((max(1, self.n_docs) - 1) >> self.chunk_bits) + 1
+        n_shards = max(1, min(n_shards, n_chunks))
+        shard_chunks = [[c for c in range(n_chunks) if c % n_shards == s]
+                        for s in range(n_shards)]
+        # query-side analysis mirrors IndexSearcher (engine + stopwords)
+        from ..functions.tokenize import get_tokenizer
+
+        self.tokenize = get_tokenizer(self.config["engine"])
+        if self.config.get("stopword_lang"):
+            from ..functions.stopwords import load_stopwords
+
+            self._stops: frozenset[str] = load_stopwords(self.config["stopword_lang"])
+        else:
+            self._stops = frozenset()
+        worker_cls = _make_shard_worker()
+        self.workers = [worker_cls.remote(index_dir, cs, k1, b, delta, compact)
+                        for cs in shard_chunks]
+        self._dfs: dict[str, int] = {}          # term -> GLOBAL df
+        self._mass: dict[str, list[int]] = {}   # term -> per-shard local df
+
+    # ------------------------------------------------------------------
+    def _query_terms(self, query: str) -> list[str]:
+        from ..functions.textnorm import normalize_text
+
+        toks = self.tokenize(normalize_text(query))
+        if self._stops:
+            toks = [t for t in toks if t not in self._stops]
+        return toks
+
+    def _resolve_dfs(self, terms: list[str]) -> None:
+        import ray
+
+        missing = [t for t in terms if t not in self._dfs]
+        if not missing:
+            return
+        per_shard = ray.get([w.local_dfs.remote(missing) for w in self.workers])
+        new_global: dict[str, int] = {}
+        for t in missing:
+            locals_ = [int(d.get(t, 0)) for d in per_shard]
+            self._mass[t] = locals_
+            new_global[t] = sum(locals_)
+        self._dfs.update(new_global)
+        # install global dfs on every shard (idf must not use local df)
+        ray.get([w.set_global_dfs.remote(new_global) for w in self.workers])
+
+    def search(self, query: str, k: int = 10, method: str = "wand",
+               seed: bool = True) -> list[tuple[int, float]]:
+        """Global top-k (doc_id, score), canonical (-score, doc_id) order;
+        exact and rank/score-identical to ``IndexSearcher.search``."""
+        import ray
+
+        q_tokens = self._query_terms(query)
+        if not q_tokens:
+            return []
+        qtf: dict[str, int] = {}
+        for t in q_tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        self._resolve_dfs(list(qtf))
+        tw = [(t, n * float(bm25_idf(self._dfs[t], self.n_docs)))
+              for t, n in qtf.items() if self._dfs[t] > 0]
+        if not tw:
+            return []
+        theta0 = float("-inf")
+        results: list[list[tuple[int, float]]] = []
+        rest = list(self.workers)
+        if seed and len(self.workers) > 1 and method != "naive":
+            # prime on the shard holding the most query postings: its
+            # k-th local score is the best cheap theta for the others
+            mass = [sum(self._mass[t][i] for t, _ in tw)
+                    for i in range(len(self.workers))]
+            si = max(range(len(mass)), key=mass.__getitem__)
+            first = ray.get(self.workers[si].search_weighted.remote(
+                tw, k, method, float("-inf")))
+            results.append(first)
+            if len(first) >= k:
+                theta0 = float(first[k - 1][1])
+            rest = [w for i, w in enumerate(self.workers) if i != si]
+        results += ray.get([w.search_weighted.remote(tw, k, method, theta0)
+                            for w in rest])
+        merged = [r for part in results for r in part]
+        merged.sort(key=lambda r: (-r[1], r[0]))
+        return merged[:k]
+
+    def shutdown(self) -> None:
+        import ray
+
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

@@ -1,0 +1,110 @@
+"""Doc-sharded distributed serving (pipelines/serve.py): rank- and
+score-identical to the single-node searcher, with per-shard decoded
+state bounded by the shard's chunk capacity — never by global df
+(SURVEY §7.5 "per-partition WAND top-k -> driver k-way merge";
+reference WAND contract: query_optimization.py:191-346).
+"""
+
+import numpy as np
+import pytest
+
+from news_information_retrieval_system_ray.pipelines.index_build import build_index
+from news_information_retrieval_system_ray.pipelines.query import IndexSearcher
+from news_information_retrieval_system_ray.pipelines.serve import ShardedSearcher
+from news_information_retrieval_system_ray.sources.pages import REFERENCE_QUERIES, generate_pages
+
+N_DOCS = 400
+CHUNK_BITS = 5  # 32-doc chunks -> 13 chunks over 400 docs
+N_SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_serve")
+    paths = generate_pages(str(d), n_docs=N_DOCS, seed=7, n_files=4)
+    index_dir = str(tmp_path_factory.mktemp("index_serve"))
+    build_index(paths, index_dir, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=CHUNK_BITS, n_shards=3, resume=False)
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def sharded(built):
+    s = ShardedSearcher(built, n_shards=N_SHARDS)
+    yield s
+    s.shutdown()
+
+
+def test_rank_and_score_identical_to_single_searcher(built, sharded):
+    single = IndexSearcher(built)
+    for qtext in REFERENCE_QUERIES.values():
+        expect = single.search(qtext, k=10, method="wand")
+        for seed in (True, False):
+            got = sharded.search(qtext, k=10, method="wand", seed=seed)
+            assert [d for d, _ in got] == [d for d, _ in expect], (qtext, seed)
+            # scores bit-identical: same per-term weights, and a doc's
+            # postings live wholly in one chunk (same float sum order)
+            np.testing.assert_array_equal(
+                np.array([s for _, s in got]), np.array([s for _, s in expect]))
+
+
+def test_naive_method_matches_too(built, sharded):
+    single = IndexSearcher(built)
+    q = list(REFERENCE_QUERIES.values())[0]
+    assert sharded.search(q, k=10, method="naive") == single.search(q, k=10, method="naive")
+
+
+def test_global_df_resolved_across_shards(built, sharded):
+    import ray
+
+    single = IndexSearcher(built)
+    # a stopword-class heavy term: present in ~every doc (df 395/400)
+    term = "颱風"
+    sharded.search(term, k=5)
+    assert sharded._dfs[term] == single.df(term)
+    # per-shard local decoded df sums to the global df (disjoint chunks)
+    locals_ = ray.get([w.decoded_df.remote(term) for w in sharded.workers])
+    assert sum(locals_) == single.df(term)
+
+
+def test_per_shard_decoded_postings_bounded_by_chunk_capacity(built, sharded):
+    """The scale invariant: no shard actor ever materializes a full
+    stopword-class posting list — its decoded df is bounded by its own
+    chunk capacity (n_owned_chunks * 2^chunk_bits), NOT by global df."""
+    import ray
+
+    single = IndexSearcher(built)
+    term = "颱風"
+    g_df = single.df(term)
+    sharded.search(term, k=5)
+    locals_ = ray.get([w.decoded_df.remote(term) for w in sharded.workers])
+    n_chunks = ((N_DOCS - 1) >> CHUNK_BITS) + 1
+    for s, local in enumerate(locals_):
+        owned = len([c for c in range(n_chunks) if c % N_SHARDS == s])
+        cap = owned * (1 << CHUNK_BITS)
+        assert local <= cap < g_df, (s, local, cap, g_df)
+        assert local < g_df
+
+
+def test_theta_seeding_sound_on_skewed_corpus(built):
+    """Seeded WAND prunes with the heaviest shard's k-th score; results
+    must stay identical even when that theta prunes whole shards."""
+    single = IndexSearcher(built)
+    s = ShardedSearcher(built, n_shards=N_SHARDS)
+    try:
+        for q in ["颱風 台灣", "人工 智慧 模型", "的 在"]:
+            expect = single.search(q, k=3, method="wand")
+            got = s.search(q, k=3, method="wand", seed=True)
+            assert got == expect, q
+    finally:
+        s.shutdown()
+
+
+def test_more_shards_than_chunks_clamps(built):
+    s = ShardedSearcher(built, n_shards=64)  # > 13 chunks -> clamped
+    try:
+        single = IndexSearcher(built)
+        q = list(REFERENCE_QUERIES.values())[1]
+        assert s.search(q, k=10) == single.search(q, k=10, method="wand")
+    finally:
+        s.shutdown()
