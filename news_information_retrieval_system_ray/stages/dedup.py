@@ -88,12 +88,21 @@ class SimHashStage:
 
 
 def simhash_pairs(ds, engine: str = DEFAULT_ENGINE, text_col: str = "text",
-                  max_hamming: int = 3) -> "pd.DataFrame":
+                  max_hamming: int = 3,
+                  driver_verify_limit: int = 20_000) -> "pd.DataFrame":
     """Near-dup pairs (doc_a < doc_b, hamming<=3) via banded LSH.
 
     groupby on each of the 4 bands; per-bucket pairwise Hamming verify
     (bucket sizes are small once hashes are spread); pairs dedup'd
     globally at the end (a pair can match in multiple bands).
+
+    Verification placement: up to ``driver_verify_limit`` candidate
+    rows the per-bucket verify runs on the driver (one pandas groupby —
+    cheaper than a Ray job for tiny candidate sets); above it the SAME
+    kernel runs inside ``groupby(band_key).map_groups`` tasks, so a
+    web-scale corpus (where dups are 30-50% of N) never materializes
+    the candidate set on the driver — only the verified PAIRS (the
+    result) come back.
     """
     sigs = ds.map_batches(SimHashStage(engine=engine, text_col=text_col), batch_format="pyarrow")
 
@@ -149,21 +158,34 @@ def simhash_pairs(ds, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     counts = _sum_by(exploded.select_columns(["band_key"]),
                      ("band_key",), (), counts=("n",))
     multi = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t.column("n"), 1)).select(["band_key"]),
+        lambda t: t.filter(pa.compute.greater(t.column("n"), 1)),
         batch_format="pyarrow",
-    ).take_all()
+    ).take_all()  # (band_key, n): O(dup groups) rows, keys only
     if not multi:
         return empty
+    n_cand = sum(int(row["n"]) for row in multi)
     mset = pa.array(np.array(sorted(row["band_key"] for row in multi), dtype=np.int64))
-    cand = exploded.map_batches(
+    cand_ds = exploded.map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("band_key"), value_set=mset)),
         batch_format="pyarrow",
-    ).to_pandas()
-    allp = cand.groupby("band_key", sort=True, group_keys=False)[
-        ["doc_id", "simhash"]].apply(bucket_pairs)
+    )
+    if n_cand <= driver_verify_limit:
+        cand = cand_ds.to_pandas()
+        allp = cand.groupby("band_key", sort=True, group_keys=False)[
+            ["doc_id", "simhash"]].apply(bucket_pairs)
+    else:
+        # distributed verify: the exploded rows already carry the 8-byte
+        # signature, so each bucket task has everything it needs
+        allp = cand_ds.groupby("band_key") \
+                      .map_groups(bucket_pairs, batch_format="pandas") \
+                      .to_pandas()  # verified PAIRS only (the result)
     if allp.empty:
         return empty
-    return allp.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out = allp.drop_duplicates(["doc_a", "doc_b"]) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # pandas groupby.apply upcasts to float when some groups are empty;
+    # pin the schema (int64, matching the BIGINT oracle) in both paths
+    return out.astype({"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
 
 
 class MinHashStage:
@@ -193,13 +215,25 @@ class MinHashStage:
 def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
                   num_perm: int = 128, n_bands: int = 16, shingle_n: int = 3,
                   threshold: float = 0.8, seed: int = 1729,
-                  num_buckets: int = 1) -> "pd.DataFrame":
+                  num_buckets: int = 1,
+                  driver_verify_limit: int = 20_000) -> "pd.DataFrame":
     """Near-dup pairs with signature-estimated Jaccard >= threshold.
 
     signature stage (actor pool) -> explode to (band_hash, doc_id, sig)
     -> groupby(band) -> per-bucket verify.  Bands make candidate
     generation ~O(dups) instead of O(n^2) (deduplication.py:238-248's
     suggested scalable design).
+
+    Verification placement mirrors ``simhash_pairs``: small candidate
+    sets (<= ``driver_verify_limit`` exploded candidate rows) verify on
+    the driver; larger ones verify INSIDE ``groupby(band_key)``
+    map_groups tasks — signatures reach their buckets via a distributed
+    hash join of the (band_key, doc_id) candidate rows against the
+    candidate-doc signature rows, so neither the candidate set nor any
+    signature bytes ever materialize on the driver.  (The driver holds
+    only the candidate DOC-ID list for the signature filter — at true
+    web scale replace that is_in broadcast with a bloom-filter column
+    or a semi-join, noted here per the custom-operator rule.)
     """
     sigs = ds.map_batches(
         MinHashStage(engine=engine, text_col=text_col, num_perm=num_perm,
@@ -251,43 +285,93 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     counts = _sum_by(keys_ds, ("band_key",), (), counts=("n",),
                      num_buckets=num_buckets)
     multi = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t.column("n"), 1)).select(["band_key"]),
+        lambda t: t.filter(pa.compute.greater(t.column("n"), 1)),
         batch_format="pyarrow",
-    ).take_all()
+    ).take_all()  # (band_key, n): O(dup groups) rows, keys only
     if not multi:
         return empty
+    n_cand = sum(int(row["n"]) for row in multi)
     mset = pa.array(np.array(sorted(row["band_key"] for row in multi), dtype=np.int64))
-    cand = keys_ds.map_batches(
+    cand_ds = keys_ds.map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("band_key"), value_set=mset)),
         batch_format="pyarrow",
-    ).to_pandas()
-    dset = pa.array(np.unique(cand["doc_id"].to_numpy()))
-    csig = sigs.map_batches(
+    )
+
+    if n_cand <= driver_verify_limit:
+        cand = cand_ds.to_pandas()
+        dset = pa.array(np.unique(cand["doc_id"].to_numpy()))
+        csig = sigs.map_batches(
+            lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=dset)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        sig_of = {int(d): np.frombuffer(b, dtype=np.uint64)
+                  for d, b in zip(csig["doc_id"], csig["sig"])}
+        a_out: list[int] = []
+        b_out: list[int] = []
+        j_out: list[float] = []
+        seen: set[tuple[int, int]] = set()
+        for _, grp in cand.groupby("band_key", sort=True):
+            ids = np.sort(grp["doc_id"].to_numpy())
+            m = np.stack([sig_of[int(d)] for d in ids])
+            for i in range(ids.size - 1):
+                est = (m[i + 1:] == m[i]).mean(axis=1)
+                for j in np.nonzero(est >= threshold)[0]:
+                    pair = (int(ids[i]), int(ids[i + 1 + j]))
+                    if pair in seen:
+                        continue
+                    seen.add(pair)
+                    a_out.append(pair[0])
+                    b_out.append(pair[1])
+                    j_out.append(float(est[j]))
+        if not a_out:
+            return empty
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out}) \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # ---- distributed verify (the web-scale path) ----
+    # candidate doc ids (O(dup docs), ids only — no sigs) -> filter the
+    # signature table down to candidates -> hash-join sigs onto the
+    # (band_key, doc_id) rows -> per-bucket numpy verify inside tasks.
+    doc_ids = cand_ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.compute.unique(t.column("doc_id"))}),
+        batch_format="pyarrow",
+    ).to_pandas()  # per-batch-unique; final unique below (ids only)
+    dset = pa.array(np.unique(doc_ids["doc_id"].to_numpy()))
+    csig_ds = sigs.map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=dset)),
         batch_format="pyarrow",
-    ).to_pandas()
-    sig_of = {int(d): np.frombuffer(b, dtype=np.uint64)
-              for d, b in zip(csig["doc_id"], csig["sig"])}
-    a_out: list[int] = []
-    b_out: list[int] = []
-    j_out: list[float] = []
-    seen: set[tuple[int, int]] = set()
-    for _, grp in cand.groupby("band_key", sort=True):
-        ids = np.sort(grp["doc_id"].to_numpy())
-        m = np.stack([sig_of[int(d)] for d in ids])
+    )
+    withsig = cand_ds.join(csig_ds, "inner", num_partitions=8, on=("doc_id",))
+
+    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy(dtype=np.int64)
+        if ids.size < 2:
+            return empty
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack([np.frombuffer(b, dtype=np.uint64)
+                      for b in group["sig"].to_numpy()[order]])
+        a_o: list[int] = []
+        b_o: list[int] = []
+        j_o: list[float] = []
         for i in range(ids.size - 1):
             est = (m[i + 1:] == m[i]).mean(axis=1)
             for j in np.nonzero(est >= threshold)[0]:
-                pair = (int(ids[i]), int(ids[i + 1 + j]))
-                if pair in seen:
-                    continue
-                seen.add(pair)
-                a_out.append(pair[0])
-                b_out.append(pair[1])
-                j_out.append(float(est[j]))
-    if not a_out:
+                a_o.append(int(ids[i]))
+                b_o.append(int(ids[i + 1 + j]))
+                j_o.append(float(est[j]))
+        return pd.DataFrame({"doc_a": pd.Series(a_o, dtype=np.int64),
+                             "doc_b": pd.Series(b_o, dtype=np.int64),
+                             "est_jaccard": pd.Series(j_o, dtype=np.float64)})
+
+    pairs = withsig.groupby("band_key") \
+                   .map_groups(bucket_verify, batch_format="pandas") \
+                   .to_pandas()  # verified PAIRS only (the result)
+    if pairs.empty:
         return empty
-    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out}) \
+    # est_jaccard is signature-determined, so cross-band duplicates of a
+    # pair agree — keep-first dedup is exact
+    return pairs.drop_duplicates(["doc_a", "doc_b"]) \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

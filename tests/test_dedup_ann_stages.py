@@ -436,3 +436,25 @@ def test_minhash_bucketed_finish_matches_default(pages_ds):
                       num_buckets=4)
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_minhash_distributed_verify_matches_driver(pages_ds):
+    """driver_verify_limit=0 forces the web-scale path (signatures
+    joined to buckets, verify inside groupby(band_key).map_groups) —
+    pair set and estimates must be identical to the driver verify."""
+    from news_information_retrieval_system_ray.stages.dedup import minhash_pairs
+
+    a = minhash_pairs(pages_ds, engine="cjk_bigram", threshold=0.9)
+    b = minhash_pairs(pages_ds, engine="cjk_bigram", threshold=0.9,
+                      driver_verify_limit=0)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_simhash_distributed_verify_matches_driver(pages_ds):
+    from news_information_retrieval_system_ray.stages.dedup import simhash_pairs
+
+    a = simhash_pairs(pages_ds, engine="cjk_bigram")
+    b = simhash_pairs(pages_ds, engine="cjk_bigram", driver_verify_limit=0)
+    assert len(a) > 0
+    assert a.equals(b)
