@@ -181,6 +181,135 @@ def evaluate_run(run: dict[str, list[int]], qrels: dict[str, dict[int, int]],
     return out
 
 
+def evaluate_run_reduced(run: dict[str, list[int]],
+                         run_grades: dict[str, dict[int, int]],
+                         hist: dict[str, dict[int, int]],
+                         k: int = 10) -> dict[str, float]:
+    """``evaluate_run`` from a REDUCED qrels view — the 10^12-doc shape.
+
+    Instead of the full per-query qrels dict (O(judged docs) driver
+    state), takes only what the metrics actually consume:
+
+    - ``run_grades[qid][doc]``: grade of each JUDGED run doc (grade 0 =
+      judged non-relevant; absent = unjudged) — O(run size);
+    - ``hist[qid][grade]``: count of judged docs per grade over the
+      WHOLE collection (computed distributed) — O(distinct grades).
+
+    Output is float-identical to ``evaluate_run`` with the full dicts
+    (property-tested in tests/test_metrics.py): every metric depends on
+    qrels only through ranked-doc grade lookups, the grade multiset,
+    and the judged-relevant / judged-nonrelevant counts.
+    """
+    qids = sorted(set(run) & set(hist))
+    if not qids:
+        return {}
+    aps, out = [], {}
+    acc: dict[str, list[float]] = {m: [] for m in (
+        "P", "R", "F1", f"P@{k}", f"R@{k}", "MRR", f"nDCG@{k}", "R-prec",
+        f"ERR@{k}", "RBP", "bpref", f"success@{k}")}
+    for qid in qids:
+        ranked = run[qid]
+        rg = run_grades.get(qid, {})
+        h = hist[qid]
+        R = sum(n for g, n in h.items() if g > 0)
+        N = sum(n for g, n in h.items() if g == 0)
+        grades = np.array([rg.get(d, 0) for d in ranked], dtype=np.float64)
+        judged = np.array([d in rg for d in ranked], dtype=bool)
+        rel = grades > 0
+        n = len(ranked)
+        hits = float(rel.sum())
+        # P / R / F1 (precision(), recall(), f1() semantics)
+        p = hits / n if n else 0.0
+        r = hits / R if R else 0.0
+        acc["P"].append(p)
+        acc["R"].append(r)
+        acc["F1"].append(0.0 if p + r == 0 else 2 * p * r / (p + r))
+        acc[f"P@{k}"].append(float(rel[:k].sum()) / k if k > 0 else 0.0)
+        acc[f"R@{k}"].append(float(rel[:k].sum()) / R if R else 0.0)
+        idx = np.nonzero(rel)[0]
+        acc["MRR"].append(0.0 if idx.size == 0 else 1.0 / (int(idx[0]) + 1))
+        # nDCG@k: ideal gains expand from the histogram (top-k grades desc)
+        gains = grades[:k]
+        if gains.size:
+            dcg = float((gains / np.log2(np.arange(2, gains.size + 2))).sum())
+        else:
+            dcg = 0.0
+        ideal: list[int] = []
+        for g in sorted(h, reverse=True):
+            take = min(h[g], k - len(ideal))
+            ideal.extend([g] * take)
+            if len(ideal) >= k:
+                break
+        idcg = float(sum(g / math.log2(i + 2) for i, g in enumerate(ideal)))
+        acc[f"nDCG@{k}"].append(dcg / idcg if idcg else 0.0)
+        # R-precision = precision_at_k(ranked, R)
+        acc["R-prec"].append(float(rel[:R].sum()) / R if R > 0 else 0.0)
+        # ERR@k (graded stop probabilities; g_max over ALL judged docs)
+        g_max = max((g for g, cnt in h.items() if cnt > 0), default=0)
+        if g_max == 0:
+            acc[f"ERR@{k}"].append(0.0)
+        else:
+            p_stop_all = (2 ** grades[:k] - 1) / (2 ** g_max)
+            e, p_cont = 0.0, 1.0
+            for rr, ps in enumerate(p_stop_all, 1):
+                e += p_cont * ps / rr
+                p_cont *= 1.0 - ps
+            acc[f"ERR@{k}"].append(e)
+        weights = (1.0 - 0.8) * 0.8 ** np.arange(rel.size)  # rbp() float-exact
+        acc["RBP"].append(float((rel.astype(np.float64) * weights).sum()))
+        # bpref over judged run docs only (unjudged docs don't count)
+        if R == 0:
+            acc["bpref"].append(0.0)
+        else:
+            non_above, bp = 0, 0.0
+            for d_judged, d_rel in zip(judged, rel):
+                if d_judged and not d_rel:
+                    non_above += 1
+                elif d_rel:
+                    denom = min(R, N)
+                    bp += 1.0 - (min(non_above, denom) / denom if denom else 0.0)
+            acc["bpref"].append(bp / R)
+        acc[f"success@{k}"].append(1.0 if rel[:k].any() else 0.0)
+        # AP over the full ranked list
+        if R == 0:
+            aps.append(0.0)
+        else:
+            cum = np.cumsum(rel)
+            ranks = np.arange(1, rel.size + 1)
+            aps.append(float((cum[rel] / ranks[rel]).sum()) / R)
+    for m, vals in acc.items():
+        out[m] = float(np.mean(vals))
+    out["MAP"] = float(np.mean(aps))
+    out["GMAP"] = gmap(aps)
+    out["n_queries"] = float(len(qids))
+    return out
+
+
+def pr_curve_reduced(rel_flags: list[bool], n_rel: int) -> list[tuple[float, float]]:
+    """``pr_curve`` from membership flags + the distributed relevant
+    COUNT — no relevant-doc set on the driver."""
+    if not rel_flags or n_rel == 0:
+        return [(0.0, 0.0)]
+    pts, hits = [], 0
+    for rank, is_rel in enumerate(rel_flags, 1):
+        if is_rel:
+            hits += 1
+        pts.append((hits / n_rel, hits / rank))
+    return pts
+
+
+def precision_at_recall_reduced(rel_flags: list[bool], n_rel: int,
+                                levels: int = 11) -> list[tuple[float, float]]:
+    """``precision_at_recall`` over the reduced view."""
+    curve = pr_curve_reduced(rel_flags, n_rel)
+    out = []
+    for i in range(levels):
+        level = i / 10
+        out.append((level, max((p for r, p in curve if r >= level),
+                               default=0.0)))
+    return out
+
+
 def pr_curve(ranked: list[int], relevant: set[int]) -> list[tuple[float, float]]:
     """Raw precision-recall points along a ranking — the app evaluation
     service's `_pr_curve` (evaluation_service.py:597-612): one

@@ -925,29 +925,129 @@ def facet_filtered_search(sf_dir: str, k: int = 10, lang: str = FACET_LANG) -> p
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[["qid", "rank", "doc_id", "score"]]
 
 
+def _qrels_reduced(sf_dir: str):
+    """Distributed qrels grading — the 10^12-doc shape (VERDICT r02 #4):
+    the driver never builds an O(matching-docs) dict.
+
+    grade contract (_grade_qrels): grade 2 iff the doc contains ALL the
+    query's terms, 1 iff >= half.  Computed as Dataset aggregates:
+    exploded tokens filtered to the query vocabulary -> distinct
+    (doc, term) pairs (bucketed partial-sum merge) -> expand each term
+    to its qids (tiny broadcast map, vectorized dictionary-encode) ->
+    distinct-matched-term count per (qid, doc) -> grade.
+
+    Returns ``(grades_ds, hist)``: a materialized Dataset
+    (qid, doc_id, grade>0) that stays distributed, and the tiny
+    per-(qid, grade) count histogram {qid: {grade: n}} — all the
+    driver ever holds besides the run rows themselves.
+    """
+
+    def build():
+        qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
+        qid_strings = sorted(FIXED_QUERIES)
+        qid_code = {q: i for i, q in enumerate(qid_strings)}
+        term_qids = {t: [qid for qid, ts in FIXED_QUERIES.items() if t in ts]
+                     for t in qterms}
+        need = {qid: len(set(ts)) for qid, ts in FIXED_QUERIES.items()}
+
+        ex = _exploded_ds(sf_dir).map_batches(
+            lambda t: t.filter(pa.compute.is_in(
+                t.column("term"), value_set=pa.array(qterms))).select(
+                    ["doc_id", "term"]),
+            batch_format="pyarrow",
+        )
+        # distinct (doc, term): bucketed merge — no single task holds
+        # the whole matched key domain
+        pairs = _sum_by(ex, ("doc_id", "term"), (), counts=("n",),
+                        num_buckets=8)
+
+        def expand(t: pa.Table) -> pa.Table:
+            col = t.column("term")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            denc = pa.compute.dictionary_encode(col)
+            idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = denc.dictionary.to_pylist()
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            nq_u = np.array([len(term_qids[u]) for u in uniq], dtype=np.int64)
+            offs_u = np.concatenate(([0], np.cumsum(nq_u)))[:-1] if len(uniq) \
+                else np.empty(0, dtype=np.int64)
+            flat_q = np.array([qid_code[q] for u in uniq for q in term_qids[u]],
+                              dtype=np.int64)
+            reps = nq_u[idx] if idx.size else np.empty(0, dtype=np.int64)
+            total = int(reps.sum())
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)))[:-1], reps)
+            qcodes = flat_q[np.repeat(offs_u[idx], reps) + within] if total \
+                else np.empty(0, dtype=np.int64)
+            return pa.table({
+                "qid": pa.compute.take(pa.array(qid_strings, pa.string()),
+                                       pa.array(qcodes)),
+                "doc_id": pa.array(np.repeat(doc, reps)),
+                "hits": pa.array(np.ones(total, dtype=np.int64)),
+            })
+
+        hits = _sum_by(pairs.map_batches(expand, batch_format="pyarrow"),
+                       ("qid", "doc_id"), ("hits",), num_buckets=8)
+
+        def grade_batch(t: pa.Table) -> pa.Table:
+            col = t.column("qid")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            denc = pa.compute.dictionary_encode(col)
+            idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            need_u = np.array([need[q] for q in denc.dictionary.to_pylist()],
+                              dtype=np.int64)
+            h = t.column("hits").to_numpy(zero_copy_only=False).astype(np.int64)
+            nd = need_u[idx] if idx.size else np.empty(0, dtype=np.int64)
+            grade = np.where(h == nd, 2, np.where(2 * h >= nd, 1, 0))
+            keep = grade > 0
+            return pa.table({
+                "qid": col.filter(pa.array(keep)),
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "grade": pa.array(grade[keep].astype(np.int64)),
+            })
+
+        grades = hits.map_batches(grade_batch, batch_format="pyarrow").materialize()
+        hist_df = _sum_by(grades.select_columns(["qid", "grade"]),
+                          ("qid", "grade"), (), counts=("n",)).to_pandas()
+        hist: dict[str, dict[int, int]] = {qid: {} for qid in FIXED_QUERIES}
+        for _, r in hist_df.iterrows():
+            hist[r["qid"]][int(r["grade"])] = int(r["n"])
+        return grades, hist
+
+    return _memo(("qrels_reduced", sf_dir), build)
+
+
+def _run_grades(sf_dir: str, doc_ids) -> pd.DataFrame:
+    """(qid, doc_id, grade) rows for the given run docs only — the
+    O(k x |queries|) slice of the distributed grades table."""
+    grades, _ = _qrels_reduced(sf_dir)
+    dset = pa.array(np.unique(np.asarray(doc_ids, dtype=np.int64)))
+    return grades.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=dset)),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+
 def eval_metrics(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Metric battery (metrics.py:84-872) of the BM25 run against a
     deterministic synthetic qrels: doc is relevant (grade 2) iff it
-    contains ALL the query's terms, grade 1 iff >= half; graded from the
-    same exploded table. Oracle-checked: the full battery (AP/nDCG/ERR/
-    RBP/bpref/GMAP...) is replicated in window-function SQL."""
-    from ray.data.aggregate import Count
-
-    from ..functions.metrics import evaluate_run
+    contains ALL the query's terms, grade 1 iff >= half; graded
+    DISTRIBUTED (_qrels_reduced) — the driver holds only the run rows'
+    grades plus the per-(qid, grade) histogram.  Oracle-checked: the
+    full battery (AP/nDCG/ERR/RBP/bpref/GMAP...) is replicated in
+    window-function SQL."""
+    from ..functions.metrics import evaluate_run_reduced
 
     run_df = bm25_topk(sf_dir, k=k)
     run = {qid: g.sort_values("rank")["doc_id"].tolist() for qid, g in run_df.groupby("qid")}
-    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
-    ex = _exploded_ds(sf_dir).map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
-        batch_format="pyarrow",
-    )
-    per_doc = ex.groupby(["doc_id", "term"]).aggregate(Count(alias_name="n")).to_pandas()
-    doc_terms: dict[int, set[str]] = {}
-    for d, t in zip(per_doc["doc_id"], per_doc["term"]):
-        doc_terms.setdefault(int(d), set()).add(t)
-    qrels = _grade_qrels(doc_terms)
-    summary = evaluate_run(run, qrels, k=k)
+    _, hist = _qrels_reduced(sf_dir)
+    rg = _run_grades(sf_dir, run_df["doc_id"].to_numpy())
+    run_grades: dict[str, dict[int, int]] = {qid: {} for qid in FIXED_QUERIES}
+    for r in rg.itertuples():
+        run_grades[r.qid][int(r.doc_id)] = int(r.grade)
+    summary = evaluate_run_reduced(run, run_grades, hist, k=k)
     rows = [(m, round4(v)) for m, v in sorted(summary.items())]
     return pd.DataFrame(rows, columns=["metric", "value"])
 
@@ -969,35 +1069,34 @@ def _grade_qrels(doc_terms: dict[int, set[str]]) -> dict[str, dict[int, int]]:
     return qrels
 
 
-def _binary_rel(sf_dir: str) -> dict[str, set[int]]:
-    """Binary relevant sets (grade >= 1) from the synthetic graded
-    qrels contract (_grade_qrels)."""
-    from ray.data.aggregate import Count
-
-    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
-    ex = _exploded_ds(sf_dir).map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
-        batch_format="pyarrow",
-    )
-    per_doc = ex.groupby(["doc_id", "term"]).aggregate(Count(alias_name="n")).to_pandas()
-    doc_terms: dict[int, set[str]] = {}
-    for d, t in zip(per_doc["doc_id"], per_doc["term"]):
-        doc_terms.setdefault(int(d), set()).add(t)
-    return {qid: {d for d, g in qq.items() if g >= 1}
-            for qid, qq in _grade_qrels(doc_terms).items()}
+def _binary_rel_reduced(sf_dir: str, run_df: pd.DataFrame
+                        ) -> tuple[dict[str, set[int]], dict[str, int]]:
+    """Binary relevance in the REDUCED form (no O(matching-docs) driver
+    set): (rel membership for RUN docs only, distributed relevant
+    count per qid) from the _qrels_reduced grades table."""
+    _, hist = _qrels_reduced(sf_dir)
+    rg = _run_grades(sf_dir, run_df["doc_id"].to_numpy())
+    rel_run: dict[str, set[int]] = {qid: set() for qid in FIXED_QUERIES}
+    for r in rg.itertuples():
+        if int(r.grade) >= 1:
+            rel_run[r.qid].add(int(r.doc_id))
+    n_rel = {qid: sum(n for g, n in hist[qid].items() if g >= 1)
+             for qid in FIXED_QUERIES}
+    return rel_run, n_rel
 
 
 def eval_pr_curve(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """(qid, rank, recall, precision): raw PR points along the BM25
     ranking (evaluation_service.py:597-612) vs the binary qrels."""
-    from ..functions.metrics import pr_curve
+    from ..functions.metrics import pr_curve_reduced
 
     run_df = bm25_topk(sf_dir, k=k)
-    rel = _binary_rel(sf_dir)
+    rel_run, n_rel = _binary_rel_reduced(sf_dir, run_df)
     rows = []
     for qid in sorted(FIXED_QUERIES):
         ranked = run_df[run_df.qid == qid].sort_values("rank")["doc_id"].tolist()[:k]
-        for rank, (r, p) in enumerate(pr_curve(ranked, rel[qid]), 1):
+        flags = [d in rel_run[qid] for d in ranked]
+        for rank, (r, p) in enumerate(pr_curve_reduced(flags, n_rel[qid]), 1):
             rows.append((qid, rank, round4(r), round4(p)))
     return pd.DataFrame(rows, columns=["qid", "rank", "recall", "precision"])
 
@@ -1005,14 +1104,15 @@ def eval_pr_curve(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def eval_interpolated_precision(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """(qid, recall_level, precision): 11-point interpolated precision
     (evaluation_service.py:579-595)."""
-    from ..functions.metrics import precision_at_recall
+    from ..functions.metrics import precision_at_recall_reduced
 
     run_df = bm25_topk(sf_dir, k=k)
-    rel = _binary_rel(sf_dir)
+    rel_run, n_rel = _binary_rel_reduced(sf_dir, run_df)
     rows = []
     for qid in sorted(FIXED_QUERIES):
         ranked = run_df[run_df.qid == qid].sort_values("rank")["doc_id"].tolist()[:k]
-        for level, p in precision_at_recall(ranked, rel[qid]):
+        flags = [d in rel_run[qid] for d in ranked]
+        for level, p in precision_at_recall_reduced(flags, n_rel[qid]):
             rows.append((qid, round4(level), round4(p)))
     return pd.DataFrame(rows, columns=["qid", "recall_level", "precision"])
 
@@ -1023,15 +1123,15 @@ def eval_f_beta(sf_dir: str, k: int = 10) -> pd.DataFrame:
     from ..functions.metrics import f_beta
 
     run_df = bm25_topk(sf_dir, k=k)
-    rel = _binary_rel(sf_dir)
+    rel_run, n_rel = _binary_rel_reduced(sf_dir, run_df)
     rows = []
     for qid in sorted(FIXED_QUERIES):
         ranked = run_df[run_df.qid == qid].sort_values("rank")["doc_id"].tolist()[:k]
         for beta in (0.5, 2.0):
             for kk in (5, 10):
-                hits = sum(1 for d in ranked[:kk] if d in rel[qid])
+                hits = sum(1 for d in ranked[:kk] if d in rel_run[qid])
                 p = hits / kk
-                r = hits / len(rel[qid]) if rel[qid] else 0.0
+                r = hits / n_rel[qid] if n_rel[qid] else 0.0
                 rows.append((qid, kk, beta, round4(f_beta(p, r, beta))))
     return pd.DataFrame(rows, columns=["qid", "k", "beta", "f_beta"])
 
@@ -1041,29 +1141,17 @@ def eval_pr_at_k(sf_dir: str, k: int = 10) -> pd.DataFrame:
     the synthetic binary qrels (grade >= 1) — the SQL-expressible slice
     of the metric battery (metrics.py:84-210), oracle-checked end to end
     (run AND qrels both derived in DuckDB)."""
-    from ray.data.aggregate import Count
-
     run_df = bm25_topk(sf_dir, k=k)
-    qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
-    ex = _exploded_ds(sf_dir).map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column("term"), value_set=pa.array(qterms))),
-        batch_format="pyarrow",
-    )
-    per_doc = ex.groupby(["doc_id", "term"]).aggregate(Count(alias_name="n")).to_pandas()
-    doc_terms: dict[int, set[str]] = {}
-    for d, t in zip(per_doc["doc_id"], per_doc["term"]):
-        doc_terms.setdefault(int(d), set()).add(t)
-    qrels = _grade_qrels(doc_terms)
+    rel_run, n_rel = _binary_rel_reduced(sf_dir, run_df)
     rows = []
     for qid in sorted(FIXED_QUERIES):
         ranked = run_df[run_df.qid == qid].sort_values("rank")["doc_id"].tolist()[:k]
-        rel = {d for d, g in qrels[qid].items() if g >= 1}
-        relk = sum(1 for d in ranked if d in rel)
+        relk = sum(1 for d in ranked if d in rel_run[qid])
         p = relk / k
-        r = relk / len(rel) if rel else 0.0
+        r = relk / n_rel[qid] if n_rel[qid] else 0.0
         mrr = 0.0
         for i, d in enumerate(ranked, 1):
-            if d in rel:
+            if d in rel_run[qid]:
                 mrr = 1.0 / i
                 break
         rows.append((qid, round4(p), round4(r), round4(mrr)))

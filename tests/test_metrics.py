@@ -122,3 +122,53 @@ def test_pr_curve_and_interpolation():
     assert f_beta(0.5, 0.5, 1.0) == 0.5
     assert f_beta(0.0, 0.0, 2.0) == 0.0
     assert abs(f_beta(1.0, 0.2, 0.5) - (1.25 * 0.2 / (0.25 + 0.2))) < 1e-12
+
+
+def test_evaluate_run_reduced_matches_full():
+    """evaluate_run_reduced (distributed-shape qrels view) must be
+    float-identical to evaluate_run with the full qrels dict — random
+    runs/qrels including judged-nonrelevant (grade 0) docs for bpref."""
+    import numpy as np
+
+    from news_information_retrieval_system_ray.functions.metrics import (
+        evaluate_run,
+        evaluate_run_reduced,
+        pr_curve,
+        pr_curve_reduced,
+        precision_at_recall,
+        precision_at_recall_reduced,
+    )
+
+    rng = np.random.default_rng(4)
+    for trial in range(30):
+        n_docs = int(rng.integers(5, 60))
+        qids = [f"q{i}" for i in range(int(rng.integers(1, 4)))]
+        qrels = {}
+        run = {}
+        for qid in qids:
+            judged = rng.choice(n_docs, size=int(rng.integers(0, n_docs)), replace=False)
+            qrels[qid] = {int(d): int(rng.integers(0, 3)) for d in judged}
+            run[qid] = [int(d) for d in
+                        rng.choice(n_docs, size=int(rng.integers(0, 15)), replace=False)]
+        k = int(rng.integers(1, 12))
+        full = evaluate_run(run, qrels, k=k)
+        # reduced view: run-doc grades (judged only) + grade histogram
+        run_grades = {qid: {d: g for d, g in qrels[qid].items() if d in set(run[qid])}
+                      for qid in qids}
+        hist = {}
+        for qid in qids:
+            h = {}
+            for g in qrels[qid].values():
+                h[g] = h.get(g, 0) + 1
+            hist[qid] = h
+        red = evaluate_run_reduced(run, run_grades, hist, k=k)
+        assert set(full) == set(red)
+        for m in full:
+            assert full[m] == red[m], (trial, m, full[m], red[m])
+        # reduced PR curves too
+        for qid in qids:
+            rel = {d for d, g in qrels[qid].items() if g > 0}
+            flags = [d in rel for d in run[qid]]
+            assert pr_curve(run[qid], rel) == pr_curve_reduced(flags, len(rel))
+            assert precision_at_recall(run[qid], rel) == \
+                precision_at_recall_reduced(flags, len(rel))
