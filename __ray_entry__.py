@@ -2914,6 +2914,9 @@ def oracle_sql() -> dict[str, str]:
         "summarize_multidoc": multidoc_sql,
         "rake_keywords": rake_sql,
         "textrank_fixed_topk": _textrank_sql(30),
+        # textrank_keywords is pinned to the same deterministic config
+        # (tol=0, 30 iterations, rank on rounded score) -> same oracle
+        "textrank_keywords": _textrank_sql(30),
         "term_star_clusters": _star_sql(150, threshold=0.3),
         "term_cooccurrence_clusters": _cooc_sql(100, 330),
         "doc_hac_fixed": _hac_sql(40, 6),

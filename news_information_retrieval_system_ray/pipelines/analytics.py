@@ -1183,32 +1183,13 @@ def search_snippets(sf_dir: str, k: int = 5) -> pd.DataFrame:
 def textrank_keywords(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Per-doc TextRank keywords (textrank.py:85-737: window-5
     co-occurrence graph, damping 0.85) as a map_batches stage over the
-    tokenized docs (rows-only; kernel unit-tested)."""
-    from ..functions.keywords import textrank_keywords as tr
-
-    toks = _tokens_ds(sf_dir, with_positions=True)
-
-    def kw(t: pa.Table) -> pa.Table:
-        doc_out, rank_out, term_out, score_out = [], [], [], []
-        for row in t.to_pylist():
-            seq: list[tuple[int, str]] = []
-            for term, poss in zip(row["terms"], row["positions"]):
-                seq.extend((p, term) for p in poss)
-            seq.sort()
-            for rank, (term, score) in enumerate(tr([w for _, w in seq], k=k), 1):
-                doc_out.append(row["doc_id"])
-                rank_out.append(rank)
-                term_out.append(term)
-                score_out.append(round4(score))
-        return pa.table({
-            "doc_id": pa.array(doc_out, pa.int64()),
-            "rank": pa.array(rank_out, pa.int64()),
-            "term": pa.array(term_out, pa.string()),
-            "score": pa.array(score_out, pa.float64()),
-        })
-
-    return toks.map_batches(kw, batch_format="pyarrow").to_pandas() \
-               .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    tokenized docs.  Pinned to the DETERMINISTIC configuration (tol=0,
+    30 power iterations, rank on the rounded score) so the result is
+    oracle-checkable — with early-stop tolerance the top-k boundary
+    can flip on float summation-order jitter between the NumPy kernel
+    and the SQL unroll; the free-running-tolerance kernel itself stays
+    available and unit-tested (functions/keywords.textrank_keywords)."""
+    return textrank_fixed_topk(sf_dir, k=k)
 
 
 def textrank_fixed_topk(sf_dir: str, k: int = 5, iters: int = 30) -> pd.DataFrame:
