@@ -168,7 +168,8 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                        group_starts: np.ndarray,
                        block_size: int = BLOCK_SIZE,
-                       bounds: bool = True) -> dict:
+                       bounds: bool = True,
+                       encode_dls: bool = True) -> dict:
     """Pack MANY posting lists in one vectorized pass.
 
     Input is the concatenation of posting lists ("runs"): within each run
@@ -197,6 +198,13 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     pairs, per-block extremes, per-block byte counts) is the dominant
     pack cost and RepackFragments recomputes it from the decoded
     streams anyway, so computing or shipping it pre-sort is pure waste.
+
+    ``encode_dls=False`` skips the dls VByte stream entirely (the
+    doc-length-sidecar layout: every term's postings duplicating its
+    docs' lengths is ~1/3 of posting-stream bytes both in the exchange
+    and on disk; lengths live ONCE in the tokens table instead and are
+    gathered at query/metadata time).  ``dls`` is still consumed for
+    the block metadata when ``bounds=True``.
     """
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs)   # int32 in the explode schema; any
@@ -225,7 +233,6 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     # format, half the traffic; this stage is memory-bandwidth bound)
     docs_all, d_len = vbyte_encode_with_lengths(deltas)
     tfs_all, t_len = vbyte_encode_with_lengths(tfs.astype(np.uint32, copy=False))
-    dls_all, l_len = vbyte_encode_with_lengths(dls.astype(np.uint32, copy=False))
 
     def _off(lens: np.ndarray) -> np.ndarray:
         per_group = np.add.reduceat(lens, gs, dtype=np.int64)
@@ -236,26 +243,60 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         "cf": np.add.reduceat(tfs, gs, dtype=np.int64),
         "docs_all": docs_all,
         "tfs_all": tfs_all,
-        "dls_all": dls_all,
         "docs_off": _off(d_len),
         "tfs_off": _off(t_len),
-        "dls_off": _off(l_len),
         "block_off": block_off,
         "block_len": (bends - bstarts).astype(np.int32),
     }
+    if encode_dls:
+        dls_all, l_len = vbyte_encode_with_lengths(dls.astype(np.uint32, copy=False))
+        r["dls_all"] = dls_all
+        r["dls_off"] = _off(l_len)
     if bounds:
         btf, bdl = _pareto_bound_pairs_gather(tfs, dls, bstarts, bends, block_size)
         r.update({
             "block_doc_nbytes": np.add.reduceat(d_len, bstarts, dtype=np.int32),
             "block_tf_nbytes": np.add.reduceat(t_len, bstarts, dtype=np.int32),
-            "block_dl_nbytes": np.add.reduceat(l_len, bstarts, dtype=np.int32),
             "block_last_doc": ids[bends - 1],
             "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32, copy=False),
             "block_min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32, copy=False),
             "block_bound_tf": btf.astype(np.int32, copy=False),
             "block_bound_dl": bdl.astype(np.int32, copy=False),
         })
+        if encode_dls:
+            r["block_dl_nbytes"] = np.add.reduceat(l_len, bstarts, dtype=np.int32)
     return r
+
+
+class DocLenLookup:
+    """doc_id -> doc_len gather table (the doc-length sidecar).
+
+    The sidecar layout stores each doc's length ONCE (the tokens table's
+    (doc_id, doc_len) columns) instead of repeating it in every term's
+    posting stream.  Dense fast path: when ids form a contiguous range
+    [base, base+n) the lookup is a direct index; otherwise a
+    searchsorted over the sorted id array.  At 10^12-doc scale this
+    table is chunk-sharded (repack tasks / serving shards load only
+    their doc-id ranges — ids are chunk-partitioned by construction);
+    in-sandbox it is one numpy pair (~6 bytes/doc) broadcast once via
+    ``ray.put``.
+    """
+
+    def __init__(self, ids: np.ndarray, dls: np.ndarray):
+        ids = np.asarray(ids, dtype=np.int64)
+        dls = np.asarray(dls)
+        order = np.argsort(ids, kind="stable")
+        ids, dls = ids[order], dls[order]
+        self.dense = bool(ids.size) and int(ids[-1]) - int(ids[0]) + 1 == ids.size
+        self.base = int(ids[0]) if ids.size else 0
+        self.ids = ids
+        self.dls = dls.astype(np.int32, copy=False)
+
+    def __call__(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids, dtype=np.int64)
+        if self.dense:
+            return self.dls[ids - self.base]
+        return self.dls[np.searchsorted(self.ids, ids)]
 
 
 def merge_packed(chunks: list[dict]) -> dict:
@@ -273,11 +314,14 @@ def merge_packed(chunks: list[dict]) -> dict:
         "cf": sum(c["cf"] for c in chunks),
         "docs_bytes": b"".join(c["docs_bytes"] for c in chunks),
         "tfs_bytes": b"".join(c["tfs_bytes"] for c in chunks),
-        "dls_bytes": b"".join(c["dls_bytes"] for c in chunks),
     }
+    if "dls_bytes" in chunks[0]:  # inline-dl layout (positions / legacy)
+        out["dls_bytes"] = b"".join(c["dls_bytes"] for c in chunks)
     for f in ("block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
               "block_len", "block_last_doc", "block_max_tf", "block_min_dl",
               "block_bound_tf", "block_bound_dl"):
+        if f not in chunks[0]:
+            continue
         acc: list = []
         for c in chunks:
             acc.extend(c[f])
@@ -291,21 +335,26 @@ def merge_packed(chunks: list[dict]) -> dict:
     return out
 
 
-def unpack_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a packed posting row -> (doc_ids int64, tfs int64, dls int64).
+def unpack_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decode a packed posting row -> (doc_ids int64, tfs int64, dls).
 
     One-shot vectorized decode: the concatenated VByte streams are
     self-delimiting, so each of docs/tfs/dls decodes in a single call;
     per-block absolute resets in the delta stream are undone with a
     segmented cumsum (global cumsum minus the pre-block base, broadcast
-    by ``np.repeat``) — no per-block Python loop."""
+    by ``np.repeat``) — no per-block Python loop.
+
+    In the doc-length-sidecar layout (no ``dls_bytes`` in the row) the
+    third element is ``None`` — callers gather lengths from the sidecar
+    by doc id (query.IndexSearcher._dl_of)."""
     block_len = np.asarray(row["block_len"], dtype=np.int64)
     if block_len.size == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e.copy(), e.copy()
     deltas = vbyte_decode(row["docs_bytes"]).astype(np.int64)
     tfs = vbyte_decode(row["tfs_bytes"]).astype(np.int64)
-    dls = vbyte_decode(row["dls_bytes"]).astype(np.int64)
+    dls = vbyte_decode(row["dls_bytes"]).astype(np.int64) \
+        if row.get("dls_bytes") is not None else None
     starts = np.concatenate(([0], np.cumsum(block_len)[:-1]))
     tot = np.cumsum(deltas)
     base = tot[starts] - deltas[starts]  # delta sum preceding each block

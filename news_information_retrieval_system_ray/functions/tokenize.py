@@ -135,13 +135,63 @@ def with_custom_words(base: Tokenizer, words: list[str] | None = None) -> Tokeni
     return tok
 
 
+def _make_ckip() -> Tokenizer:
+    """CKIP word-segmentation engine (the reference's CkipWordSegmenter
+    path, chinese_tokenizer.py CKIP mode) — import-try seam like jieba:
+    instantiable only where ``ckip_transformers`` (and its model
+    weights) are installed; this container documents it absent."""
+    from ckip_transformers.nlp import CkipWordSegmenter  # noqa: F401 (import-try)
+
+    ws = CkipWordSegmenter(model="bert-base")
+
+    def tok(norm_text: str) -> list[str]:
+        out = []
+        for t in ws([norm_text])[0]:
+            t = t.strip().lower()
+            if t and keep_token(t):
+                out.append(t)
+        return out
+
+    return tok
+
+
 _ENGINES: dict[str, Callable[[], Tokenizer]] = {
     "whitespace": lambda: _tokenize_whitespace,
     "cjk_bigram": lambda: _tokenize_cjk_bigram,
     "jieba": _make_jieba("default"),
     "jieba_search": _make_jieba("search"),
     "jieba_nohmm": _make_jieba("nohmm"),
+    "ckip": _make_ckip,
 }
+
+# package each model-backed engine needs at construction time
+_ENGINE_PACKAGE = {
+    "jieba": "jieba", "jieba_search": "jieba", "jieba_nohmm": "jieba",
+    "ckip": "ckip_transformers",
+}
+
+
+def engine_available(engine: str) -> bool:
+    """True iff the engine can actually be constructed here: always for
+    the deterministic engines, package-import-resolvable for the
+    model-backed ones."""
+    pkg = _ENGINE_PACKAGE.get(engine)
+    if pkg is None:
+        return engine in _ENGINES
+    import importlib.util
+
+    return importlib.util.find_spec(pkg) is not None
+
+
+def select_engine(preferred: str, fallback: str | None = None) -> str:
+    """The model-present upgrade seam: return ``preferred`` iff its
+    backing package imports, else the deterministic ``fallback``
+    (default: DEFAULT_ENGINE) — the same pipeline code upgrades in
+    place in an environment that ships the real model (jieba/CKIP),
+    and stays deterministic here."""
+    if engine_available(preferred):
+        return preferred
+    return fallback if fallback is not None else DEFAULT_ENGINE
 
 DEFAULT_ENGINE = "cjk_bigram"
 

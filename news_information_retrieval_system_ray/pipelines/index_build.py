@@ -520,9 +520,9 @@ def build_index(
         ds = ds.map_batches(
             TokenizeStage(engine=engine, text_col="text_norm", pre_normalized=True,
                           with_positions=with_positions, stopword_lang=stopword_lang,
-                          # default path: the collision check rides the
+                          # both layouts: the collision check rides the
                           # segments sort (alt passenger), no sidecar
-                          emit_hashpairs=collision_check and with_positions),
+                          emit_hashpairs=False),
             **tok_kwargs,
         )
         ds.write_parquet(tmp_root, partition_cols=["shard"])
@@ -581,25 +581,10 @@ def build_index(
             side_results["stats"] = (int(agg["n_docs"]), int(agg["total_len"]))
         _spawn(_run_stats, "stats")
 
-    # The DEFAULT (no-positions) path checks collisions inside the
-    # segments exchange itself (alt passenger + post-sort adjacency —
-    # see _verify_alt_sorted); only the positions layout still needs the
-    # separate pairs job over the tokens sidecar.
-    hashcheck_dir = os.path.join(index_dir, "hashcheck")
-    if collision_check and with_positions \
-            and not manifest.state.get("hashcheck_done"):
-        tmp_hc = os.path.join(index_dir, ".tmp_hashcheck")
-        shutil.rmtree(tmp_hc, ignore_errors=True)
-        import ray as _ray
-
-        n_cpu = max(8, int(_ray.cluster_resources().get("CPU", 8)))
-        checked_ds = _hashcheck_aggregate(_hashcheck_pairs_ds(tokens_root, n_cpu))
-
-        def _run_hashcheck():
-            checked_ds.write_parquet(tmp_hc)
-            os.replace(tmp_hc, hashcheck_dir)
-            side_results["hashcheck_done"] = True
-        _spawn(_run_hashcheck, "hashcheck")
+    # BOTH layouts now check collisions inside the segments exchange
+    # itself (alt passenger + post-sort adjacency — _verify_alt_sorted);
+    # the separate dual-hash pairs job survives only in append_index for
+    # pre-alt-layout indexes (hashcheck/ directory present).
 
     # ---- segments (the wide shuffle; main thread) ----
     seg_dir = os.path.join(index_dir, "segments")
@@ -640,11 +625,15 @@ def build_index(
                 _tokens_files_by_docid(tokens_root), columns=tok_cols,
                 override_num_blocks=shuffle_blocks,
             ).map_batches(
+                # emit_dls=False: the dls stream stays OUT of the wide
+                # exchange (doc-length sidecar layout) — Repack gathers
+                # lengths from the broadcast lookup for block metadata
                 PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size,
                               emit_alt=collision_check),
                 batch_format="pyarrow", batch_size=prepack_batch,
             ).sort(["term_hash", "chunk", "first_doc"]).map_batches(
-                RepackFragments(block_size=block_size),
+                RepackFragments(block_size=block_size,
+                                doclens=_doclens_ref(tokens_root)),
                 batch_format="pyarrow", batch_size=8192,
             )
         else:
@@ -652,9 +641,13 @@ def build_index(
                 tokens_root, columns=tok_cols, override_num_blocks=shuffle_blocks,
             ).map_batches(
                 # hash-only shuffle: the term STRING never enters the wide
-                # exchange (30%+ of row bytes); strings live in the vocab sidecar
+                # exchange (30%+ of row bytes); strings live in the vocab
+                # sidecar.  emit_alt: the collision-check passenger rides
+                # this exchange too (8 bytes/row), so the positional
+                # layout gets the same post-sort adjacency check as the
+                # default layout — no separate dual-hash pairs job.
                 ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
-                              emit_term=False),
+                              emit_term=False, emit_alt=collision_check),
                 batch_format="pyarrow",
             )
             # One sort shuffle (same exchange the groupby ran), then a
@@ -670,9 +663,11 @@ def build_index(
         # term fetch decodes ~2k-row groups instead of whole files (the
         # binary posting columns dominate decode cost)
         packed.write_parquet(tmp_seg, row_group_size=2048)
-        if collision_check and not with_positions:
+        if collision_check:
             # cross-batch collision pairs (within-batch ones already
-            # raised inside PrePack/Repack); one linear 2-column scan
+            # raised inside PrePack/Repack for the default layout);
+            # one linear 2-column scan over the sorted segments —
+            # BOTH layouts now carry the alt passenger
             _verify_alt_sorted(tmp_seg)
             manifest.state["alt_layout"] = True  # appends pick the
             manifest.save()                      # segments-side check
@@ -688,11 +683,6 @@ def build_index(
         raise side_errs[0]
     if "stats" in side_results:
         manifest.set_stats(*side_results["stats"])
-    if side_results.get("hashcheck_done"):
-        manifest.state["hashcheck_done"] = True
-        manifest.save()
-        _v("collision check done")
-
     stats = manifest.stats
     avgdl = stats["avg_doc_length"]
     _v(f"stats done (n_docs={stats['n_docs']}, avgdl={avgdl:.1f})")
@@ -821,26 +811,39 @@ def append_index(
     # pack ONLY the new shard into an additional segment directory
     tok_cols = ["doc_id", "doc_len", "terms", "tfs"] + (["positions"] if with_positions else [])
     if not with_positions:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
         import ray as _ray
 
         n_new_docs = sum(i.num_rows for i in items)
         ncpu = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+        # appended segments must match the BASE layout: a pre-sidecar
+        # index stores dls inline, and the query-side merge cannot mix
+        # rows with and without the dls stream for one term
+        seg_files = _glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"),
+                               recursive=True)
+        base_has_dls = bool(seg_files) and \
+            "dls_bytes" in _pq.read_schema(sorted(seg_files)[0]).names
         packed = rd.read_parquet(
             _tokens_files_by_docid(dst), columns=tok_cols,
         ).map_batches(
             PrePackTokens(chunk_bits=eff_chunk_bits, block_size=config["block_size"],
-                          emit_alt=state.get("alt_layout", False)),
+                          emit_alt=state.get("alt_layout", False),
+                          emit_dls=base_has_dls),
             batch_format="pyarrow",
             # same constant cap as the main build (allocator cliff)
             batch_size=min(4096, max(1, -(-n_new_docs // ncpu))),
         ).sort(["term_hash", "chunk", "first_doc"]).map_batches(
-            RepackFragments(block_size=config["block_size"]),
+            # appended fragments cover only the new shard's doc ids
+            RepackFragments(block_size=config["block_size"],
+                            doclens=None if base_has_dls else _doclens_ref(dst)),
             batch_format="pyarrow", batch_size=8192,
         )
     else:
         exploded = rd.read_parquet(dst, columns=tok_cols).map_batches(
             ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
-                          emit_term=False),
+                          emit_term=False, emit_alt=state.get("alt_layout", False)),
             batch_format="pyarrow",
         )
         packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
@@ -896,6 +899,29 @@ def append_index(
     write_json_atomic(mpath, state)
     return IndexBuildResult(index_dir, st["n_docs"], st["avg_doc_length"],
                             state["segments_rows"], 0)
+
+
+def _doclens_ref(tokens_path: str):
+    """ray.put a DocLenLookup over the tokens table's (doc_id, doc_len)
+    columns — the doc-length sidecar consumed by RepackFragments (WAND
+    block metadata) now that the dls stream no longer rides the
+    exchange.  Column-pruned read, ~6 bytes/doc in plasma; at 10^12-doc
+    scale this becomes a chunk-sharded fetch (DocLenLookup docstring)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.postings import DocLenLookup
+
+    files = sorted(glob.glob(os.path.join(tokens_path, "**", "*.parquet"),
+                             recursive=True))
+    t = pa.concat_tables([pq.read_table(f, columns=["doc_id", "doc_len"])
+                          for f in files])
+    return ray.put(DocLenLookup(
+        t.column("doc_id").to_numpy(zero_copy_only=False),
+        t.column("doc_len").to_numpy(zero_copy_only=False)))
 
 
 def _tokens_files_by_docid(tokens_root: str) -> list[str]:

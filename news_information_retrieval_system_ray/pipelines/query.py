@@ -68,9 +68,12 @@ class IndexSearcher:
         manifest = read_json(os.path.join(index_dir, "manifest.json"))
         if manifest is None or manifest.get("stats") is None:
             raise FileNotFoundError(f"no completed index manifest in {index_dir}")
+        self.index_dir = index_dir
         self.config = manifest["config"]
         self.n_docs = manifest["stats"]["n_docs"]
         self.avgdl = manifest["stats"]["avg_doc_length"]
+        self.eff_chunk_bits = manifest.get("eff_chunk_bits") \
+            or self.config.get("chunk_bits") or 20
         self.k1, self.b, self.delta = k1, b, delta
         self.with_positions = self.config.get("with_positions", False)
         self.tokenize = get_tokenizer(self.config["engine"])
@@ -83,6 +86,11 @@ class IndexSearcher:
         else:
             self._stops = frozenset()
         self._seg = pads.dataset(os.path.join(index_dir, "segments"))
+        # doc-length-sidecar layout: segments without a dls stream; the
+        # searcher gathers lengths from the tokens table's (doc_id,
+        # doc_len) columns (loaded lazily, chunk-filtered for shards)
+        self.has_dls = "dls_bytes" in self._seg.schema.names
+        self._dl_table = None
         self._rg_index = None  # lazy row-group sparse index (_ensure_rg_index)
         self._pq_files: dict[str, "object"] = {}
         self._cache: dict[str, dict | None] = {}
@@ -177,7 +185,8 @@ class IndexSearcher:
         import pyarrow as pa
 
         hash_of = {t: token_hash64(t) for t in missing}
-        cols = list(_PACKED_COLS)
+        cols = [c for c in _PACKED_COLS
+                if self.has_dls or c not in ("dls_bytes", "block_dl_nbytes")]
         if self.with_positions:
             cols += ["positions_bytes", "pos_nbytes"]
         # one EQUALITY-filtered scan per hash: pyarrow pushes `==` down to
@@ -223,8 +232,41 @@ class IndexSearcher:
             # rows: positions_bytes is aligned to the original blocks.
             if len(rows) > 1 and "positions_bytes" not in merged:
                 ids, tfs, dls = unpack_postings(merged)
+                if dls is None:  # sidecar layout: gather once, re-encode
+                    dls = self._dl_of(ids).astype(np.int64)
                 merged = pack_postings(ids, tfs, dls)
             self._cache[t] = merged
+
+    def _dl_of(self, ids: np.ndarray) -> np.ndarray:
+        """doc_id -> doc_len gather from the sidecar (tokens table).
+
+        Loaded once per searcher, chunk-filtered when this searcher is
+        a doc shard — so a shard's resident length table is bounded by
+        its chunk capacity, exactly like its decoded postings.  At
+        10^12-doc scale this is the per-chunk slice of a doc-stats
+        table co-partitioned with the segments."""
+        if self._dl_table is None:
+            import glob
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from ..functions.postings import DocLenLookup
+
+            files = sorted(glob.glob(os.path.join(self.index_dir, "tokens",
+                                                  "**", "*.parquet"),
+                           recursive=True))
+            t = pa.concat_tables([pq.read_table(f, columns=["doc_id", "doc_len"])
+                                  for f in files])
+            ids_a = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            dls_a = t.column("doc_len").to_numpy(zero_copy_only=False)
+            if self.chunks is not None:
+                mask = np.isin(ids_a >> self.eff_chunk_bits,
+                               np.fromiter(self.chunks, dtype=np.int64,
+                                           count=len(self.chunks)))
+                ids_a, dls_a = ids_a[mask], dls_a[mask]
+            self._dl_table = DocLenLookup(ids_a, dls_a)
+        return self._dl_table(ids)
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(doc_ids, tfs, dls) for one term; empty arrays if absent."""
@@ -242,7 +284,8 @@ class IndexSearcher:
             self._fetch_terms([term])
             row = self._cache[term]
             tp = None if row is None else _TermPostings(
-                row, self.avgdl, self.k1, self.b, compact=self.compact)
+                row, self.avgdl, self.k1, self.b, compact=self.compact,
+                dl_of=None if "dls_bytes" in row else self._dl_of)
             if tp is not None:
                 if self._tp_postings + tp.df > self.max_cached_postings and self._tp:
                     # evict the least-recently-inserted HALF (dict order);
@@ -710,9 +753,12 @@ class _TermPostings:
     are precomputed cumulative sums (O(block) decode)."""
 
     def __init__(self, row: dict, avgdl: float, k1: float, b: float,
-                 compact: bool = False):
+                 compact: bool = False, dl_of=None):
         self.row = row
         self.compact = compact
+        # sidecar layout (no dls stream in the row): gather lengths by
+        # doc id through the searcher's chunk-bounded lookup
+        self._dl_of = dl_of
         self.df = int(row["df"])
         self.block_last = np.asarray(row["block_last_doc"], dtype=np.int64)
         self.n_blocks = self.block_last.size
@@ -742,7 +788,7 @@ class _TermPostings:
             ([0], np.cumsum(np.asarray(row["block_doc_nbytes"], dtype=np.int64))))
         self._tf_off = np.concatenate(
             ([0], np.cumsum(np.asarray(row["block_tf_nbytes"], dtype=np.int64))))
-        self._dl_off = np.concatenate(
+        self._dl_off = None if row.get("block_dl_nbytes") is None else np.concatenate(
             ([0], np.cumsum(np.asarray(row["block_dl_nbytes"], dtype=np.int64))))
         self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._full: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None = None
@@ -754,6 +800,8 @@ class _TermPostings:
         """(doc_ids, tfs, dls, base_weights) — whole list, one-shot decode."""
         if self._full is None:
             ids, tfs, dls = unpack_postings(self.row)
+            if dls is None:  # sidecar layout
+                dls = self._dl_of(ids).astype(np.int64)
             base_w = tf_weight(tfs.astype(np.float64), dls.astype(np.float64),
                                self._avgdl, self._k1, self._b)
             if self.compact:
@@ -784,7 +832,10 @@ class _TermPostings:
         deltas = vbyte_decode(row["docs_bytes"][self._doc_off[bi]: self._doc_off[bi + 1]])
         ids = np.cumsum(deltas.astype(np.int64))
         tfs = vbyte_decode(row["tfs_bytes"][self._tf_off[bi]: self._tf_off[bi + 1]])
-        dls = vbyte_decode(row["dls_bytes"][self._dl_off[bi]: self._dl_off[bi + 1]])
+        if self._dl_off is not None:
+            dls = vbyte_decode(row["dls_bytes"][self._dl_off[bi]: self._dl_off[bi + 1]])
+        else:  # sidecar layout: gather this block's lengths by doc id
+            dls = self._dl_of(ids)
         base_w = tf_weight(tfs.astype(np.float64), dls.astype(np.float64),
                            self._avgdl, self._k1, self._b)
         self._blocks[bi] = (ids, base_w)

@@ -31,6 +31,27 @@ from ..functions.tokenize import DEFAULT_ENGINE, get_tokenizer
 from ..functions.textnorm import normalize_text
 
 
+def _sig_matrix(sig_col, num_perm: int) -> np.ndarray:
+    """Fixed-width binary signature column -> (n, num_perm) uint64 matrix
+    straight from the Arrow values buffer (no per-row Python bytes)."""
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n = len(sig_col)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    if sig_col.null_count == 0:
+        bufs = sig_col.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1,
+                            offset=sig_col.offset * 4)
+        width = num_perm * 8
+        if int(off[-1]) - int(off[0]) == n * width:  # uniform width
+            return np.frombuffer(bufs[2], dtype=np.uint64,
+                                 count=n * num_perm,
+                                 offset=int(off[0])).reshape(n, num_perm)
+    return np.frombuffer(b"".join(sig_col.to_pylist()),
+                         dtype=np.uint64).reshape(n, num_perm)
+
+
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5(text) per row (reference content-hash, doc_reader.py:70-91)."""
     hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in batch.column(text_col).to_pylist()]
@@ -249,14 +270,11 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
         # (n, n_bands, r) signature cube; only key EQUALITY matters, so
         # any good 64-bit mix is equivalent (uint64 wraps mod 2^64).
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        sig_col = batch.column("sig")
-        if isinstance(sig_col, pa.ChunkedArray):
-            sig_col = sig_col.combine_chunks()
         n = doc_ids.size
         if n == 0:
             return pa.table({"band_key": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64())})
-        mat = np.frombuffer(b"".join(sig_col.to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        mat = _sig_matrix(batch.column("sig"), num_perm)
         cube = mat.reshape(n, n_bands, r)
         prime = np.uint64(0x100000001B3)
         key = (np.uint64(0xCBF29CE484222325)

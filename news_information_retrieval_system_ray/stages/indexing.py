@@ -124,7 +124,10 @@ class PackRuns:
         self._out_schema = PackGroups(block_size, with_positions)._schema(with_term=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        schema = self._out_schema
+        has_alt = "alt" in batch.column_names
+        schema = self._out_schema if not has_alt else \
+            PackGroups(self.block_size, self.with_positions)._schema(
+                with_term=False, with_alt=True)
         n = len(batch)
         if n == 0:
             return schema.empty_table()
@@ -159,7 +162,8 @@ def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
     (aligned with ``th``) adds the collision-check passenger column."""
     names = {f.name for f in schema}
     r = pack_postings_runs(ids, tfs, dls, gs, block_size=block_size,
-                           bounds="block_bound_tf" in names)
+                           bounds="block_bound_tf" in names,
+                           encode_dls="dls_bytes" in names)
     ng = gs.size
 
     def _binary(blob: bytes, off: np.ndarray) -> pa.Array:
@@ -201,13 +205,19 @@ def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
     return pa.table({f.name: builders[f.name]().cast(f.type) for f in schema})
 
 
-def fragment_schema(with_alt: bool = True) -> pa.Schema:
+def fragment_schema(with_alt: bool = True, with_dls: bool = False) -> pa.Schema:
     """The pre-sort shuffle-FRAGMENT schema (PrePackTokens output): sort
     keys + raw streams + block_len — everything RepackFragments actually
     reads, and nothing else.  Dropping the WAND metadata (bound pairs,
     per-block extremes/byte counts, cf) cuts ~40% of exchange row bytes
     and ~60% of the map-side pack CPU; Repack re-derives it all from the
-    decoded streams for the final segments."""
+    decoded streams for the final segments.
+
+    ``with_dls=False`` (default — the doc-length-sidecar layout) also
+    drops the dls VByte stream: duplicating each doc's length into
+    every term's postings was ~1/3 of the remaining stream bytes; the
+    lengths live once in the tokens table and RepackFragments gathers
+    them by doc id for the WAND block metadata."""
     fields = [
         ("term_hash", pa.uint64()),
         ("chunk", pa.int32()),
@@ -215,7 +225,7 @@ def fragment_schema(with_alt: bool = True) -> pa.Schema:
         ("df", pa.int64()),
         ("docs_bytes", pa.binary()),
         ("tfs_bytes", pa.binary()),
-        ("dls_bytes", pa.binary()),
+        *([("dls_bytes", pa.binary())] if with_dls else []),
         ("block_len", pa.list_(pa.int32())),
     ]
     if with_alt:
@@ -243,7 +253,7 @@ class PrePackTokens:
     """
 
     def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, block_size: int = 32,
-                 emit_alt: bool = True):
+                 emit_alt: bool = True, emit_dls: bool = False):
         self.block_size = block_size
         # emit_alt (default on): fragments carry the term's SECOND MD5
         # half, so the 64-bit-collision check rides the segments sort as
@@ -251,9 +261,12 @@ class PrePackTokens:
         # full-corpus scan + two extra exchanges (see index_build
         # _verify_alt_sorted for the post-sort adjacency verification).
         self.emit_alt = emit_alt
+        # emit_dls=False (default): doc-length-sidecar layout — the dls
+        # stream never enters the exchange (fragment_schema docstring)
+        self.emit_dls = emit_dls
         self._explode = ExplodeTokens(chunk_bits=chunk_bits, with_positions=False,
                                       emit_term=False, emit_alt=emit_alt)
-        self._out_schema = fragment_schema(with_alt=emit_alt)
+        self._out_schema = fragment_schema(with_alt=emit_alt, with_dls=emit_dls)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ex = self._explode(batch)
@@ -325,15 +338,31 @@ class RepackFragments:
     rows, which the query-side merge already handles.
     """
 
-    def __init__(self, block_size: int = 32):
+    def __init__(self, block_size: int = 32, doclens=None):
         self.block_size = block_size
-        self._out_schema = PackGroups(block_size, False)._schema(with_term=False)
-        self._out_schema_alt = PackGroups(block_size, False)._schema(
-            with_term=False, with_alt=True)
+        # doclens: DocLenLookup or a ray.ObjectRef to one — required for
+        # sidecar-layout fragments (no dls stream in the exchange): the
+        # WAND block metadata (min_dl / Pareto bound pairs) gathers
+        # lengths by decoded doc id instead.  Shipped once per task via
+        # the object store (zero-copy plasma read), chunk-sharded at
+        # web scale (DocLenLookup docstring).
+        self._doclens = doclens
+
+    def _dl_lookup(self):
+        import ray
+
+        if isinstance(self._doclens, ray.ObjectRef):
+            self._doclens = ray.get(self._doclens)
+        return self._doclens
+
+    def _schema_for(self, has_alt: bool, has_dls: bool) -> pa.Schema:
+        return PackGroups(self.block_size, False)._schema(
+            with_term=False, with_alt=has_alt, with_dls=has_dls)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         has_alt = "alt" in batch.column_names
-        schema = self._out_schema_alt if has_alt else self._out_schema
+        has_dls = "dls_bytes" in batch.column_names
+        schema = self._schema_for(has_alt, has_dls)
         nrows = len(batch)
         if nrows == 0:
             return schema.empty_table()
@@ -356,11 +385,14 @@ class RepackFragments:
             .to_numpy(zero_copy_only=False).astype(np.int64)
         deltas = vbyte_decode(_concat("docs_bytes")).astype(np.int64)
         tfs = vbyte_decode(_concat("tfs_bytes")).astype(np.int64)
-        dls = vbyte_decode(_concat("dls_bytes")).astype(np.int64)
         bstarts = np.concatenate(([0], np.cumsum(block_len)[:-1]))
         tot = np.cumsum(deltas)
         base = tot[bstarts] - deltas[bstarts]
         ids = tot - np.repeat(base, block_len)
+        if has_dls:
+            dls = vbyte_decode(_concat("dls_bytes")).astype(np.int64)
+        else:  # sidecar layout: gather lengths for the block metadata
+            dls = self._dl_lookup()(ids).astype(np.int64)
 
         th = batch.column("term_hash").to_numpy(zero_copy_only=False)
         ch = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -399,11 +431,14 @@ class PackGroups:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         rows: list[dict] = []
+        has_alt = "alt" in group.column_names
         if "term" not in group.column_names:
-            # hash-only shuffle: collisions are detected at vocab build
-            # (index_build) rather than split here
+            # hash-only shuffle: collisions are detected by the alt
+            # passenger (post-sort adjacency, index_build
+            # _verify_alt_sorted) or at vocab build
             self._pack_one(group, None, rows)
-            return pa.Table.from_pylist(rows, schema=self._schema(with_term=False))
+            return pa.Table.from_pylist(
+                rows, schema=self._schema(with_term=False, with_alt=has_alt))
         terms = group.column("term").to_pylist()
         # defensively split on term string (hash-collision guard)
         if len(set(terms)) == 1:
@@ -414,7 +449,8 @@ class PackGroups:
                 by_term.setdefault(t, []).append(i)
             for t, idx in sorted(by_term.items()):
                 self._pack_one(group.take(idx), t, rows)
-        return pa.Table.from_pylist(rows, schema=self._schema(with_term=True))
+        return pa.Table.from_pylist(
+            rows, schema=self._schema(with_term=True, with_alt=has_alt))
 
     def _pack_one(self, group: pa.Table, term: str | None, out: list[dict]) -> None:
         doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
@@ -429,6 +465,8 @@ class PackGroups:
             "first_doc": int(doc_ids[0]) if doc_ids.size else -1,
             **packed,
         }
+        if "alt" in group.column_names:  # collision-check passenger
+            row["alt"] = int(group.column("alt")[0].as_py())
         if term is not None:
             row["term"] = term
         if self.with_positions:
@@ -447,7 +485,8 @@ class PackGroups:
             row["pos_nbytes"] = nbytes
         out.append(row)
 
-    def _schema(self, with_term: bool = True, with_alt: bool = False) -> pa.Schema:
+    def _schema(self, with_term: bool = True, with_alt: bool = False,
+                with_dls: bool = True) -> pa.Schema:
         fields = [
             *([("term", pa.string())] if with_term else []),
             ("term_hash", pa.uint64()),
@@ -457,10 +496,10 @@ class PackGroups:
             ("cf", pa.int64()),
             ("docs_bytes", pa.binary()),
             ("tfs_bytes", pa.binary()),
-            ("dls_bytes", pa.binary()),
+            *([("dls_bytes", pa.binary())] if with_dls else []),
             ("block_doc_nbytes", pa.list_(pa.int32())),
             ("block_tf_nbytes", pa.list_(pa.int32())),
-            ("block_dl_nbytes", pa.list_(pa.int32())),
+            *([("block_dl_nbytes", pa.list_(pa.int32()))] if with_dls else []),
             ("block_len", pa.list_(pa.int32())),
             ("block_last_doc", pa.list_(pa.int64())),
             ("block_max_tf", pa.list_(pa.int32())),

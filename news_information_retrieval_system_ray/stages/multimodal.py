@@ -221,6 +221,131 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(data[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
 
 
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w, 3) RGB -> PNG bytes (stdlib zlib only).
+
+    A real COMPRESSED image codec with zero external dependencies:
+    8-bit truecolor, non-interlaced, one scanline filter (0=None 1=Sub
+    2=Up 3=Average 4=Paeth — all five encodable, for decoder-path test
+    coverage), zlib-deflated IDAT, CRC'd chunks.  The jpeg/h264 family
+    stays behind declared NotImplementedError stubs (codec libraries
+    absent in this container)."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_png expects (h, w, 3) RGB")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter {filter_type}")
+    rows = img.reshape(h, w * 3).astype(np.int16)
+    left = np.zeros_like(rows)
+    left[:, 3:] = rows[:, :-3]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:
+        filt = rows - left
+    elif filter_type == 2:
+        filt = rows - up
+    elif filter_type == 3:
+        filt = rows - (left + up) // 2
+    else:  # Paeth
+        ul = np.zeros_like(rows)
+        ul[1:, 3:] = rows[:-1, :-3]
+        p = left + up - ul
+        pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                        np.where(pb <= pc_, up, ul))
+        filt = rows - pred
+    scan = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = (filt % 256).astype(np.uint8)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + \
+            struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 (h, w, 3); 8-bit truecolor non-interlaced,
+    all five scanline filters, CRC-verified — stdlib zlib + numpy.
+    Sequential filters (Sub) reconstruct via per-channel modular cumsum;
+    Average/Paeth run a per-pixel loop along the row (decode of
+    arbitrary external encoders' output, correctness first)."""
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    off, idat, dims = 8, [], None
+    while off + 8 <= len(payload):
+        ln = int.from_bytes(payload[off:off + 4], "big")
+        typ = payload[off + 4:off + 8]
+        data = payload[off + 8:off + 8 + ln]
+        crc = int.from_bytes(payload[off + 8 + ln:off + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        off += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported "
+                    f"(depth={depth} colortype={ctype} interlace={inter})")
+            dims = (h, w)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if dims is None:
+        raise ValueError("PNG missing IHDR")
+    h, w = dims
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:
+            out[y] = line + prev  # uint8 wraparound == mod 256
+        elif f == 1:
+            # Sub: per-channel prefix sum mod 256 along the row
+            rec = line.reshape(w, 3).astype(np.int64).cumsum(axis=0)
+            out[y] = (rec % 256).astype(np.uint8).reshape(stride)
+        elif f in (3, 4):
+            rec = out[y]
+            prev_i = prev.astype(np.int64)
+            line_i = line.astype(np.int64)
+            for x in range(w):
+                s = x * 3
+                left = rec[s - 3:s].astype(np.int64) if x else np.zeros(3, np.int64)
+                up = prev_i[s:s + 3]
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = prev_i[s - 3:s] if x else np.zeros(3, np.int64)
+                    p = left + up - ul
+                    pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                                    np.where(pb <= pc_, up, ul))
+                rec[s:s + 3] = ((line_i[s:s + 3] + pred) % 256).astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG scanline filter {f}")
+    return out.reshape(h, w, 3)
+
+
 def image_features(img: np.ndarray, out_dim: int = 16) -> np.ndarray:
     """Real image features: per-channel mean/std + luminance histogram."""
     chans = img.reshape(-1, 3).astype(np.float64)
@@ -263,6 +388,8 @@ class RealMediaFeatureStage:
                 feats.append(audio_features(x, rate, self.out_dim))
             elif mime == "image/ppm":
                 feats.append(image_features(decode_ppm(payload), self.out_dim))
+            elif mime == "image/png":
+                feats.append(image_features(decode_png(payload), self.out_dim))
             else:
                 raise ValueError(f"no real decoder for mime {mime!r}")
         return pa.table({
@@ -272,7 +399,8 @@ class RealMediaFeatureStage:
 
 
 class RealImageResizeStage:
-    """PPM payload -> decoded, nearest-neighbor-resized, re-encoded PPM."""
+    """Image payload (PPM or PNG, by magic bytes) -> decoded,
+    nearest-neighbor-resized, re-encoded in the same format."""
 
     def __init__(self, width: int, height: int):
         self.width = width
@@ -281,8 +409,12 @@ class RealImageResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_payloads = []
         for payload in batch.column("payload").to_pylist():
-            img = resize_nearest(decode_ppm(payload), self.width, self.height)
-            out_payloads.append(encode_ppm(img))
+            if payload.startswith(b"\x89PNG"):
+                img = resize_nearest(decode_png(payload), self.width, self.height)
+                out_payloads.append(encode_png(img))
+            else:
+                img = resize_nearest(decode_ppm(payload), self.width, self.height)
+                out_payloads.append(encode_ppm(img))
         n = batch.num_rows
         t = batch.drop_columns([c for c in ("payload", "width", "height")
                                 if c in batch.column_names])
@@ -319,9 +451,13 @@ def make_real_media_table(n: int = 32, seed: int = 5) -> pa.Table:
                 np.add.outer(gy, gx * 0),
                 rng.integers(0, 256, size=(h, w)).astype(np.float64),
             ], axis=2).astype(np.uint8)
-            rows_payload.append(encode_ppm(img))
+            if i % 4 == 3:  # every other image row: the COMPRESSED codec
+                rows_payload.append(encode_png(img, filter_type=i % 5))
+                rows_mime.append("image/png")
+            else:
+                rows_payload.append(encode_ppm(img))
+                rows_mime.append("image/ppm")
             rows_kind.append("image")
-            rows_mime.append("image/ppm")
             widths.append(w); heights.append(h); durs.append(0)
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),

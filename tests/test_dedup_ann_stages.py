@@ -313,6 +313,7 @@ def test_real_media_stage_pipeline(ray_session):
     from news_information_retrieval_system_ray.stages.multimodal import (
         RealImageResizeStage,
         RealMediaFeatureStage,
+        decode_png,
         decode_ppm,
         make_real_media_table,
     )
@@ -329,8 +330,9 @@ def test_real_media_stage_pipeline(ray_session):
         RealImageResizeStage(20, 10), batch_format="pyarrow",
         batch_size=4).to_pandas()
     assert (rs["width"] == 20).all() and (rs["height"] == 10).all()
-    for p in rs["payload"]:
-        assert decode_ppm(p).shape == (10, 20, 3)
+    for p in rs["payload"]:  # the table now mixes PPM and PNG payloads
+        dec = decode_png(p) if p.startswith(b"\x89PNG") else decode_ppm(p)
+        assert dec.shape == (10, 20, 3)
 
 
 def test_avi_codec_roundtrip():

@@ -62,3 +62,76 @@ def test_zero_norm_docs_dropped(ray_session):
     out = dense_topk(encoded, np.stack([encode_text("spark", 32)]),
                      ["q"], k=5)
     assert list(out["doc_id"]) == [5]
+
+
+def test_model_seam_selects_by_import_availability(monkeypatch):
+    """VERDICT r02 #9: the stand-in and the real-model stage must select
+    purely on import availability — faking the package present flips
+    the seam to the model stage, absent falls back deterministically."""
+    import sys
+    import types
+
+    import numpy as np
+    import pyarrow as pa
+
+    from news_information_retrieval_system_ray.stages.dense import (
+        HashingEncoderStage,
+        ModelEncoderStage,
+        encoder_available,
+        select_encoder_stage,
+    )
+
+    # this container has no sentence_transformers -> hashing stand-in
+    assert not encoder_available()
+    assert isinstance(select_encoder_stage(dim=8), HashingEncoderStage)
+
+    class _StubModel:
+        def __init__(self, name):
+            self.name = name
+
+        def encode(self, texts, batch_size=64):
+            return np.full((len(texts), 4), 0.5)
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.SentenceTransformer = _StubModel
+    fake.__spec__ = types.SimpleNamespace(name="sentence_transformers")
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    assert encoder_available()
+    stage = select_encoder_stage(dim=8, model_name="stub-model")
+    assert isinstance(stage, ModelEncoderStage)
+    assert stage.model.name == "stub-model"
+    out = stage(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                          "text": ["a b", "c d"]}))
+    emb = out.column("embedding")
+    assert emb.type.list_size == 4
+    assert out.column("doc_id").to_pylist() == [1, 2]
+
+
+def test_tokenizer_engine_seam(monkeypatch):
+    """select_engine: model engines (jieba/ckip) fall back to the
+    deterministic default when their package is absent, and select
+    themselves when the import resolves."""
+    import sys
+    import types
+
+    from news_information_retrieval_system_ray.functions.tokenize import (
+        DEFAULT_ENGINE,
+        engine_available,
+        select_engine,
+    )
+
+    # deterministic engines are always available
+    assert engine_available("whitespace") and engine_available("cjk_bigram")
+    # model engines absent in this container -> fallback
+    assert not engine_available("ckip")
+    assert select_engine("ckip") == DEFAULT_ENGINE
+    assert select_engine("jieba", fallback="whitespace") == "whitespace"
+    # fake the CKIP package present -> the seam selects it
+    fake = types.ModuleType("ckip_transformers")
+    fake.__spec__ = types.SimpleNamespace(name="ckip_transformers")
+    monkeypatch.setitem(sys.modules, "ckip_transformers", fake)
+    assert engine_available("ckip")
+    assert select_engine("ckip") == "ckip"
+    # unknown engines are never "available"
+    assert not engine_available("no_such_engine")

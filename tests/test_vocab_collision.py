@@ -181,3 +181,36 @@ def test_verify_alt_global_across_collections(ray_session, tmp_path):
                    str(root / "append_1" / "seg.parquet"))
     with pytest.raises(Exception, match="collision"):
         _verify_alt_global(str(root))
+
+
+def test_positional_build_alt_layout(ray_session, tmp_path):
+    """The positions layout now carries the alt passenger too (VERDICT
+    r02 #7): segments store (term_hash, alt), the manifest records
+    alt_layout, and NO separate hashcheck sidecar job runs — collision
+    parity with the default layout."""
+    import json
+    import os
+
+    from news_information_retrieval_system_ray.pipelines.query import IndexSearcher
+
+    p = _write_docs(tmp_path, ["alpha beta gamma", "beta gamma alpha",
+                               "gamma alpha beta"])
+    idx = tempfile.mkdtemp(prefix="pos_alt_idx_")
+    build_index(p, idx, text_source="text", id_col="doc_id",
+                engine="whitespace", n_shards=1, chunk_bits=8, resume=False,
+                with_positions=True)
+    seg_files = glob.glob(idx + "/segments/*.parquet")
+    assert seg_files
+    seg = pq.read_table(seg_files[0], columns=["term_hash", "alt"])
+    assert seg.num_rows > 0
+    th0 = int(np.uint64(seg.column("term_hash")[0].as_py()))
+    alt0 = int(np.uint64(seg.column("alt")[0].as_py()))
+    by_hash = {H.token_hash64(t): H.token_hash_pair(t)[1]
+               for t in ("alpha", "beta", "gamma")}
+    assert by_hash[th0] == alt0
+    with open(idx + "/manifest.json") as fh:
+        assert json.load(fh).get("alt_layout") is True
+    assert not os.path.isdir(idx + "/hashcheck")
+    # the positional query path still works on the alt-carrying layout
+    s = IndexSearcher(idx)
+    assert set(s.phrase_docs(["alpha", "beta"]).tolist()) == {0, 2}
