@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "summarize_multidoc": A.summarize_multidoc,
         "boolean_and": A.boolean_and,
         "boolean_and_not": lambda sf: A.boolean_and_not(sf),
+        # sharded boolean serving shares the and_not oracle
+        "boolean_sharded": A.boolean_sharded,
         "boolean_parsed": A.boolean_parsed,
         "date_range_query": A.date_range_query,
         "field_query": A.field_query,
@@ -2708,7 +2710,7 @@ def oracle_sql() -> dict[str, str]:
                            UNION ALL SELECT * FROM centr
                            UNION ALL SELECT * FROM centn)
                      GROUP BY qid, term)"""
-    return {
+    d = {
         "field_boost_topk": field_boost_sql,
         "related_documents": related_sql,
         "search_suggestions": suggestions_sql,
@@ -4300,3 +4302,6 @@ def oracle_sql() -> dict[str, str]:
         # (svo_triples graduated to oracle-checked: the fake parse +
         # tree walk collapse to a per-doc SQL expression.)
     }
+    # sharded serving entries share their single-path oracles
+    d["boolean_sharded"] = d["boolean_and_not"]
+    return d

@@ -128,6 +128,28 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
         naive_lats, naive_cold_s, _ = measure("naive")
         auto_lats, _, _ = measure("auto")  # per-query metadata dispatch
 
+        # doc-sharded distributed serving (pipelines/serve.py): same
+        # queries through 4 chunk-shard actors + driver k-way merge —
+        # the serving shape that holds when no single node can host a
+        # stopword-class posting list
+        from news_information_retrieval_system_ray.pipelines.serve import (
+            ShardedSearcher,
+        )
+
+        shards = ShardedSearcher(idx_dir, n_shards=4)
+        try:
+            for qtext in REFERENCE_QUERIES.values():  # warm (df resolve)
+                shards.search(qtext, k=10)
+            sh_lats = []
+            for qtext in REFERENCE_QUERIES.values():
+                t1 = time.perf_counter()
+                shards.search(qtext, k=10)
+                sh_lats.append(time.perf_counter() - t1)
+            sh_lats.sort()
+            sharded_p50 = sh_lats[len(sh_lats) // 2]
+        finally:
+            shards.shutdown()
+
         # query THROUGHPUT: one searcher actor per CPU, each hammering the
         # reference query set — how a cluster actually serves queries
         # (replicated index readers), and the query half of the north
@@ -202,6 +224,7 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
             "query_p99_ms": round(p99 * 1e3, 2),
             "query_naive_p50_ms": round(naive_lats[len(naive_lats) // 2] * 1e3, 2),
             "query_auto_p50_ms": round(auto_lats[len(auto_lats) // 2] * 1e3, 2),
+            "query_sharded_p50_ms": round(sharded_p50 * 1e3, 2),
             "query_qps": round(qps, 1),
             "n_results": n_results,
         }
@@ -261,6 +284,7 @@ def main_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
         "query_p99_ms": head["query_p99_ms"],
         "query_naive_p50_ms": head["query_naive_p50_ms"],
         "query_auto_p50_ms": head["query_auto_p50_ms"],
+        "query_sharded_p50_ms": head["query_sharded_p50_ms"],
         "query_qps": head["query_qps"],
     }
     ray.shutdown()

@@ -405,6 +405,28 @@ def bm25_wand_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
+def _sharded_searcher(sf_dir: str):
+    """Memoized doc-sharded searcher over the sf documents (one index
+    build + actor pool per sf_dir per session, shared by every sharded
+    serving query).  Small chunks (32-doc) so the fixed 500-doc sf
+    tables actually split across shards; web scale uses the build's
+    auto chunk_bits."""
+
+    def build():
+        import tempfile
+
+        from .index_build import build_index
+        from .serve import ShardedSearcher
+
+        idx = tempfile.mkdtemp(prefix="nirs_shard_idx_")
+        build_index(f"{sf_dir}/documents.parquet", idx, text_source="text",
+                    id_col="doc_id", engine="whitespace", n_shards=4,
+                    chunk_bits=5, resume=False)
+        return ShardedSearcher(idx, n_shards=4)
+
+    return _memo(("sharded_searcher", sf_dir), build)
+
+
 def bm25_sharded_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Fixed-query BM25 top-k served by DOC-SHARDED distributed actors
     (pipelines/serve.py): each shard owns a disjoint chunk set, runs
@@ -413,27 +435,23 @@ def bm25_sharded_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     Shares the bm25_topk oracle SQL — proving sharded serving ==
     single-searcher == exhaustive == SQL, rank- and score-identically
     (reference WAND contract: query_optimization.py:191-346)."""
-    import tempfile
-
-    from .index_build import build_index
-    from .serve import ShardedSearcher
-
-    idx = tempfile.mkdtemp(prefix="nirs_shard_idx_")
-    # small chunks (32-doc) so the fixed 500-doc sf tables actually split
-    # across shards; web scale uses the build's auto chunk_bits
-    build_index(f"{sf_dir}/documents.parquet", idx, text_source="text",
-                id_col="doc_id", engine="whitespace", n_shards=4,
-                chunk_bits=5, resume=False)
-    s = ShardedSearcher(idx, n_shards=4)
-    try:
-        rows = []
-        for qid, terms in FIXED_QUERIES.items():
-            for rank, (doc_id, score) in enumerate(
-                    s.search(" ".join(terms), k=k, method="wand"), 1):
-                rows.append((qid, rank, doc_id, round4(score)))
-    finally:
-        s.shutdown()
+    s = _sharded_searcher(sf_dir)
+    rows = []
+    for qid, terms in FIXED_QUERIES.items():
+        for rank, (doc_id, score) in enumerate(
+                s.search(" ".join(terms), k=k, method="wand"), 1):
+            rows.append((qid, rank, doc_id, round4(score)))
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
+def boolean_sharded(sf_dir: str) -> pd.DataFrame:
+    """(A AND B) NOT C served by the doc-sharded actors: each shard
+    resolves its own chunks' sorted-merge boolean (disjoint doc
+    spaces), the driver concatenates.  Shares the boolean_and_not
+    oracle SQL — sharded boolean == single-searcher == SQL."""
+    s = _sharded_searcher(sf_dir)
+    ids = s.boolean_not(list(BOOL_NOT[0]), list(BOOL_NOT[1]))
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64)})
 
 
 def _tfidf_scores_for(sf_dir: str, qvecs: dict[str, dict[str, float]],

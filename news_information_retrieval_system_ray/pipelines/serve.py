@@ -73,6 +73,18 @@ def _make_shard_worker():
         def search_weighted(self, tw, k: int, method: str, theta0: float):
             return self.s.search_weighted(tw, k, method=method, theta0=theta0)
 
+        def boolean_local(self, include, exclude):
+            """Boolean include-AND minus exclude-OR over THIS shard's
+            chunks only (IndexSearcher.boolean_not semantics) — chunks
+            partition doc-id space, so per-shard results concatenate
+            into the exact global result."""
+            if exclude:
+                return self.s.boolean_not(include, exclude)
+            return self.s.boolean_and(include)
+
+        def phrase_local(self, phrase_terms):
+            return self.s.phrase_docs(phrase_terms)
+
         def decoded_df(self, term: str) -> int:
             """Test hook: postings this shard holds decoded state for."""
             tp = self.s._term(term)
@@ -111,6 +123,7 @@ class ShardedSearcher:
         else:
             self._stops = frozenset()
         worker_cls = _make_shard_worker()
+        self._shard_chunks = shard_chunks
         self.workers = [worker_cls.remote(index_dir, cs, k1, b, delta, compact)
                         for cs in shard_chunks]
         self._dfs: dict[str, int] = {}          # term -> GLOBAL df
@@ -178,6 +191,33 @@ class ShardedSearcher:
         merged = [r for part in results for r in part]
         merged.sort(key=lambda r: (-r[1], r[0]))
         return merged[:k]
+
+    def boolean_not(self, include: list[str], exclude: list[str]):
+        """Sharded boolean include-AND minus exclude-OR: each shard
+        resolves its own chunks (disjoint doc spaces — per-shard
+        complements for NOT are exact), the driver concatenates.  No
+        actor ever holds another shard's postings or universe."""
+        import numpy as np
+        import ray
+
+        parts = ray.get([w.boolean_local.remote(list(include), list(exclude))
+                         for w in self.workers])
+        return np.sort(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+
+    def boolean_and(self, terms: list[str]):
+        return self.boolean_not(terms, [])
+
+    def phrase_docs(self, phrase_terms: list[str]):
+        """Sharded phrase matching (positions layout): per-shard
+        positional adjacency over disjoint chunks, concatenated."""
+        import numpy as np
+        import ray
+
+        parts = ray.get([w.phrase_local.remote(phrase_terms)
+                         for w in self.workers])
+        return np.sort(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
 
     def shutdown(self) -> None:
         import ray

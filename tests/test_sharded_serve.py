@@ -108,3 +108,34 @@ def test_more_shards_than_chunks_clamps(built):
         assert s.search(q, k=10) == single.search(q, k=10, method="wand")
     finally:
         s.shutdown()
+
+
+def test_sharded_boolean_matches_single(built, sharded):
+    single = IndexSearcher(built)
+    for inc, exc in ([["颱風", "台灣"], []],
+                     [["的"], ["台灣"]],
+                     [["颱風"], ["人工", "台灣"]]):
+        if exc:
+            expect = single.boolean_not(inc, exc)
+            got = sharded.boolean_not(inc, exc)
+        else:
+            expect = single.boolean_and(inc)
+            got = sharded.boolean_and(inc)
+        assert got.tolist() == sorted(expect.tolist()), (inc, exc)
+
+
+def test_sharded_phrase_matches_single(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_phrase")
+    paths = generate_pages(str(d), n_docs=200, seed=13, n_files=2)
+    idx = str(tmp_path_factory.mktemp("index_phrase"))
+    build_index(paths, idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2,
+                with_positions=True, resume=False)
+    single = IndexSearcher(idx)
+    s = ShardedSearcher(idx, n_shards=3)
+    try:
+        for phrase in (["台灣"], ["人工", "工智"]):
+            expect = sorted(single.phrase_docs(phrase).tolist())
+            assert s.phrase_docs(phrase).tolist() == expect, phrase
+    finally:
+        s.shutdown()
