@@ -325,6 +325,12 @@ def build_index(
                                              # None -> cluster CPU count (too
                                              # many tiny blocks inflate the
                                              # sort's coordination overhead)
+    chunkband_partitions: int = 0,           # >0: hive-partition segments by
+                                             # chunkband = chunk % P so a
+                                             # doc-shard serving actor reads
+                                             # ONLY its own band's files (IO
+                                             # isolation, pipelines/serve.py);
+                                             # default layout only
     tokenize_batch_size: int | None = None,  # None -> one batch per row-group
                                              # block (the stage slices itself
                                              # into constant 1024-doc kernel
@@ -381,6 +387,7 @@ def build_index(
         "block_size": block_size, "chunk_bits": chunk_bits, "n_shards": n_shards,
         "with_positions": with_positions, "dedup_exact_first": dedup_exact_first,
         "stopword_lang": stopword_lang,
+        "chunkband_partitions": int(chunkband_partitions),
     }
     if not resume and os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
@@ -662,13 +669,38 @@ def build_index(
         # small row groups -> fine-grained predicate pushdown: a cold
         # term fetch decodes ~2k-row groups instead of whole files (the
         # binary posting columns dominate decode cost)
-        packed.write_parquet(tmp_seg, row_group_size=2048)
+        band_p = int(chunkband_partitions) if not with_positions else 0
+        if band_p > 0:
+            # IO-isolated serving layout: hive-partition by
+            # chunkband = chunk % P so each doc-shard actor opens only
+            # its own band's files (serve.py reads the band dirs; each
+            # file stays term_hash-sorted for row-group pruning)
+            def _add_band(t, _p=band_p):
+                import numpy as _np
+                import pyarrow as _pa
+
+                ch = t.column("chunk").to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "chunkband", _pa.array((ch % _p).astype(_np.int32)))
+
+            packed = packed.map_batches(_add_band, batch_format="pyarrow")
+            packed.write_parquet(tmp_seg, partition_cols=["chunkband"],
+                                 row_group_size=2048)
+        else:
+            packed.write_parquet(tmp_seg, row_group_size=2048)
         if collision_check:
-            # cross-batch collision pairs (within-batch ones already
-            # raised inside PrePack/Repack for the default layout);
-            # one linear 2-column scan over the sorted segments —
-            # BOTH layouts now carry the alt passenger
-            _verify_alt_sorted(tmp_seg)
+            if band_p > 0:
+                # partitioned layout: one term's chunk rows scatter
+                # across band dirs mid-file, so sorted-adjacency edges
+                # no longer cover cross-file pairs — use the
+                # order-independent pairs groupby instead
+                _verify_alt_global(tmp_seg)
+            else:
+                # cross-batch collision pairs (within-batch ones already
+                # raised inside PrePack/Repack for the default layout);
+                # one linear 2-column scan over the sorted segments —
+                # BOTH layouts now carry the alt passenger
+                _verify_alt_sorted(tmp_seg)
             manifest.state["alt_layout"] = True  # appends pick the
             manifest.save()                      # segments-side check
         os.replace(tmp_seg, seg_dir)

@@ -85,7 +85,25 @@ class IndexSearcher:
             self._stops: frozenset[str] = load_stopwords(self.config["stopword_lang"])
         else:
             self._stops = frozenset()
-        self._seg = pads.dataset(os.path.join(index_dir, "segments"))
+        self.chunks = None if chunks is None else frozenset(int(c) for c in chunks)
+        seg_root = os.path.join(index_dir, "segments")
+        band_p = int(self.config.get("chunkband_partitions") or 0)
+        if self.chunks is not None and band_p > 0:
+            # IO-isolated serving: the chunkband=K hive layout lets a
+            # doc shard open ONLY its own bands' files — foreign-chunk
+            # bytes never leave storage (serve.py's scale assumption,
+            # now real rather than documented)
+            import glob as _glob
+
+            owned = {c % band_p for c in self.chunks}
+            files = [f for d in sorted(_glob.glob(
+                os.path.join(seg_root, "**", "chunkband=*"), recursive=True))
+                if int(d.rsplit("=", 1)[1]) in owned
+                for f in sorted(_glob.glob(os.path.join(d, "**", "*.parquet"),
+                                           recursive=True))]
+            self._seg = pads.dataset(files if files else seg_root)
+        else:
+            self._seg = pads.dataset(seg_root)
         # doc-length-sidecar layout: segments without a dls stream; the
         # searcher gathers lengths from the tokens table's (doc_id,
         # doc_len) columns (loaded lazily, chunk-filtered for shards)
@@ -101,7 +119,6 @@ class IndexSearcher:
         self._tp_postings = 0
         self.max_cached_postings = 20_000_000
         self.compact = compact
-        self.chunks = None if chunks is None else frozenset(int(c) for c in chunks)
         # global term -> df overrides (doc-sharded serving: idf must use
         # the GLOBAL df even though this searcher decodes only its chunks)
         self.df_global: dict[str, int] = {}

@@ -90,6 +90,11 @@ def _make_shard_worker():
             tp = self.s._term(term)
             return 0 if tp is None else int(tp.df)
 
+        def seg_files(self) -> list[str]:
+            """Test hook: the segment files this shard actually opens
+            (band-restricted under the chunkband-partitioned layout)."""
+            return sorted(self.s._seg.files)
+
     return _ShardWorker
 
 

@@ -139,3 +139,43 @@ def test_sharded_phrase_matches_single(ray_session, tmp_path_factory):
             assert s.phrase_docs(phrase).tolist() == expect, phrase
     finally:
         s.shutdown()
+
+
+def test_chunkband_partitioned_layout_io_isolation(ray_session, tmp_path_factory):
+    """chunkband_partitions=P hive-partitions the segments so each shard
+    opens ONLY its own bands' files (IO isolation, not just bounded
+    decode) — results stay rank/score-identical to the flat layout."""
+    import ray
+
+    d = tmp_path_factory.mktemp("pages_band")
+    paths = generate_pages(str(d), n_docs=N_DOCS, seed=7, n_files=4)
+    flat_idx = str(tmp_path_factory.mktemp("index_flat"))
+    band_idx = str(tmp_path_factory.mktemp("index_band"))
+    build_index(paths, flat_idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=CHUNK_BITS, n_shards=3, resume=False)
+    build_index(paths, band_idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=CHUNK_BITS, n_shards=3, resume=False,
+                chunkband_partitions=N_SHARDS)
+    single = IndexSearcher(flat_idx)
+    s = ShardedSearcher(band_idx, n_shards=N_SHARDS)
+    try:
+        for qtext in REFERENCE_QUERIES.values():
+            assert s.search(qtext, k=10) == single.search(qtext, k=10, method="wand")
+        # IO isolation: every worker's opened files live under ITS bands
+        per_worker = ray.get([w.seg_files.remote() for w in s.workers])
+        all_files = set()
+        for si, files in enumerate(per_worker):
+            assert files, si
+            owned = {c % N_SHARDS for c in s._shard_chunks[si]}
+            for f in files:
+                assert "chunkband=" in f, f
+                assert int(f.split("chunkband=")[1].split("/")[0]) in owned, (si, f)
+            all_files.update(files)
+        # bands partition the files: no file shared by two workers
+        assert len(all_files) == sum(len(f) for f in per_worker)
+    finally:
+        s.shutdown()
+    # the unrestricted single searcher reads the partitioned layout too
+    sp = IndexSearcher(band_idx)
+    q = list(REFERENCE_QUERIES.values())[0]
+    assert sp.search(q, k=10, method="wand") == single.search(q, k=10, method="wand")
