@@ -34,12 +34,12 @@ Reference semantics: query_optimization.py:191-346 (WAND contract);
 the distribution design is SURVEY §7.5's "global top-k: per-partition
 WAND top-k -> driver k-way merge (k<=100)" row.
 
-Partitioning assumption (documented per the custom-operator rule): at
-web scale the segment files themselves would be hive-partitioned by
-chunk range (``segments/chunkband=K/``) so each shard node fetches only
-its own files; in this sandbox layout all shards read the shared
-term_hash-sorted segment files and drop foreign-chunk rows before
-decoding (IO is shared, decode/memory is sharded).
+Partitioning: with ``build_index(chunkband_partitions=P)`` the segment
+files ARE hive-partitioned by ``chunkband = chunk % P`` and each shard
+opens only its own bands' files (IO isolation end to end; each file
+stays term_hash-sorted for row-group pruning).  On the default flat
+layout all shards read the shared term_hash-sorted files and drop
+foreign-chunk rows before decoding (IO shared, decode/memory sharded).
 """
 
 from __future__ import annotations
