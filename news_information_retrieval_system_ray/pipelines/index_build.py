@@ -850,26 +850,31 @@ def append_index(
 
         n_new_docs = sum(i.num_rows for i in items)
         ncpu = max(8, int(_ray.cluster_resources().get("CPU", 8)))
-        # appended segments must match the BASE layout: a pre-sidecar
-        # index stores dls inline, and the query-side merge cannot mix
-        # rows with and without the dls stream for one term
+        # appended segments must match the BASE layout: the query-side
+        # merge cannot mix stream formats (dt / split / inline-dls)
+        # for one term's rows
         seg_files = _glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"),
                                recursive=True)
-        base_has_dls = bool(seg_files) and \
-            "dls_bytes" in _pq.read_schema(sorted(seg_files)[0]).names
+        base_names = set(_pq.read_schema(sorted(seg_files)[0]).names) \
+            if seg_files else set()
+        if "dt_bytes" in base_names or not base_names:
+            fmt, need_doclens = "dt", True
+        elif "dls_bytes" in base_names:
+            fmt, need_doclens = "split_dls", False
+        else:
+            fmt, need_doclens = "split", True
         packed = rd.read_parquet(
             _tokens_files_by_docid(dst), columns=tok_cols,
         ).map_batches(
             PrePackTokens(chunk_bits=eff_chunk_bits, block_size=config["block_size"],
-                          emit_alt=state.get("alt_layout", False),
-                          emit_dls=base_has_dls),
+                          emit_alt=state.get("alt_layout", False), fmt=fmt),
             batch_format="pyarrow",
             # same constant cap as the main build (allocator cliff)
             batch_size=min(4096, max(1, -(-n_new_docs // ncpu))),
         ).sort(["term_hash", "chunk", "first_doc"]).map_batches(
             # appended fragments cover only the new shard's doc ids
             RepackFragments(block_size=config["block_size"],
-                            doclens=None if base_has_dls else _doclens_ref(dst)),
+                            doclens=_doclens_ref(dst) if need_doclens else None),
             batch_format="pyarrow", batch_size=8192,
         )
     else:

@@ -39,9 +39,14 @@ from ..functions.tokenize import get_tokenizer
 from ..functions.textnorm import normalize_text
 from ..state.manifest import read_json
 
+# superset across all three segment layouts (dt / split-sidecar /
+# legacy inline-dls); each searcher fetches the intersection with its
+# actual segment schema
 _PACKED_COLS = [
     "term_hash", "chunk", "df", "cf", "docs_bytes", "tfs_bytes", "dls_bytes",
+    "dt_bytes", "esc_bytes",
     "block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes",
+    "block_dt_nbytes", "block_esc_nbytes",
     "block_len", "block_last_doc", "block_max_tf", "block_min_dl",
     "block_bound_tf", "block_bound_dl",
 ]
@@ -107,7 +112,9 @@ class IndexSearcher:
         # doc-length-sidecar layout: segments without a dls stream; the
         # searcher gathers lengths from the tokens table's (doc_id,
         # doc_len) columns (loaded lazily, chunk-filtered for shards)
-        self.has_dls = "dls_bytes" in self._seg.schema.names
+        seg_names = set(self._seg.schema.names)
+        self.has_dls = "dls_bytes" in seg_names
+        self._fetch_cols = [c for c in _PACKED_COLS if c in seg_names]
         self._dl_table = None
         self._rg_index = None  # lazy row-group sparse index (_ensure_rg_index)
         self._pq_files: dict[str, "object"] = {}
@@ -202,8 +209,7 @@ class IndexSearcher:
         import pyarrow as pa
 
         hash_of = {t: token_hash64(t) for t in missing}
-        cols = [c for c in _PACKED_COLS
-                if self.has_dls or c not in ("dls_bytes", "block_dl_nbytes")]
+        cols = list(self._fetch_cols)
         if self.with_positions:
             cols += ["positions_bytes", "pos_nbytes"]
         # one EQUALITY-filtered scan per hash: pyarrow pushes `==` down to
@@ -799,14 +805,20 @@ class _TermPostings:
             self.med_base_ub = 0.0
         self.n_blocks_loaded = 0
         self._avgdl, self._k1, self._b = avgdl, k1, b
+        def _off(key: str):
+            v = row.get(key)
+            return None if v is None else np.concatenate(
+                ([0], np.cumsum(np.asarray(v, dtype=np.int64))))
+
         self._len_off = np.concatenate(
             ([0], np.cumsum(np.asarray(row["block_len"], dtype=np.int64))))
-        self._doc_off = np.concatenate(
-            ([0], np.cumsum(np.asarray(row["block_doc_nbytes"], dtype=np.int64))))
-        self._tf_off = np.concatenate(
-            ([0], np.cumsum(np.asarray(row["block_tf_nbytes"], dtype=np.int64))))
-        self._dl_off = None if row.get("block_dl_nbytes") is None else np.concatenate(
-            ([0], np.cumsum(np.asarray(row["block_dl_nbytes"], dtype=np.int64))))
+        # split layout offsets (None under the combined-dt layout)
+        self._doc_off = _off("block_doc_nbytes")
+        self._tf_off = _off("block_tf_nbytes")
+        self._dl_off = _off("block_dl_nbytes")
+        # combined-dt layout offsets (None under the split layouts)
+        self._dt_off = _off("block_dt_nbytes")
+        self._esc_off = _off("block_esc_nbytes")
         self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._full: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None = None
 
@@ -846,9 +858,17 @@ class _TermPostings:
             return self._full[0][lo:hi], self._full[3][lo:hi]
         self.n_blocks_loaded += 1  # decode counter (skip-effectiveness tests)
         row = self.row
-        deltas = vbyte_decode(row["docs_bytes"][self._doc_off[bi]: self._doc_off[bi + 1]])
-        ids = np.cumsum(deltas.astype(np.int64))
-        tfs = vbyte_decode(row["tfs_bytes"][self._tf_off[bi]: self._tf_off[bi + 1]])
+        if self._dt_off is not None:  # combined-dt layout
+            from ..functions.postings import decode_dt
+
+            deltas, tfs = decode_dt(
+                row["dt_bytes"][self._dt_off[bi]: self._dt_off[bi + 1]],
+                row["esc_bytes"][self._esc_off[bi]: self._esc_off[bi + 1]])
+            ids = np.cumsum(deltas)
+        else:
+            deltas = vbyte_decode(row["docs_bytes"][self._doc_off[bi]: self._doc_off[bi + 1]])
+            ids = np.cumsum(deltas.astype(np.int64))
+            tfs = vbyte_decode(row["tfs_bytes"][self._tf_off[bi]: self._tf_off[bi + 1]])
         if self._dl_off is not None:
             dls = vbyte_decode(row["dls_bytes"][self._dl_off[bi]: self._dl_off[bi + 1]])
         else:  # sidecar layout: gather this block's lengths by doc id

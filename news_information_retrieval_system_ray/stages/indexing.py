@@ -163,7 +163,8 @@ def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
     names = {f.name for f in schema}
     r = pack_postings_runs(ids, tfs, dls, gs, block_size=block_size,
                            bounds="block_bound_tf" in names,
-                           encode_dls="dls_bytes" in names)
+                           encode_dls="dls_bytes" in names,
+                           combined="dt_bytes" in names)
     ng = gs.size
 
     def _binary(blob: bytes, off: np.ndarray) -> pa.Array:
@@ -191,9 +192,13 @@ def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
         "docs_bytes": lambda: _binary(r["docs_all"], r["docs_off"]),
         "tfs_bytes": lambda: _binary(r["tfs_all"], r["tfs_off"]),
         "dls_bytes": lambda: _binary(r["dls_all"], r["dls_off"]),
+        "dt_bytes": lambda: _binary(r["dt_all"], r["dt_off"]),
+        "esc_bytes": lambda: _binary(r["esc_all"], r["esc_off"]),
         "block_doc_nbytes": lambda: _blist(r["block_doc_nbytes"]),
         "block_tf_nbytes": lambda: _blist(r["block_tf_nbytes"]),
         "block_dl_nbytes": lambda: _blist(r["block_dl_nbytes"]),
+        "block_dt_nbytes": lambda: _blist(r["block_dt_nbytes"]),
+        "block_esc_nbytes": lambda: _blist(r["block_esc_nbytes"]),
         "block_len": lambda: _blist(r["block_len"]),
         "block_last_doc": lambda: _blist(r["block_last_doc"]),
         "block_max_tf": lambda: _blist(r["block_max_tf"]),
@@ -205,7 +210,7 @@ def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
     return pa.table({f.name: builders[f.name]().cast(f.type) for f in schema})
 
 
-def fragment_schema(with_alt: bool = True, with_dls: bool = False) -> pa.Schema:
+def fragment_schema(with_alt: bool = True, fmt: str = "dt") -> pa.Schema:
     """The pre-sort shuffle-FRAGMENT schema (PrePackTokens output): sort
     keys + raw streams + block_len — everything RepackFragments actually
     reads, and nothing else.  Dropping the WAND metadata (bound pairs,
@@ -213,20 +218,57 @@ def fragment_schema(with_alt: bool = True, with_dls: bool = False) -> pa.Schema:
     and ~60% of the map-side pack CPU; Repack re-derives it all from the
     decoded streams for the final segments.
 
-    ``with_dls=False`` (default — the doc-length-sidecar layout) also
-    drops the dls VByte stream: duplicating each doc's length into
-    every term's postings was ~1/3 of the remaining stream bytes; the
-    lengths live once in the tokens table and RepackFragments gathers
-    them by doc id for the WAND block metadata."""
+    Formats (``fmt``):
+    - ``"dt"`` (default): ONE combined (delta<<2 | tf-field) stream +
+      tiny escape stream (pack_postings_runs ``combined=True`` — −35%
+      stream bytes vs split on the bench pages corpus) and NO df
+      column (derivable as sum(block_len) per fragment) — the leanest
+      exchange; doc lengths live in the sidecar.
+    - ``"split"``: separate docs/tfs streams, dl sidecar (the
+      intermediate round-3 layout, kept writable for appends).
+    - ``"split_dls"``: split streams WITH the inline dls stream (the
+      legacy layout; appends to pre-sidecar indexes)."""
+    fields = [
+        ("term_hash", pa.uint64()),
+        ("chunk", pa.int32()),
+        ("first_doc", pa.int64()),
+    ]
+    if fmt == "dt":
+        fields += [
+            ("dt_bytes", pa.binary()),
+            ("esc_bytes", pa.binary()),
+        ]
+    else:
+        fields += [
+            ("df", pa.int64()),
+            ("docs_bytes", pa.binary()),
+            ("tfs_bytes", pa.binary()),
+            *([("dls_bytes", pa.binary())] if fmt == "split_dls" else []),
+        ]
+    fields.append(("block_len", pa.list_(pa.int32())))
+    if with_alt:
+        fields.append(("alt", pa.uint64()))
+    return pa.schema(fields)
+
+
+def segment_schema_dt(with_alt: bool = False) -> pa.Schema:
+    """Final segment schema for the combined-stream ("dt") layout."""
     fields = [
         ("term_hash", pa.uint64()),
         ("chunk", pa.int32()),
         ("first_doc", pa.int64()),
         ("df", pa.int64()),
-        ("docs_bytes", pa.binary()),
-        ("tfs_bytes", pa.binary()),
-        *([("dls_bytes", pa.binary())] if with_dls else []),
+        ("cf", pa.int64()),
+        ("dt_bytes", pa.binary()),
+        ("esc_bytes", pa.binary()),
+        ("block_dt_nbytes", pa.list_(pa.int32())),
+        ("block_esc_nbytes", pa.list_(pa.int32())),
         ("block_len", pa.list_(pa.int32())),
+        ("block_last_doc", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_dl", pa.list_(pa.int32())),
+        ("block_bound_tf", pa.list_(pa.int32())),
+        ("block_bound_dl", pa.list_(pa.int32())),
     ]
     if with_alt:
         fields.append(("alt", pa.uint64()))
@@ -253,7 +295,7 @@ class PrePackTokens:
     """
 
     def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, block_size: int = 32,
-                 emit_alt: bool = True, emit_dls: bool = False):
+                 emit_alt: bool = True, fmt: str = "dt"):
         self.block_size = block_size
         # emit_alt (default on): fragments carry the term's SECOND MD5
         # half, so the 64-bit-collision check rides the segments sort as
@@ -261,12 +303,13 @@ class PrePackTokens:
         # full-corpus scan + two extra exchanges (see index_build
         # _verify_alt_sorted for the post-sort adjacency verification).
         self.emit_alt = emit_alt
-        # emit_dls=False (default): doc-length-sidecar layout — the dls
-        # stream never enters the exchange (fragment_schema docstring)
-        self.emit_dls = emit_dls
+        # fmt (fragment_schema docstring): "dt" default — combined
+        # delta+tf stream, dl sidecar, no df column; "split"/"split_dls"
+        # stay writable for appends to older indexes
+        self.fmt = fmt
         self._explode = ExplodeTokens(chunk_bits=chunk_bits, with_positions=False,
                                       emit_term=False, emit_alt=emit_alt)
-        self._out_schema = fragment_schema(with_alt=emit_alt, with_dls=emit_dls)
+        self._out_schema = fragment_schema(with_alt=emit_alt, fmt=fmt)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ex = self._explode(batch)
@@ -361,8 +404,10 @@ class RepackFragments:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         has_alt = "alt" in batch.column_names
+        has_dt = "dt_bytes" in batch.column_names
         has_dls = "dls_bytes" in batch.column_names
-        schema = self._schema_for(has_alt, has_dls)
+        schema = segment_schema_dt(with_alt=has_alt) if has_dt \
+            else self._schema_for(has_alt, has_dls)
         nrows = len(batch)
         if nrows == 0:
             return schema.empty_table()
@@ -383,8 +428,13 @@ class RepackFragments:
 
         block_len = pc.list_flatten(batch.column("block_len")) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        deltas = vbyte_decode(_concat("docs_bytes")).astype(np.int64)
-        tfs = vbyte_decode(_concat("tfs_bytes")).astype(np.int64)
+        if has_dt:
+            from ..functions.postings import decode_dt
+
+            deltas, tfs = decode_dt(_concat("dt_bytes"), _concat("esc_bytes"))
+        else:
+            deltas = vbyte_decode(_concat("docs_bytes")).astype(np.int64)
+            tfs = vbyte_decode(_concat("tfs_bytes")).astype(np.int64)
         bstarts = np.concatenate(([0], np.cumsum(block_len)[:-1]))
         tot = np.cumsum(deltas)
         base = tot[bstarts] - deltas[bstarts]
@@ -396,7 +446,13 @@ class RepackFragments:
 
         th = batch.column("term_hash").to_numpy(zero_copy_only=False)
         ch = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
-        df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        if "df" in batch.column_names:
+            df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:  # dt fragments: df = per-fragment posting count (block sums)
+            ll = pc.list_value_length(batch.column("block_len")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            row_starts = np.concatenate(([0], np.cumsum(ll)[:-1]))
+            df = np.add.reduceat(block_len, row_starts)
         alt_post = None
         if has_alt:
             alt_rows = batch.column("alt").to_numpy(zero_copy_only=False)

@@ -48,10 +48,10 @@ def _decode_all(tbl: pa.Table) -> dict:
 
 
 @pytest.mark.parametrize("small_batch", [64, 257])
-@pytest.mark.parametrize("emit_dls", [False, True])
-def test_repack_matches_single_call_pack(small_batch, emit_dls):
+@pytest.mark.parametrize("fmt", ["dt", "split", "split_dls"])
+def test_repack_matches_single_call_pack(small_batch, fmt):
     tok = _tokens_table(1500)
-    pp = PrePackTokens(chunk_bits=16, block_size=32, emit_dls=emit_dls)
+    pp = PrePackTokens(chunk_bits=16, block_size=32, fmt=fmt)
     # reference: ONE pre-pack call over the whole corpus = dense layout
     ref = _decode_all(pp(tok))
 
@@ -64,7 +64,8 @@ def test_repack_matches_single_call_pack(small_batch, emit_dls):
     frags = [pp(tok.slice(i, small_batch))
              for i in range(0, tok.num_rows, small_batch)]
     frag_tbl = pa.concat_tables(frags)
-    assert ("dls_bytes" in frag_tbl.column_names) == emit_dls
+    assert ("dls_bytes" in frag_tbl.column_names) == (fmt == "split_dls")
+    assert ("dt_bytes" in frag_tbl.column_names) == (fmt == "dt")
     order = pa.compute.sort_indices(
         frag_tbl, sort_keys=[("term_hash", "ascending"),
                              ("chunk", "ascending"),
@@ -74,7 +75,8 @@ def test_repack_matches_single_call_pack(small_batch, emit_dls):
     out_parts = [rp(frag_tbl.slice(i, 8192))
                  for i in range(0, frag_tbl.num_rows, 8192)]
     out = pa.concat_tables(out_parts)
-    assert ("dls_bytes" in out.column_names) == emit_dls
+    assert ("dls_bytes" in out.column_names) == (fmt == "split_dls")
+    assert ("dt_bytes" in out.column_names) == (fmt == "dt")
     got = _decode_all(out)
 
     assert set(got) == set(ref)
@@ -87,16 +89,17 @@ def test_repack_matches_single_call_pack(small_batch, emit_dls):
 
 
 def test_sidecar_block_metadata_matches_inline():
-    """The sidecar layout's WAND block metadata (min_dl, Pareto bound
-    pairs) must be identical to the inline-dls layout's — the gather
-    from DocLenLookup reproduces the exchange-shipped lengths."""
+    """Every layout's WAND block metadata (min_dl, Pareto bound pairs)
+    and df/cf must be identical — the DocLenLookup gather (sidecar
+    layouts) reproduces the exchange-shipped lengths, and the combined
+    dt stream reproduces the split streams' tf extremes."""
     tok = _tokens_table(800, seed=9)
     doclens = DocLenLookup(
         tok.column("doc_id").to_numpy(zero_copy_only=False),
         tok.column("doc_len").to_numpy(zero_copy_only=False))
 
-    def build(emit_dls):
-        pp = PrePackTokens(chunk_bits=16, block_size=16, emit_dls=emit_dls)
+    def build(fmt):
+        pp = PrePackTokens(chunk_bits=16, block_size=16, fmt=fmt)
         frag = pp(tok)
         order = pa.compute.sort_indices(
             frag, sort_keys=[("term_hash", "ascending"),
@@ -104,11 +107,24 @@ def test_sidecar_block_metadata_matches_inline():
                              ("first_doc", "ascending")])
         return RepackFragments(block_size=16, doclens=doclens)(frag.take(order))
 
-    inline = build(True)
-    sidecar = build(False)
+    inline = build("split_dls")
+    sidecar = build("split")
+    dt = build("dt")
     for col in ("term_hash", "chunk", "df", "cf", "block_len",
                 "block_last_doc", "block_max_tf", "block_min_dl",
                 "block_bound_tf", "block_bound_dl"):
         assert inline.column(col).to_pylist() == sidecar.column(col).to_pylist(), col
+        assert inline.column(col).to_pylist() == dt.column(col).to_pylist(), col
     assert "dls_bytes" not in sidecar.column_names
     assert "block_dl_nbytes" not in sidecar.column_names
+    for col in ("dls_bytes", "docs_bytes", "tfs_bytes",
+                "block_doc_nbytes", "block_tf_nbytes", "block_dl_nbytes"):
+        assert col not in dt.column_names, col
+    # the dt stream really is smaller than the split pair
+    import pyarrow.compute as pc
+
+    dt_stream = int(pc.sum(pc.binary_length(dt.column("dt_bytes"))).as_py()) \
+        + int(pc.sum(pc.binary_length(dt.column("esc_bytes"))).as_py())
+    split_stream = int(pc.sum(pc.binary_length(sidecar.column("docs_bytes"))).as_py()) \
+        + int(pc.sum(pc.binary_length(sidecar.column("tfs_bytes"))).as_py())
+    assert dt_stream < split_stream
