@@ -942,8 +942,19 @@ def _doclens_ref(tokens_path: str):
     """ray.put a DocLenLookup over the tokens table's (doc_id, doc_len)
     columns — the doc-length sidecar consumed by RepackFragments (WAND
     block metadata) now that the dls stream no longer rides the
-    exchange.  Column-pruned read, ~6 bytes/doc in plasma; at 10^12-doc
-    scale this becomes a chunk-sharded fetch (DocLenLookup docstring)."""
+    exchange.  Column-pruned read, ~6 bytes/doc in plasma, shipped once
+    per node by the object store.
+
+    Scale note: one broadcast table holds to ~10^9-10^10 docs
+    (6-60 GB/node).  Beyond that the build flips to the banded variant:
+    sort the fragments by (chunkband, term_hash, chunk, first_doc) with
+    ``chunkband_partitions=P`` so each repack task sees one band's
+    fragments and loads only that band's dl slice (the tokens table is
+    doc_id-ordered parquet — row-group stats prune the read to the
+    band's doc ranges); per-band segment files stay term_hash-sorted so
+    the query-side row-group pruning is unchanged.  The serving side
+    already does exactly this slice-by-chunks load
+    (query.IndexSearcher._dl_of)."""
     import glob
 
     import pyarrow as pa
