@@ -93,15 +93,17 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         batch_format="pyarrow",
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        # per-id dedupe: the bucketed-LSH layout stores a row once per
-        # table, so a candidate may reach the merge several times
-        g = group.drop_duplicates("vec_id") \
-                 .sort_values(["score", "vec_id"], ascending=[False, True]).head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    out = partial.groupby("qid").map_groups(merge, batch_format="pandas").to_pandas()
+    # tiny driver merge (<= nq*k rows per batch) instead of a
+    # groupby(qid) sort exchange — the all-to-all cost ~1 s of fixed
+    # latency to merge a few hundred rows (same pattern as analytics
+    # _topk_by_qid).  Per-(qid, id) dedupe first: the bucketed-LSH
+    # layout stores a row once per table, so a candidate can arrive
+    # several times (identical score each time).
+    parts = partial.to_pandas()
+    parts = parts.drop_duplicates(["qid", "vec_id"]) \
+                 .sort_values(["score", "vec_id"], ascending=[False, True])
+    out = parts.groupby("qid", sort=True).head(k).copy()
+    out["rank"] = (out.groupby("qid").cumcount() + 1).astype(np.int64)
     out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
     out["score"] = out["score"].round(4)
     return out[["qid", "rank", "vec_id", "score"]]
