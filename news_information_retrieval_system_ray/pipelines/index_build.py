@@ -628,21 +628,42 @@ def build_index(
             # x vocab) is undone by RepackFragments after the sort, which
             # restores the dense ~vocab x chunks block layout.
             prepack_batch = min(4096, -(-int(n_docs_meta) // shuffle_blocks))
-            packed = rd.read_parquet(
+            band_p0 = int(chunkband_partitions)
+            prepacked = rd.read_parquet(
                 _tokens_files_by_docid(tokens_root), columns=tok_cols,
                 override_num_blocks=shuffle_blocks,
             ).map_batches(
-                # emit_dls=False: the dls stream stays OUT of the wide
+                # dt fragments: the dls stream stays OUT of the wide
                 # exchange (doc-length sidecar layout) — Repack gathers
-                # lengths from the broadcast lookup for block metadata
+                # lengths by doc id for the block metadata
                 PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size,
-                              emit_alt=collision_check),
+                              emit_alt=collision_check,
+                              band_partitions=band_p0),
                 batch_format="pyarrow", batch_size=prepack_batch,
-            ).sort(["term_hash", "chunk", "first_doc"]).map_batches(
-                RepackFragments(block_size=block_size,
-                                doclens=_doclens_ref(tokens_root)),
-                batch_format="pyarrow", batch_size=8192,
             )
+            if band_p0 > 0:
+                # banded build (the 10^12-doc shape): lead the sort with
+                # the band key so each repack batch covers ~one band,
+                # and repack as an ACTOR pool whose per-band dl slices
+                # load lazily — no broadcast of the global length table
+                packed = prepacked.sort(
+                    ["chunkband", "term_hash", "chunk", "first_doc"]
+                ).map_batches(
+                    RepackFragments,
+                    fn_constructor_kwargs=dict(
+                        block_size=block_size, tokens_path=tokens_root,
+                        chunk_bits=eff_chunk_bits, band_partitions=band_p0),
+                    batch_format="pyarrow", batch_size=8192,
+                    concurrency=(1, shuffle_blocks),
+                )
+            else:
+                packed = prepacked.sort(
+                    ["term_hash", "chunk", "first_doc"]
+                ).map_batches(
+                    RepackFragments(block_size=block_size,
+                                    doclens=_doclens_ref(tokens_root)),
+                    batch_format="pyarrow", batch_size=8192,
+                )
         else:
             exploded = rd.read_parquet(
                 tokens_root, columns=tok_cols, override_num_blocks=shuffle_blocks,

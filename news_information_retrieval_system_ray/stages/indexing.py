@@ -295,8 +295,14 @@ class PrePackTokens:
     """
 
     def __init__(self, chunk_bits: int = DEFAULT_CHUNK_BITS, block_size: int = 32,
-                 emit_alt: bool = True, fmt: str = "dt"):
+                 emit_alt: bool = True, fmt: str = "dt",
+                 band_partitions: int = 0):
         self.block_size = block_size
+        # band_partitions > 0: emit chunkband = chunk % P so the
+        # segments sort can lead with the band key — repack batches then
+        # cover ~one band each and the per-band doc-length slices load
+        # lazily per repack actor (index_build banded path)
+        self.band_partitions = int(band_partitions)
         # emit_alt (default on): fragments carry the term's SECOND MD5
         # half, so the 64-bit-collision check rides the segments sort as
         # an 8-byte-per-fragment passenger instead of a separate
@@ -309,7 +315,9 @@ class PrePackTokens:
         self.fmt = fmt
         self._explode = ExplodeTokens(chunk_bits=chunk_bits, with_positions=False,
                                       emit_term=False, emit_alt=emit_alt)
-        self._out_schema = fragment_schema(with_alt=emit_alt, fmt=fmt)
+        self._pack_schema = fragment_schema(with_alt=emit_alt, fmt=fmt)
+        self._out_schema = self._pack_schema if not self.band_partitions else \
+            self._pack_schema.append(pa.field("chunkband", pa.int32()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ex = self._explode(batch)
@@ -345,8 +353,12 @@ class PrePackTokens:
         gs = np.concatenate(([0], np.flatnonzero(
             (np.diff(th.view(np.int64)) != 0) | (np.diff(ch) != 0)
             | (np.diff(runs) != 0)) + 1))
-        return _packed_runs_table(th, ch, ids, tfs, dls, gs, self._out_schema,
-                                  block_size=self.block_size, alt=alt)
+        out = _packed_runs_table(th, ch, ids, tfs, dls, gs, self._pack_schema,
+                                 block_size=self.block_size, alt=alt)
+        if self.band_partitions > 0:
+            band = (ch[gs] % self.band_partitions).astype(np.int32)
+            out = out.append_column("chunkband", pa.array(band))
+        return out
 
 
 def _raise_on_alt_mismatch(th: np.ndarray, alt: np.ndarray) -> None:
@@ -381,15 +393,27 @@ class RepackFragments:
     rows, which the query-side merge already handles.
     """
 
-    def __init__(self, block_size: int = 32, doclens=None):
+    def __init__(self, block_size: int = 32, doclens=None,
+                 tokens_path: str | None = None, chunk_bits: int | None = None,
+                 band_partitions: int = 0):
         self.block_size = block_size
         # doclens: DocLenLookup or a ray.ObjectRef to one — required for
         # sidecar-layout fragments (no dls stream in the exchange): the
         # WAND block metadata (min_dl / Pareto bound pairs) gathers
         # lengths by decoded doc id instead.  Shipped once per task via
-        # the object store (zero-copy plasma read), chunk-sharded at
-        # web scale (DocLenLookup docstring).
+        # the object store (zero-copy plasma read) up to ~10^10 docs.
+        #
+        # BANDED mode (tokens_path + chunk_bits + band_partitions,
+        # doclens=None): the 10^12-doc shape — used as an ACTOR pool
+        # behind a (chunkband, term_hash, ...) sort, each actor loads
+        # only the dl slices of the bands its batches actually touch
+        # (cached per actor; batches cover ~one band each), so no node
+        # ever holds the global length table.
         self._doclens = doclens
+        self._tokens_path = tokens_path
+        self._chunk_bits = chunk_bits
+        self._band_partitions = int(band_partitions)
+        self._band_cache: dict[int, object] = {}
 
     def _dl_lookup(self):
         import ray
@@ -397,6 +421,40 @@ class RepackFragments:
         if isinstance(self._doclens, ray.ObjectRef):
             self._doclens = ray.get(self._doclens)
         return self._doclens
+
+    def _load_band(self, band: int):
+        """DocLenLookup over one band's docs only (banded actor mode).
+        At true scale the tokens/doclens table is itself written
+        band-partitioned so this read touches one directory; here the
+        two int columns are read and masked."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from ..functions.postings import DocLenLookup
+
+        files = sorted(glob.glob(
+            __import__("os").path.join(self._tokens_path, "**", "*.parquet"),
+            recursive=True))
+        t = pa.concat_tables([pq.read_table(f, columns=["doc_id", "doc_len"])
+                              for f in files])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = t.column("doc_len").to_numpy(zero_copy_only=False)
+        m = (ids >> self._chunk_bits) % self._band_partitions == band
+        return DocLenLookup(ids[m], dls[m])
+
+    def _dls_of(self, ids: np.ndarray) -> np.ndarray:
+        if self._doclens is not None:
+            return np.asarray(self._dl_lookup()(ids), dtype=np.int64)
+        bands = (ids >> self._chunk_bits) % self._band_partitions
+        out = np.empty(ids.size, dtype=np.int64)
+        for b in np.unique(bands):
+            lk = self._band_cache.get(int(b))
+            if lk is None:
+                lk = self._band_cache[int(b)] = self._load_band(int(b))
+            m = bands == b
+            out[m] = lk(ids[m])
+        return out
 
     def _schema_for(self, has_alt: bool, has_dls: bool) -> pa.Schema:
         return PackGroups(self.block_size, False)._schema(
@@ -442,7 +500,7 @@ class RepackFragments:
         if has_dls:
             dls = vbyte_decode(_concat("dls_bytes")).astype(np.int64)
         else:  # sidecar layout: gather lengths for the block metadata
-            dls = self._dl_lookup()(ids).astype(np.int64)
+            dls = self._dls_of(ids)
 
         th = batch.column("term_hash").to_numpy(zero_copy_only=False)
         ch = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
