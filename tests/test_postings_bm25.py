@@ -136,3 +136,51 @@ def test_explain_scores_consistency(ray_session, sf_dir):
         assert abs(g["contribution"].sum() - g["total_score"].iloc[0]) < 5e-3
         assert abs(g["total_score"].iloc[0] - top.loc[qid, "score"]) < 5e-3
         assert (g["contribution"] > 0).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 1 << 40),    # doc id
+                          st.integers(1, 1 << 20),    # tf (escape-heavy tail)
+                          st.integers(1, 1 << 18)),   # dl
+                min_size=1, max_size=300),
+       st.integers(2, 64))
+@settings(max_examples=60, deadline=None)
+def test_dt_stream_roundtrip_property(rows, block_size):
+    """Combined dt layout (pack_postings_runs combined=True) round-trips
+    arbitrary (id, tf) pairs — including huge tfs through the escape
+    stream and 40-bit doc ids through the shifted delta — and its df/cf
+    and block metadata match the split layout bit-for-bit."""
+    from news_information_retrieval_system_ray.functions.postings import (
+        decode_dt,
+        pack_postings_runs,
+    )
+
+    ids = np.array(sorted({r[0] for r in rows}), dtype=np.int64)
+    rng = np.random.default_rng(7)
+    tfs = np.array([rows[i % len(rows)][1] for i in range(ids.size)], dtype=np.int64)
+    dls = np.array([rows[i % len(rows)][2] for i in range(ids.size)], dtype=np.int64)
+    gs = np.array([0], dtype=np.int64)
+    dt = pack_postings_runs(ids, tfs, dls, gs, block_size=block_size,
+                            bounds=True, encode_dls=False, combined=True)
+    split = pack_postings_runs(ids, tfs, dls, gs, block_size=block_size,
+                               bounds=True, encode_dls=False, combined=False)
+    deltas, tfs_out = decode_dt(dt["dt_all"], dt["esc_all"])
+    # undo per-block absolute resets exactly like unpack_postings
+    bl = dt["block_len"].astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(bl)[:-1]))
+    tot = np.cumsum(deltas)
+    base = tot[starts] - deltas[starts]
+    ids_out = tot - np.repeat(base, bl)
+    np.testing.assert_array_equal(ids_out, ids)
+    np.testing.assert_array_equal(tfs_out, tfs)
+    for key in ("df", "cf", "block_len", "block_last_doc", "block_max_tf",
+                "block_min_dl", "block_bound_tf", "block_bound_dl"):
+        np.testing.assert_array_equal(np.asarray(dt[key]), np.asarray(split[key]), err_msg=key)
+    # per-block slicing: every block decodes independently
+    dt_off = np.concatenate(([0], np.cumsum(dt["block_dt_nbytes"])))
+    esc_off = np.concatenate(([0], np.cumsum(dt["block_esc_nbytes"])))
+    for bi in range(bl.size):
+        d_b, t_b = decode_dt(dt["dt_all"][dt_off[bi]:dt_off[bi + 1]],
+                             dt["esc_all"][esc_off[bi]:esc_off[bi + 1]])
+        lo, hi = int(starts[bi]), int(starts[bi] + bl[bi])
+        np.testing.assert_array_equal(np.cumsum(d_b), ids[lo:hi])
+        np.testing.assert_array_equal(t_b, tfs[lo:hi])
