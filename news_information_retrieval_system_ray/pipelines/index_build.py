@@ -884,20 +884,40 @@ def append_index(
             fmt, need_doclens = "split_dls", False
         else:
             fmt, need_doclens = "split", True
-        packed = rd.read_parquet(
+        # a chunkband-partitioned base keeps its IO isolation: appended
+        # segments are written banded too (the shard searcher's band
+        # glob finds append_*/chunkband=K dirs; unbanded files would be
+        # invisible to band-restricted shards without the defensive
+        # flat-file fallback in query.py)
+        band_p = int(config.get("chunkband_partitions") or 0)
+        prepacked = rd.read_parquet(
             _tokens_files_by_docid(dst), columns=tok_cols,
         ).map_batches(
             PrePackTokens(chunk_bits=eff_chunk_bits, block_size=config["block_size"],
-                          emit_alt=state.get("alt_layout", False), fmt=fmt),
+                          emit_alt=state.get("alt_layout", False), fmt=fmt,
+                          band_partitions=band_p),
             batch_format="pyarrow",
             # same constant cap as the main build (allocator cliff)
             batch_size=min(4096, max(1, -(-n_new_docs // ncpu))),
-        ).sort(["term_hash", "chunk", "first_doc"]).map_batches(
+        )
+        sort_keys = (["chunkband"] if band_p else []) + \
+            ["term_hash", "chunk", "first_doc"]
+        packed = prepacked.sort(sort_keys).map_batches(
             # appended fragments cover only the new shard's doc ids
             RepackFragments(block_size=config["block_size"],
                             doclens=_doclens_ref(dst) if need_doclens else None),
             batch_format="pyarrow", batch_size=8192,
         )
+        if band_p:
+            def _add_band_app(t, _p=band_p):
+                import numpy as _np
+                import pyarrow as _pa
+
+                ch = t.column("chunk").to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "chunkband", _pa.array((ch % _p).astype(_np.int32)))
+
+            packed = packed.map_batches(_add_band_app, batch_format="pyarrow")
     else:
         exploded = rd.read_parquet(dst, columns=tok_cols).map_batches(
             ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
@@ -909,7 +929,11 @@ def append_index(
             batch_format="pyarrow", batch_size=None)
     tmp_seg = os.path.join(index_dir, ".tmp_append_seg")
     shutil.rmtree(tmp_seg, ignore_errors=True)
-    packed.write_parquet(tmp_seg, row_group_size=2048)
+    if not with_positions and int(config.get("chunkband_partitions") or 0):
+        packed.write_parquet(tmp_seg, partition_cols=["chunkband"],
+                             row_group_size=2048)
+    else:
+        packed.write_parquet(tmp_seg, row_group_size=2048)
     seg_dst = os.path.join(index_dir, "segments", f"append_{next_shard}")
     shutil.rmtree(seg_dst, ignore_errors=True)
     os.replace(tmp_seg, seg_dst)

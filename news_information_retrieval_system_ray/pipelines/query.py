@@ -106,6 +106,12 @@ class IndexSearcher:
                 if int(d.rsplit("=", 1)[1]) in owned
                 for f in sorted(_glob.glob(os.path.join(d, "**", "*.parquet"),
                                            recursive=True))]
+            # defensive: any UNBANDED files (e.g. an append produced by
+            # an older build) must still be visible to every shard —
+            # their rows get chunk-filtered at decode like the flat case
+            files += [f for f in sorted(_glob.glob(
+                os.path.join(seg_root, "**", "*.parquet"), recursive=True))
+                if "chunkband=" not in f]
             self._seg = pads.dataset(files if files else seg_root)
         else:
             self._seg = pads.dataset(seg_root)

@@ -179,3 +179,33 @@ def test_chunkband_partitioned_layout_io_isolation(ray_session, tmp_path_factory
     sp = IndexSearcher(band_idx)
     q = list(REFERENCE_QUERIES.values())[0]
     assert sp.search(q, k=10, method="wand") == single.search(q, k=10, method="wand")
+
+
+def test_append_to_banded_index_stays_shard_visible(ray_session, tmp_path_factory):
+    """Appending to a chunkband-partitioned index must keep the new docs
+    visible to band-restricted shard workers (appended segments are
+    written banded; a flat append would be invisible to shards)."""
+    from news_information_retrieval_system_ray.pipelines.index_build import append_index
+
+    d = tmp_path_factory.mktemp("pages_band_app")
+    paths = generate_pages(str(d), n_docs=300, seed=21, n_files=3)
+    idx = str(tmp_path_factory.mktemp("index_band_app"))
+    build_index(paths[:2], idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=CHUNK_BITS, n_shards=2, resume=False,
+                chunkband_partitions=3)
+    res = append_index(idx, paths[2])
+    assert res.n_docs == 300
+    import glob
+    app_files = glob.glob(idx + "/segments/append_*/**/*.parquet", recursive=True)
+    assert app_files and all("chunkband=" in f for f in app_files)
+    single = IndexSearcher(idx)
+    s = ShardedSearcher(idx, n_shards=3)
+    try:
+        for qtext in REFERENCE_QUERIES.values():
+            assert s.search(qtext, k=10) == single.search(qtext, k=10, method="wand")
+        # appended doc ids (>= the base count) actually appear in results
+        term = "颱風"
+        ids, _, _ = single.postings(term)
+        assert (ids >= 200).any()
+    finally:
+        s.shutdown()
