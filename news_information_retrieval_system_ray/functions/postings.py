@@ -335,7 +335,21 @@ class DocLenLookup:
         ids = np.asarray(ids, dtype=np.int64)
         if self.dense:
             return self.dls[ids - self.base]
-        return self.dls[np.searchsorted(self.ids, ids)]
+        idx = np.searchsorted(self.ids, ids)
+        # membership check: a doc_id absent from the sidecar must be a
+        # loud error, not a silent neighboring doc's length (which would
+        # corrupt BM25 scores undetected if postings/tokens disagree)
+        if self.ids.size == 0:
+            bad = np.ones(ids.shape, dtype=bool)
+        else:
+            bad = (idx >= self.ids.size) \
+                | (self.ids[np.minimum(idx, self.ids.size - 1)] != ids)
+        if bad.any():
+            missing = ids[bad][:5].tolist()
+            raise KeyError(
+                f"doc_ids absent from doc-length sidecar (first {len(missing)}): "
+                f"{missing} — postings and tokens tables disagree")
+        return self.dls[idx]
 
 
 def merge_packed(chunks: list[dict]) -> dict:
@@ -348,6 +362,19 @@ def merge_packed(chunks: list[dict]) -> dict:
     """
     if len(chunks) == 1:
         return chunks[0]
+    # chunks[0] decides field presence below; a mix of stream layouts
+    # (dt vs split vs inline-dls) would silently DROP later chunks'
+    # stream bytes, so refuse it loudly (append_index's base-layout
+    # detection should make this unreachable — this is the backstop)
+    stream_fields = ("docs_bytes", "tfs_bytes", "dls_bytes",
+                     "dt_bytes", "esc_bytes", "positions_bytes")
+    sig0 = {f for f in stream_fields if f in chunks[0]}
+    for i, c in enumerate(chunks[1:], 1):
+        sig = {f for f in stream_fields if f in c}
+        if sig != sig0:
+            raise ValueError(
+                f"merge_packed: mixed stream layouts in one term's chunks "
+                f"(chunk 0 has {sorted(sig0)}, chunk {i} has {sorted(sig)})")
     out = {}
     for f in ("df", "cf"):  # absent on dt FRAGMENT rows (df = block sums)
         if f in chunks[0]:

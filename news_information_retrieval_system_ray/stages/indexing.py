@@ -426,18 +426,47 @@ class RepackFragments:
         """DocLenLookup over one band's docs only (banded actor mode).
         At true scale the tokens/doclens table is itself written
         band-partitioned so this read touches one directory; here the
-        two int columns are read and masked."""
+        two int columns are read and masked — with files pruned by their
+        Parquet footer doc_id min/max stats first, so each band load
+        touches only overlapping files instead of re-scanning the whole
+        tokens table once per band."""
         import glob
+        import os
 
         import pyarrow.parquet as pq
 
         from ..functions.postings import DocLenLookup
 
         files = sorted(glob.glob(
-            __import__("os").path.join(self._tokens_path, "**", "*.parquet"),
+            os.path.join(self._tokens_path, "**", "*.parquet"),
             recursive=True))
+        P, bits = self._band_partitions, self._chunk_bits
+
+        def _touches(path: str) -> bool:
+            try:
+                md = pq.ParquetFile(path).metadata
+                i = md.schema.to_arrow_schema().names.index("doc_id")
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        return True  # no stats -> must read
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is None:
+                    return False  # zero row groups
+                c0, c1 = int(lo) >> bits, int(hi) >> bits
+                if c1 - c0 + 1 >= P:
+                    return True  # chunk range wraps every band
+                return any(c % P == band for c in range(c0, c1 + 1))
+            except Exception:
+                return True  # unreadable footer -> fall back to reading
+
+        hit = [f for f in files if _touches(f)]
+        if not hit:
+            return DocLenLookup(np.empty(0, np.int64), np.empty(0, np.int32))
         t = pa.concat_tables([pq.read_table(f, columns=["doc_id", "doc_len"])
-                              for f in files])
+                              for f in hit])
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         dls = t.column("doc_len").to_numpy(zero_copy_only=False)
         m = (ids >> self._chunk_bits) % self._band_partitions == band

@@ -184,3 +184,40 @@ def test_dt_stream_roundtrip_property(rows, block_size):
         lo, hi = int(starts[bi]), int(starts[bi] + bl[bi])
         np.testing.assert_array_equal(np.cumsum(d_b), ids[lo:hi])
         np.testing.assert_array_equal(t_b, tfs[lo:hi])
+
+
+def test_merge_packed_rejects_mixed_stream_layouts():
+    """ADVICE r3: field presence is keyed off chunks[0]; a mix of stream
+    layouts in one term's chunks must raise, not silently drop bytes."""
+    import pytest
+
+    ids = np.arange(0, 200, 2)
+    tfs = (ids % 5) + 1
+    dls = np.full_like(ids, 20)
+    a = pack_postings(ids[:50], tfs[:50], dls[:50], block_size=64)
+    b = pack_postings(ids[50:], tfs[50:], dls[50:], block_size=64)
+    b2 = dict(b)
+    del b2["dls_bytes"]  # simulate a sidecar-layout chunk next to inline-dls
+    with pytest.raises(ValueError, match="mixed stream layouts"):
+        merge_packed([a, b2])
+
+
+def test_doclen_lookup_missing_id_raises():
+    """ADVICE r3: a doc_id absent from the sidecar must raise, never
+    return a neighboring doc's length."""
+    import pytest
+
+    from news_information_retrieval_system_ray.functions.postings import DocLenLookup
+
+    lk = DocLenLookup(np.array([2, 5, 9], dtype=np.int64),
+                      np.array([10, 20, 30], dtype=np.int64))
+    assert list(lk(np.array([5, 2, 9]))) == [20, 10, 30]
+    with pytest.raises(KeyError, match="sidecar"):
+        lk(np.array([5, 3]))  # 3 absent (interior)
+    with pytest.raises(KeyError, match="sidecar"):
+        lk(np.array([11]))  # past the end
+    # empty sidecar: any lookup is an error, empty query is fine
+    empty = DocLenLookup(np.empty(0, np.int64), np.empty(0, np.int64))
+    assert list(empty(np.empty(0, np.int64))) == []
+    with pytest.raises(KeyError, match="sidecar"):
+        empty(np.array([0]))
