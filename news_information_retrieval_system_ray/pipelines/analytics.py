@@ -107,8 +107,20 @@ def _exploded_ds(sf_dir: str, carry_cols: tuple[str, ...] = ()):
     return _memo(("exploded", sf_dir, carry_cols), build)
 
 
+# Auto-bucketing threshold for _sum_by: partial-row counts at or below
+# this merge in one task (the common vocab-sized case); above it the
+# finish hash-buckets so no single task holds the whole key domain.
+# ~2M partial rows is a few hundred MB of pandas frame — far inside one
+# worker's heap, far outside anything the sandbox produces.
+_SUM_BY_AUTO_ROWS = 2_000_000
+# Diagnostics/test hook: bucket count chosen by the most recent auto
+# (num_buckets<=0) _sum_by call.
+_SUM_BY_LAST_BUCKETS = 0
+
+
 def _sum_by(ds, keys: tuple[str, ...], vals: tuple[str, ...],
-            counts: tuple[str, ...] = (), num_buckets: int = 1):
+            counts: tuple[str, ...] = (), num_buckets: int = 0,
+            rows_per_bucket: int | None = None):
     """Distributed sum/count-by-key WITHOUT Ray's groupby aggregate.
 
     Ray Data's sort-based aggregate pays ~7 us/input-row of Python
@@ -117,13 +129,16 @@ def _sum_by(ds, keys: tuple[str, ...], vals: tuple[str, ...],
     groupby (C speed) reduces each block to <= |key domain| rows.
 
     The finish depends on the key-domain size:
-    - ``num_buckets=1`` (default): one single-partition pandas merge —
-      right whenever the key domain fits one task (vocab, item ids,
-      doc-pair candidates at harness scale);
-    - ``num_buckets>1``: the web-scale path — partials get a
+    - ``num_buckets=0`` (default, AUTO): materialize the partials (they
+      are already the reduced form; the object store spills if huge),
+      count their rows, and pick ``B = ceil(rows / rows_per_bucket)``
+      capped at 256 — so small key domains get the cheap one-task merge
+      and large ones bucket automatically.  No call site can silently
+      keep the whole key domain in one task at scale.
+    - ``num_buckets=1``: force the single-partition pandas merge.
+    - ``num_buckets>1``: force the web-scale path — partials get a
       ``hash(key) %% B`` bucket column and merge inside a
-      groupby(bucket) (B bounded groups, C-speed merge per bucket), so
-      no single task ever has to hold the whole key domain.
+      groupby(bucket) (B bounded groups, C-speed merge per bucket).
 
     ``counts`` columns come out as row-counts of the group (named as
     given); ``vals`` columns are summed under their own names.
@@ -135,24 +150,37 @@ def _sum_by(ds, keys: tuple[str, ...], vals: tuple[str, ...],
         for c in counts:
             df[c] = 1
         g = df.groupby(list(keys), as_index=False)[cols].sum()
-        if num_buckets > 1:
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_size=None, batch_format="pyarrow")
+    if num_buckets <= 0:  # auto: size the finish to the partials
+        global _SUM_BY_LAST_BUCKETS
+        target = rows_per_bucket if rows_per_bucket else _SUM_BY_AUTO_ROWS
+        parts = parts.materialize()
+        n = parts.count()
+        num_buckets = 1 if n <= target else min(256, -(-n // target))
+        _SUM_BY_LAST_BUCKETS = num_buckets
+    if num_buckets > 1:
+        nb = num_buckets
+
+        def bucket(t: pa.Table) -> pa.Table:
+            g = t.to_pandas()
             if len(g):
                 # categorize=False: the default factorize path hashes object
                 # values as C strings (truncates at NUL, frame-dependent), so
                 # equal keys could land in different buckets across batches.
                 h = pd.util.hash_pandas_object(
                     g[list(keys)], index=False, categorize=False)
-                g["__bucket"] = (h % num_buckets).astype(np.int64)
+                g["__bucket"] = (h % nb).astype(np.int64)
             else:
                 g["__bucket"] = pd.Series([], dtype=np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.map_batches(partial, batch_size=None, batch_format="pyarrow")
-    if num_buckets > 1:
         def merge(df: pd.DataFrame) -> pd.DataFrame:
             return df.groupby(list(keys), as_index=False)[cols].sum()
 
-        return parts.groupby("__bucket").map_groups(merge, batch_format="pandas")
+        return (parts.map_batches(bucket, batch_format="pyarrow")
+                     .groupby("__bucket").map_groups(merge, batch_format="pandas"))
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

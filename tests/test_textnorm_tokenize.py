@@ -146,6 +146,42 @@ def test_sum_by_property_random_frames(ray_session):
     check()
 
 
+def test_sum_by_auto_buckets_engage_above_threshold(ray_session):
+    """VERDICT r3 #1: the default (auto) finish must hash-bucket when
+    the partials exceed the per-task threshold — no call site silently
+    keeps the whole key domain in one task — and stay on the cheap
+    single merge below it, with identical results either way."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.pipelines import analytics as A
+
+    df = pd.DataFrame({
+        "k": np.arange(600) % 37,
+        "v": np.arange(600, dtype=np.float64),
+    })
+    expect = (df.assign(c=1).groupby("k", as_index=False)[["v", "c"]].sum()
+                .sort_values("k").reset_index(drop=True))
+    ds = rd.from_pandas(df).repartition(4)
+
+    # below threshold: auto picks the single-partition merge
+    got1 = (A._sum_by(ds, ("k",), ("v",), counts=("c",)).to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    assert A._SUM_BY_LAST_BUCKETS == 1
+
+    # tiny threshold: auto must engage the bucketed finish
+    got2 = (A._sum_by(ds, ("k",), ("v",), counts=("c",), rows_per_bucket=10)
+            .to_pandas()[["k", "v", "c"]]
+            .sort_values("k").reset_index(drop=True))
+    assert A._SUM_BY_LAST_BUCKETS > 1
+
+    for got in (got1, got2):
+        assert got["k"].tolist() == expect["k"].tolist()
+        assert got["c"].tolist() == expect["c"].tolist()
+        assert np.allclose(got["v"], expect["v"], atol=1e-9)
+
+
 def test_ws_collapse_equivalence():
     """clean_text's split/join form must equal the reference regex form:
     str.split()'s whitespace set == re \\s over every Unicode codepoint,
