@@ -131,8 +131,17 @@ class ShardedSearcher:
         self._shard_chunks = shard_chunks
         self.workers = [worker_cls.remote(index_dir, cs, k1, b, delta, compact)
                         for cs in shard_chunks]
-        self._dfs: dict[str, int] = {}          # term -> GLOBAL df
-        self._mass: dict[str, list[int]] = {}   # term -> per-shard local df
+        # LRU-bounded df caches: a long-lived serving driver over a web
+        # vocabulary must not grow per-term state unboundedly (mirrors
+        # the searcher's bounded decoded-postings cache). Hits refresh
+        # recency; overflow evicts the least recent term.
+        self.max_cached_terms = 200_000
+        self._dfs: dict[str, int] = {}          # term -> GLOBAL df (LRU)
+        self._mass: dict[str, list[int]] = {}   # term -> per-shard local df (LRU)
+        # seeding pays one extra serial round to prune cold shards'
+        # decode work; below this many candidate postings per query the
+        # round-trip costs more than the decode it saves
+        self.seed_mass_min = 500_000
 
     # ------------------------------------------------------------------
     def _query_terms(self, query: str) -> list[str]:
@@ -143,26 +152,52 @@ class ShardedSearcher:
             toks = [t for t in toks if t not in self._stops]
         return toks
 
+    def _lru_touch(self, terms: list[str]) -> None:
+        """Refresh recency of cached terms, then evict past the cap."""
+        for t in terms:
+            df = self._dfs.pop(t, None)
+            if df is not None:
+                self._dfs[t] = df  # re-insert = most recent
+                self._mass[t] = self._mass.pop(t)
+        while len(self._dfs) > self.max_cached_terms:
+            old = next(iter(self._dfs))
+            del self._dfs[old]
+            del self._mass[old]
+
     def _resolve_dfs(self, terms: list[str]) -> None:
+        """Fill the global-df cache for ``terms`` in ONE parallel round.
+
+        The old flow also installed the new dfs on every shard via a
+        second ``set_global_dfs`` barrier — dead weight: the sharded
+        query path scores through ``search_weighted``, whose weights the
+        driver computes from the global dfs and broadcasts, so shards
+        never consult their own ``df_global`` (r3 verdict item #2)."""
         import ray
 
         missing = [t for t in terms if t not in self._dfs]
-        if not missing:
-            return
-        per_shard = ray.get([w.local_dfs.remote(missing) for w in self.workers])
-        new_global: dict[str, int] = {}
-        for t in missing:
-            locals_ = [int(d.get(t, 0)) for d in per_shard]
-            self._mass[t] = locals_
-            new_global[t] = sum(locals_)
-        self._dfs.update(new_global)
-        # install global dfs on every shard (idf must not use local df)
-        ray.get([w.set_global_dfs.remote(new_global) for w in self.workers])
+        if missing:
+            per_shard = ray.get([w.local_dfs.remote(missing)
+                                 for w in self.workers])
+            for t in missing:
+                locals_ = [int(d.get(t, 0)) for d in per_shard]
+                self._mass[t] = locals_
+                self._dfs[t] = sum(locals_)
+        self._lru_touch(terms)
 
     def search(self, query: str, k: int = 10, method: str = "wand",
-               seed: bool = True) -> list[tuple[int, float]]:
+               seed: "bool | str" = "auto") -> list[tuple[int, float]]:
         """Global top-k (doc_id, score), canonical (-score, doc_id) order;
-        exact and rank/score-identical to ``IndexSearcher.search``."""
+        exact and rank/score-identical to ``IndexSearcher.search``.
+
+        Round structure (r3 verdict item #2 — was 3-4 serial barriers):
+        warm unseeded queries are ONE parallel fan-out; a cold term adds
+        one df-resolution round; seeding (one extra serial round that
+        primes every other shard's WAND theta) engages only when the
+        query's candidate posting mass clears ``seed_mass_min`` — below
+        that the round-trip costs more latency than the decode it
+        prunes, above it (stopword-class terms at web scale) pruning
+        dominates.  ``seed=True``/``False`` force either mode; all modes
+        return identical results (theta seeding is sound pruning)."""
         import ray
 
         q_tokens = self._query_terms(query)
@@ -176,6 +211,8 @@ class ShardedSearcher:
               for t, n in qtf.items() if self._dfs[t] > 0]
         if not tw:
             return []
+        if seed == "auto":
+            seed = sum(self._dfs[t] for t, _ in tw) >= self.seed_mass_min
         theta0 = float("-inf")
         results: list[list[tuple[int, float]]] = []
         rest = list(self.workers)

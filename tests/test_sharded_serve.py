@@ -209,3 +209,47 @@ def test_append_to_banded_index_stays_shard_visible(ray_session, tmp_path_factor
         assert (ids >= 200).any()
     finally:
         s.shutdown()
+
+
+def test_driver_df_cache_lru_bounded(built):
+    """r3 verdict item #6: the driver's per-term df caches must evict
+    under a small cap with unchanged results."""
+    single = IndexSearcher(built)
+    s = ShardedSearcher(built, n_shards=N_SHARDS)
+    try:
+        s.max_cached_terms = 3
+        for qtext in list(REFERENCE_QUERIES.values())[:4]:
+            expect = single.search(qtext, k=10, method="wand")
+            got = s.search(qtext, k=10, method="wand")
+            assert [d for d, _ in got] == [d for d, _ in expect]
+            assert len(s._dfs) <= 3 and len(s._mass) <= 3
+            assert set(s._dfs) == set(s._mass)
+        # re-query the first (evicted) query: re-resolves, still identical
+        q0 = list(REFERENCE_QUERIES.values())[0]
+        got = s.search(q0, k=10, method="wand")
+        assert [d for d, _ in got] == \
+            [d for d, _ in single.search(q0, k=10, method="wand")]
+    finally:
+        s.shutdown()
+
+
+def test_seed_auto_engages_on_mass(built):
+    """seed='auto' must pick the parallel single-round fan-out for small
+    candidate mass and the seeded two-round flow above seed_mass_min —
+    with identical results either way."""
+    single = IndexSearcher(built)
+    s = ShardedSearcher(built, n_shards=N_SHARDS)
+    try:
+        q = list(REFERENCE_QUERIES.values())[0]
+        expect = single.search(q, k=10, method="wand")
+        s.seed_mass_min = 10**9        # auto -> unseeded
+        got_fast = s.search(q, k=10)   # default seed="auto"
+        s.seed_mass_min = 0            # auto -> seeded
+        got_seeded = s.search(q, k=10)
+        for got in (got_fast, got_seeded):
+            assert [d for d, _ in got] == [d for d, _ in expect]
+            np.testing.assert_array_equal(
+                np.array([sc for _, sc in got]),
+                np.array([sc for _, sc in expect]))
+    finally:
+        s.shutdown()
