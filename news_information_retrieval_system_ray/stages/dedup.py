@@ -219,17 +219,68 @@ class MinHashStage:
         self.mh = MinHasher(num_perm=num_perm, seed=seed)
         self.shingle_n = shingle_n
 
+    def _shingle_hashes(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """All docs' shingle hashes flattened (doc order) + per-doc counts.
+
+        No per-doc unique: the signature min is duplicate-invariant, so
+        dedup here would be pure overhead (``shingles()`` uniquifies for
+        exact-Jaccard callers only)."""
+        n = self.shingle_n
+        counts = np.empty(len(texts), dtype=np.int64)
+        all_strs: list[str] = []
+        for i, t in enumerate(texts):
+            toks = self.tokenize(normalize_text(t or ""))
+            if len(toks) < n:
+                joined = [" ".join(toks)] if toks else []
+            else:
+                joined = [" ".join(toks[j:j + n])
+                          for j in range(len(toks) - n + 1)]
+            counts[i] = len(joined)
+            all_strs += joined
+        md5, frm = hashlib.md5, int.from_bytes
+        hashes = np.fromiter(
+            (frm(md5(s.encode()).digest()[:8], "big") for s in all_strs),
+            dtype=np.uint64, count=len(all_strs))
+        return hashes, counts
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         # signatures travel as fixed-width binary (num_perm * 8 bytes) —
         # building/parsing 128-element Python int lists per row dominated
-        # this stage's profile
-        sig_rows = []
-        for t in batch.column(self.text_col).to_pylist():
-            toks = self.tokenize(normalize_text(t or ""))
-            sig_rows.append(self.mh.signature(shingles(toks, self.shingle_n)).tobytes())
+        # this stage's profile.  Signature math is ONE segmented-min pass
+        # over the whole batch's flattened shingle hashes (r3 verdict
+        # item #3: no per-row numpy-call overhead), slabbed so the
+        # (num_perm x shingles) permuted matrix stays ~32 MB.
+        texts = batch.column(self.text_col).to_pylist()
+        hashes, counts = self._shingle_hashes(texts)
+        mh = self.mh
+        n_docs = counts.size
+        out = np.full((n_docs, mh.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if hashes.size:
+            starts = np.concatenate(([0], np.cumsum(counts)))
+            a, b = mh.a[:, None], mh.b[:, None]
+            slab = max(1, 4_000_000 // mh.num_perm)  # shingles per slab
+            d0 = 0
+            while d0 < n_docs:
+                d1, tot = d0, 0
+                while d1 < n_docs and (tot == 0 or tot + counts[d1] <= slab):
+                    tot += int(counts[d1])
+                    d1 += 1
+                sl = hashes[starts[d0]:starts[d1]]
+                if sl.size:
+                    sub = counts[d0:d1]
+                    ne = np.flatnonzero(sub > 0)  # reduceat forbids empty segs
+                    seg = starts[d0:d1][ne] - starts[d0]
+                    with np.errstate(over="ignore"):
+                        hv = a * sl[None, :] + b  # uint64 wrap == mod 2^64
+                    out[d0 + ne, :] = np.minimum.reduceat(hv, seg, axis=1).T
+                d0 = d1
+        row_bytes = out.tobytes()
+        w = mh.num_perm * 8
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "sig": pa.array(sig_rows, pa.binary()),
+            "sig": pa.array([row_bytes[i * w:(i + 1) * w]
+                             for i in range(n_docs)], pa.binary()),
         })
 
 
