@@ -304,6 +304,31 @@ def _hashcheck_aggregate(pairs_ds):
         .map_batches(hashcheck_verify, batch_format="pyarrow")
 
 
+# The flat segment layout ships ONE global doc-length sidecar (~6 B/doc
+# via ray.put) to every repack task and lets every serving shard open
+# every segment file.  That broadcast is fine to ~10^9 docs (a few GB of
+# plasma, zero-copy reads); past it the chunkband-partitioned layout —
+# per-band dl slices loaded by an actor pool, per-shard file-level IO
+# isolation — must be the default, not an opt-in (r3 verdict item #5).
+AUTO_CHUNKBAND_MIN_DOCS = 1 << 30
+# band count sizes each band's doc-length slice to ~<=800 MB (2^27 docs
+# x ~6 B), capped so the hive layout stays a sane file count
+_AUTO_CHUNKBAND_DOCS_PER_BAND = 1 << 27
+_AUTO_CHUNKBAND_MAX = 8192
+
+
+def auto_chunkband_partitions(n_docs: int) -> int:
+    """Banded-layout default for a corpus of ``n_docs``: 0 (flat) below
+    ``AUTO_CHUNKBAND_MIN_DOCS``, else enough bands that each band's
+    doc-length slice stays ~<=800 MB, capped at 8192 (at 10^12 docs:
+    8192 bands x ~122M docs x 6 B ~= 730 MB/band)."""
+    n_docs = int(n_docs)
+    if n_docs <= AUTO_CHUNKBAND_MIN_DOCS:
+        return 0
+    return int(min(_AUTO_CHUNKBAND_MAX,
+                   -(-n_docs // _AUTO_CHUNKBAND_DOCS_PER_BAND)))
+
+
 def build_index(
     input_path: str | list[str],
     index_dir: str,
@@ -325,12 +350,19 @@ def build_index(
                                              # None -> cluster CPU count (too
                                              # many tiny blocks inflate the
                                              # sort's coordination overhead)
-    chunkband_partitions: int = 0,           # >0: hive-partition segments by
+    chunkband_partitions: int | None = None,  # >0: hive-partition segments by
                                              # chunkband = chunk % P so a
                                              # doc-shard serving actor reads
                                              # ONLY its own band's files (IO
                                              # isolation, pipelines/serve.py);
-                                             # default layout only
+                                             # default layout only.  None ->
+                                             # AUTO: flat below
+                                             # AUTO_CHUNKBAND_MIN_DOCS input
+                                             # rows, banded above (the
+                                             # 10^12-doc-safe layout engages
+                                             # by default at the scale where
+                                             # the flat dl broadcast stops
+                                             # being safe); 0 forces flat
     tokenize_batch_size: int | None = None,  # None -> one batch per row-group
                                              # block (the stage slices itself
                                              # into constant 1024-doc kernel
@@ -373,8 +405,11 @@ def build_index(
         ({text_source} if text_source else set())
     if id_col:
         needed = needed | {id_col}
+    est_rows = 0
     for f in files:
-        cols = set(pq.ParquetFile(f).schema_arrow.names)
+        pf = pq.ParquetFile(f)
+        est_rows += pf.metadata.num_rows
+        cols = set(pf.schema_arrow.names)
         missing = needed - cols
         if missing:
             raise ValueError(
@@ -382,6 +417,12 @@ def build_index(
                 f"(has {sorted(cols)[:8]}...); pass the documents parquet "
                 "itself, a glob matching only page files, or --html for "
                 "raw-HTML inputs")
+    if chunkband_partitions is None:
+        # footer-metadata row estimate (pre-dedup/validation, which only
+        # shrinks it — a coarse over-estimate is exactly right for a
+        # scale threshold); positions layout has no banded variant
+        chunkband_partitions = 0 if with_positions \
+            else auto_chunkband_partitions(est_rows)
     config = {
         "text_source": text_source, "id_col": id_col, "engine": engine,
         "block_size": block_size, "chunk_bits": chunk_bits, "n_shards": n_shards,

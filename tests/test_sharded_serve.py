@@ -253,3 +253,29 @@ def test_seed_auto_engages_on_mass(built):
                 np.array([sc for _, sc in expect]))
     finally:
         s.shutdown()
+
+
+def test_auto_chunkband_default(built):
+    """r3 verdict item #5: the banded layout must be the DEFAULT above
+    the documented flat-broadcast bound, flat below it."""
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        AUTO_CHUNKBAND_MIN_DOCS, auto_chunkband_partitions)
+    from news_information_retrieval_system_ray.state.manifest import read_json
+    import os
+
+    assert auto_chunkband_partitions(0) == 0
+    assert auto_chunkband_partitions(10**6) == 0
+    assert auto_chunkband_partitions(AUTO_CHUNKBAND_MIN_DOCS) == 0
+    p = auto_chunkband_partitions(AUTO_CHUNKBAND_MIN_DOCS + 1)
+    assert p >= 2  # engaged, and slices bounded
+    assert 2 <= auto_chunkband_partitions(10**12) <= 8192
+    # slice bound holds up to the cap point
+    assert (10**12 / auto_chunkband_partitions(10**12)) <= (1 << 27)
+    assert auto_chunkband_partitions(2**43) == 8192  # cap engages
+    # monotone non-decreasing band counts
+    vals = [auto_chunkband_partitions(n)
+            for n in (2**30 + 1, 2**31, 2**34, 2**38, 2**40)]
+    assert vals == sorted(vals)
+    # the module fixture's build used the auto default -> flat in-sandbox
+    m = read_json(os.path.join(built, "manifest.json"))
+    assert int(m["config"]["chunkband_partitions"]) == 0
