@@ -150,6 +150,60 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
         finally:
             shards.shutdown()
 
+        # sharded-serving THROUGHPUT (r3 verdict item #4): shard tier
+        # scaled to the cluster width (4 shards at 8 CPUs, 16 at 32) and
+        # SHARED by several frontend clients (ShardedSearcher workers=
+        # borrow) each pumping a pipelined search_many stream — one
+        # driver can't saturate a wide tier, and a real serving plane is
+        # many frontends over one shard tier.  Query mix mirrors
+        # QueryWorker's (reference + seeded random vocab queries).
+        sh_n = max(2, num_cpus // 2)
+        n_clients = max(1, num_cpus // 4)
+        tier = ShardedSearcher(idx_dir, n_shards=sh_n)
+
+        @ray.remote(num_cpus=1)
+        class ShardClient:
+            def __init__(self, index_dir: str, workers, chunks, cid: int):
+                import numpy as np
+
+                from news_information_retrieval_system_ray.pipelines.serve import (
+                    ShardedSearcher as SS,
+                )
+                from news_information_retrieval_system_ray.sources.pages import (
+                    REFERENCE_QUERIES as RQ,
+                )
+                from news_information_retrieval_system_ray.sources.pages import VOCAB
+
+                self.s = SS(index_dir, workers=workers, shard_chunks=chunks)
+                rng = np.random.default_rng(500 + cid)
+                vocab = np.array(VOCAB, dtype=object)
+                qs = list(RQ.values())
+                for _ in range(200):
+                    n_terms = int(rng.integers(2, 4))
+                    qs.append(" ".join(rng.choice(vocab, size=n_terms,
+                                                  replace=False)))
+                self.queries = qs
+                self.s.search_many(qs, k=10)  # warm: dfs + shard decode
+
+            def run(self, seconds: float) -> int:
+                n = 0
+                t0 = time.perf_counter()
+                while time.perf_counter() - t0 < seconds:
+                    self.s.search_many(self.queries, k=10)
+                    n += len(self.queries)
+                return n
+
+        try:
+            clients = [ShardClient.remote(idx_dir, tier.workers,
+                                          tier._shard_chunks, i)
+                       for i in range(n_clients)]
+            counts = ray.get([c.run.remote(3.0) for c in clients])
+            sharded_qps = sum(counts) / 3.0
+            for c in clients:
+                ray.kill(c)
+        finally:
+            tier.shutdown()
+
         # query THROUGHPUT: one searcher actor per CPU, each hammering the
         # reference query set — how a cluster actually serves queries
         # (replicated index readers), and the query half of the north
@@ -225,6 +279,8 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
             "query_naive_p50_ms": round(naive_lats[len(naive_lats) // 2] * 1e3, 2),
             "query_auto_p50_ms": round(auto_lats[len(auto_lats) // 2] * 1e3, 2),
             "query_sharded_p50_ms": round(sharded_p50 * 1e3, 2),
+            "query_sharded_qps": round(sharded_qps, 1),
+            "sharded_n_shards": sh_n,
             "query_qps": round(qps, 1),
             "n_results": n_results,
         }
@@ -285,6 +341,8 @@ def main_once(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
         "query_naive_p50_ms": head["query_naive_p50_ms"],
         "query_auto_p50_ms": head["query_auto_p50_ms"],
         "query_sharded_p50_ms": head["query_sharded_p50_ms"],
+        "query_sharded_qps": head["query_sharded_qps"],
+        "sharded_n_shards": head["sharded_n_shards"],
         "query_qps": head["query_qps"],
     }
     ray.shutdown()
@@ -302,6 +360,8 @@ def main_scaling(sf_dir: str) -> dict:
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
     runs: dict[int, dict] = {}
     qps_best: dict[int, float] = {}
+    shqps_best: dict[int, float] = {}
+    shqps_shards: dict[int, int] = {}
     ceil_ratios: list[float] = []
     alloc_ratios: list[float] = []
     for _ in range(rounds):
@@ -332,6 +392,10 @@ def main_scaling(sf_dir: str) -> dict:
             # two metrics to one run conflated them
             if r.get("query_qps"):
                 qps_best[n] = max(qps_best.get(n, 0.0), float(r["query_qps"]))
+            if r.get("query_sharded_qps"):
+                shqps_best[n] = max(shqps_best.get(n, 0.0),
+                                    float(r["query_sharded_qps"]))
+                shqps_shards[n] = r.get("sharded_n_shards")
             round_ceil[n] = _host_compute_sample(n)
             round_alloc[n] = _host_alloc_sample(n)
         # ceiling ratios pair samples taken back-to-back within ONE round:
@@ -345,6 +409,8 @@ def main_scaling(sf_dir: str) -> dict:
     eff = (thr32 / thr8) / (32 / 8)
     qps8, qps32 = qps_best.get(8), qps_best.get(32)
     qeff = (qps32 / qps8) / (32 / 8) if qps8 and qps32 else None
+    shqps8, shqps32 = shqps_best.get(8), shqps_best.get(32)
+    sheff = (shqps32 / shqps8) / (32 / 8) if shqps8 and shqps32 else None
     # host ceiling: what the VM itself delivers for pure compute 8 -> 32
     host_ceiling = max(ceil_ratios) if ceil_ratios else None
     alloc_ceiling = max(alloc_ratios) if alloc_ratios else None
@@ -367,6 +433,13 @@ def main_scaling(sf_dir: str) -> dict:
         "query_qps_cpus8": qps8,
         "query_qps_cpus32": qps32,
         "query_scaling_efficiency": round(qeff, 3) if qeff else None,
+        # doc-sharded serving throughput (search_many; shards scaled to
+        # the level: 4 at 8 CPUs, 16 at 32) — the r3 verdict item #4 row
+        "sharded_qps_cpus8": shqps8,
+        "sharded_qps_cpus32": shqps32,
+        "sharded_n_shards_cpus8": shqps_shards.get(8),
+        "sharded_n_shards_cpus32": shqps_shards.get(32),
+        "sharded_scaling_efficiency": round(sheff, 3) if sheff else None,
         # pinned busy-loop iterations/s at each width: the VM's own
         # compute-scaling ceiling, for reading the pipeline number fairly
         "host_compute_scaling": round(host_ceiling, 3) if host_ceiling else None,

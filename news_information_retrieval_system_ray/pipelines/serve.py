@@ -102,7 +102,14 @@ class ShardedSearcher:
     """Driver-side facade over N chunk-sharded searcher actors."""
 
     def __init__(self, index_dir: str, n_shards: int = 4, k1: float = 1.5,
-                 b: float = 0.75, delta: float = 0.0, compact: bool = False):
+                 b: float = 0.75, delta: float = 0.0, compact: bool = False,
+                 workers: "list | None" = None,
+                 shard_chunks: "list[list[int]] | None" = None):
+        """``workers`` (with its matching ``shard_chunks``) attaches this
+        facade to an EXISTING shard-actor tier instead of spawning one —
+        the multi-frontend serving shape: many driver/client facades
+        share one set of shard actors, each keeping only its own df LRU.
+        A borrowed tier is not killed by ``shutdown()``."""
         manifest = read_json(os.path.join(index_dir, "manifest.json"))
         if manifest is None or manifest.get("stats") is None:
             raise FileNotFoundError(f"no completed index manifest in {index_dir}")
@@ -114,9 +121,11 @@ class ShardedSearcher:
             bits = max(10, self.n_docs.bit_length() - 3)
         self.chunk_bits = int(bits)
         n_chunks = ((max(1, self.n_docs) - 1) >> self.chunk_bits) + 1
+        if workers is not None:
+            n_shards = len(workers)
         n_shards = max(1, min(n_shards, n_chunks))
-        shard_chunks = [[c for c in range(n_chunks) if c % n_shards == s]
-                        for s in range(n_shards)]
+        chunk_sets = [[c for c in range(n_chunks) if c % n_shards == s]
+                      for s in range(n_shards)]
         # query-side analysis mirrors IndexSearcher (engine + stopwords)
         from ..functions.tokenize import get_tokenizer
 
@@ -127,10 +136,17 @@ class ShardedSearcher:
             self._stops: frozenset[str] = load_stopwords(self.config["stopword_lang"])
         else:
             self._stops = frozenset()
-        worker_cls = _make_shard_worker()
-        self._shard_chunks = shard_chunks
-        self.workers = [worker_cls.remote(index_dir, cs, k1, b, delta, compact)
-                        for cs in shard_chunks]
+        if workers is not None:
+            self.workers = list(workers)
+            self._shard_chunks = shard_chunks if shard_chunks is not None \
+                else chunk_sets
+            self._owns_workers = False
+        else:
+            worker_cls = _make_shard_worker()
+            self._shard_chunks = chunk_sets
+            self.workers = [worker_cls.remote(index_dir, cs, k1, b, delta,
+                                              compact) for cs in chunk_sets]
+            self._owns_workers = True
         # LRU-bounded df caches: a long-lived serving driver over a web
         # vocabulary must not grow per-term state unboundedly (mirrors
         # the searcher's bounded decoded-postings cache). Hits refresh
@@ -164,8 +180,12 @@ class ShardedSearcher:
             del self._dfs[old]
             del self._mass[old]
 
-    def _resolve_dfs(self, terms: list[str]) -> None:
-        """Fill the global-df cache for ``terms`` in ONE parallel round.
+    def _resolve_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Resolve global dfs for ``terms`` in ONE parallel round.
+
+        Returns a LOCAL ``{term: global_df}`` snapshot — callers must
+        score from it, not from ``self._dfs``, so a bulk request larger
+        than the LRU cap cannot evict a term between resolve and use.
 
         The old flow also installed the new dfs on every shard via a
         second ``set_global_dfs`` barrier — dead weight: the sharded
@@ -174,15 +194,23 @@ class ShardedSearcher:
         never consult their own ``df_global`` (r3 verdict item #2)."""
         import ray
 
-        missing = [t for t in terms if t not in self._dfs]
+        out: dict[str, int] = {}
+        missing = []
+        for t in terms:
+            df = self._dfs.get(t)
+            if df is None:
+                missing.append(t)
+            else:
+                out[t] = df
         if missing:
             per_shard = ray.get([w.local_dfs.remote(missing)
                                  for w in self.workers])
             for t in missing:
                 locals_ = [int(d.get(t, 0)) for d in per_shard]
                 self._mass[t] = locals_
-                self._dfs[t] = sum(locals_)
+                out[t] = self._dfs[t] = sum(locals_)
         self._lru_touch(terms)
+        return out
 
     def search(self, query: str, k: int = 10, method: str = "wand",
                seed: "bool | str" = "auto") -> list[tuple[int, float]]:
@@ -206,13 +234,13 @@ class ShardedSearcher:
         qtf: dict[str, int] = {}
         for t in q_tokens:
             qtf[t] = qtf.get(t, 0) + 1
-        self._resolve_dfs(list(qtf))
-        tw = [(t, n * float(bm25_idf(self._dfs[t], self.n_docs)))
-              for t, n in qtf.items() if self._dfs[t] > 0]
+        dfs = self._resolve_dfs(list(qtf))
+        tw = [(t, n * float(bm25_idf(dfs[t], self.n_docs)))
+              for t, n in qtf.items() if dfs[t] > 0]
         if not tw:
             return []
         if seed == "auto":
-            seed = sum(self._dfs[t] for t, _ in tw) >= self.seed_mass_min
+            seed = sum(dfs[t] for t, _ in tw) >= self.seed_mass_min
         theta0 = float("-inf")
         results: list[list[tuple[int, float]]] = []
         rest = list(self.workers)
@@ -233,6 +261,56 @@ class ShardedSearcher:
         merged = [r for part in results for r in part]
         merged.sort(key=lambda r: (-r[1], r[0]))
         return merged[:k]
+
+    def search_many(self, queries: list[str], k: int = 10,
+                    method: str = "wand", max_inflight: int = 256
+                    ) -> list[list[tuple[int, float]]]:
+        """Pipelined bulk search — the sharded-serving THROUGHPUT path.
+
+        ``search`` pays one fan-out barrier per query (the right shape
+        for latency).  For a query STREAM the driver should never sit in
+        a barrier while shards idle: this resolves every cold term of
+        the whole batch in ONE round, then keeps up to ``max_inflight``
+        shard calls in flight, merging each query's k*N rows as its
+        futures complete.  Results are exactly ``[self.search(q, k,
+        method, seed=False) for q in queries]`` (unseeded fan-out:
+        theta seeding is a latency trade, wrong for throughput)."""
+        import ray
+
+        qtfs: list[dict[str, int]] = []
+        order: list[str] = []
+        seen: set[str] = set()
+        for q in queries:
+            qtf: dict[str, int] = {}
+            for t in self._query_terms(q):
+                qtf[t] = qtf.get(t, 0) + 1
+            qtfs.append(qtf)
+            for t in qtf:
+                if t not in seen:
+                    seen.add(t)
+                    order.append(t)
+        dfs = self._resolve_dfs(order)
+        results: list[list[tuple[int, float]]] = [[] for _ in queries]
+        window = max(1, max_inflight // max(1, len(self.workers)))
+        pending: list[tuple[int, list]] = []  # (query idx, shard futures)
+
+        def _finish(i: int, futs: list) -> None:
+            merged = [r for part in ray.get(futs) for r in part]
+            merged.sort(key=lambda r: (-r[1], r[0]))
+            results[i] = merged[:k]
+
+        for i, qtf in enumerate(qtfs):
+            tw = [(t, n * float(bm25_idf(dfs[t], self.n_docs)))
+                  for t, n in qtf.items() if dfs[t] > 0]
+            if not tw:
+                continue
+            pending.append((i, [w.search_weighted.remote(
+                tw, k, method, float("-inf")) for w in self.workers]))
+            if len(pending) >= window:
+                _finish(*pending.pop(0))
+        for i, futs in pending:
+            _finish(i, futs)
+        return results
 
     def boolean_not(self, include: list[str], exclude: list[str]):
         """Sharded boolean include-AND minus exclude-OR: each shard
@@ -264,6 +342,7 @@ class ShardedSearcher:
     def shutdown(self) -> None:
         import ray
 
-        for w in self.workers:
-            ray.kill(w)
+        if getattr(self, "_owns_workers", True):
+            for w in self.workers:
+                ray.kill(w)
         self.workers = []

@@ -279,3 +279,28 @@ def test_auto_chunkband_default(built):
     # the module fixture's build used the auto default -> flat in-sandbox
     m = read_json(os.path.join(built, "manifest.json"))
     assert int(m["config"]["chunkband_partitions"]) == 0
+
+
+def test_search_many_matches_per_query_search(built, sharded):
+    """Pipelined bulk search must equal per-query search exactly,
+    including queries with no indexed terms (empty result slots)."""
+    qs = list(REFERENCE_QUERIES.values()) + ["zzzzunindexedzzz", ""]
+    bulk = sharded.search_many(qs, k=10, max_inflight=8)
+    assert len(bulk) == len(qs)
+    for q, got in zip(qs, bulk):
+        expect = sharded.search(q, k=10, method="wand", seed=False)
+        assert got == expect, q
+
+
+def test_search_many_survives_lru_smaller_than_batch(built):
+    """A bulk request with more distinct terms than the LRU cap must
+    still score every query from the resolve-round snapshot."""
+    s = ShardedSearcher(built, n_shards=N_SHARDS)
+    try:
+        s.max_cached_terms = 2  # far below the batch's term count
+        qs = list(REFERENCE_QUERIES.values())
+        bulk = s.search_many(qs, k=5)
+        for q, got in zip(qs, bulk):
+            assert got == s.search(q, k=5, method="wand", seed=False), q
+    finally:
+        s.shutdown()
