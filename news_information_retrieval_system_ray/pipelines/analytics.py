@@ -4407,11 +4407,12 @@ def explain_scores(sf_dir: str) -> pd.DataFrame:
 
 def media_features_real(sf_dir: str) -> pd.DataFrame:
     """REAL multimodal decode path: synthetic WAV payloads decoded with
-    the stdlib wave module and PPM images decoded with pure numpy, then
-    real signal/image features (duration/RMS/ZCR/spectral centroid; RGB
-    moments + luminance histogram) — same actor-pool stage interface as
-    the stubbed decoders (stages/multimodal.py).  Rows-only check;
-    feature values asserted against direct computation in unit tests."""
+    the stdlib wave module, PPM/PNG/baseline-JPEG images decoded with
+    pure numpy+stdlib codecs (functions/jpeg.py, stages/multimodal.py),
+    then real signal/image features (duration/RMS/ZCR/spectral
+    centroid; RGB moments + luminance histogram) — same actor-pool
+    stage interface as the stubbed decoders.  Rows-only check; feature
+    values and codec bit-exactness asserted in unit tests."""
     import ray.data as rd
 
     from ..stages.multimodal import RealMediaFeatureStage, make_real_media_table

@@ -390,6 +390,10 @@ class RealMediaFeatureStage:
                 feats.append(image_features(decode_ppm(payload), self.out_dim))
             elif mime == "image/png":
                 feats.append(image_features(decode_png(payload), self.out_dim))
+            elif mime == "image/jpeg":
+                from ..functions.jpeg import decode_jpeg
+
+                feats.append(image_features(decode_jpeg(payload), self.out_dim))
             else:
                 raise ValueError(f"no real decoder for mime {mime!r}")
         return pa.table({
@@ -399,7 +403,7 @@ class RealMediaFeatureStage:
 
 
 class RealImageResizeStage:
-    """Image payload (PPM or PNG, by magic bytes) -> decoded,
+    """Image payload (PPM, PNG or JPEG, by magic bytes) -> decoded,
     nearest-neighbor-resized, re-encoded in the same format."""
 
     def __init__(self, width: int, height: int):
@@ -412,6 +416,11 @@ class RealImageResizeStage:
             if payload.startswith(b"\x89PNG"):
                 img = resize_nearest(decode_png(payload), self.width, self.height)
                 out_payloads.append(encode_png(img))
+            elif payload.startswith(b"\xFF\xD8"):
+                from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+                img = resize_nearest(decode_jpeg(payload), self.width, self.height)
+                out_payloads.append(encode_jpeg(img))
             else:
                 img = resize_nearest(decode_ppm(payload), self.width, self.height)
                 out_payloads.append(encode_ppm(img))
@@ -451,9 +460,15 @@ def make_real_media_table(n: int = 32, seed: int = 5) -> pa.Table:
                 np.add.outer(gy, gx * 0),
                 rng.integers(0, 256, size=(h, w)).astype(np.float64),
             ], axis=2).astype(np.uint8)
-            if i % 4 == 3:  # every other image row: the COMPRESSED codec
+            if i % 4 == 3:  # lossless COMPRESSED codec rows
                 rows_payload.append(encode_png(img, filter_type=i % 5))
                 rows_mime.append("image/png")
+            elif i % 8 == 1:  # lossy COMPRESSED codec rows (baseline JPEG)
+                from ..functions.jpeg import encode_jpeg
+
+                rows_payload.append(encode_jpeg(
+                    img, quality=85, subsampling="420" if i % 16 == 1 else "444"))
+                rows_mime.append("image/jpeg")
             else:
                 rows_payload.append(encode_ppm(img))
                 rows_mime.append("image/ppm")

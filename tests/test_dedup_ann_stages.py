@@ -330,8 +330,15 @@ def test_real_media_stage_pipeline(ray_session):
         RealImageResizeStage(20, 10), batch_format="pyarrow",
         batch_size=4).to_pandas()
     assert (rs["width"] == 20).all() and (rs["height"] == 10).all()
-    for p in rs["payload"]:  # the table now mixes PPM and PNG payloads
-        dec = decode_png(p) if p.startswith(b"\x89PNG") else decode_ppm(p)
+    for p in rs["payload"]:  # the table mixes PPM, PNG and JPEG payloads
+        if p.startswith(b"\x89PNG"):
+            dec = decode_png(p)
+        elif p.startswith(b"\xff\xd8"):
+            from news_information_retrieval_system_ray.functions.jpeg import decode_jpeg
+
+            dec = decode_jpeg(p)
+        else:
+            dec = decode_ppm(p)
         assert dec.shape == (10, 20, 3)
 
 
