@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc-sharded distributed serving: per-shard WAND over disjoint
         # chunk sets + driver k-way merge (pipelines/serve.py)
         "bm25_sharded_topk": A.bm25_sharded_topk,
+        # same queries through the pipelined BULK serving path
+        # (ShardedSearcher.search_many)
+        "bm25_sharded_bulk": A.bm25_sharded_bulk,
         "tfidf_topk": A.tfidf_topk,
         "lm_dirichlet_topk": A.lm_dirichlet_topk,
         "lm_jm_topk": A.lm_jm_topk,
@@ -2910,6 +2913,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_metrics": eval_metrics_sql,
         "bm25_wand_topk": bm25_sql,
         "bm25_sharded_topk": bm25_sql,
+        "bm25_sharded_bulk": bm25_sql,
         "search_snippets": snippets_sql,
         "summarize_query_focused": qfocus_sql,
         "summarize_key_sentences": keysent_sql,

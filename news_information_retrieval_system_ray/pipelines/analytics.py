@@ -472,6 +472,22 @@ def bm25_sharded_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
+def bm25_sharded_bulk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The same fixed queries through ``ShardedSearcher.search_many`` —
+    the pipelined bulk-serving path (one df round for the whole stream,
+    bounded in-flight fan-outs, no per-query barrier).  Shares the
+    bm25_topk oracle SQL: bulk serving == per-query sharded == single
+    searcher == SQL, rank- and score-identically."""
+    s = _sharded_searcher(sf_dir)
+    qids = list(FIXED_QUERIES)
+    bulk = s.search_many([" ".join(FIXED_QUERIES[q]) for q in qids], k=k)
+    rows = []
+    for qid, res in zip(qids, bulk):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append((qid, rank, doc_id, round4(score)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
 def boolean_sharded(sf_dir: str) -> pd.DataFrame:
     """(A AND B) NOT C served by the doc-sharded actors: each shard
     resolves its own chunks' sorted-merge boolean (disjoint doc

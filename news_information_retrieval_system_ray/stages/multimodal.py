@@ -496,15 +496,22 @@ def make_real_media_table(n: int = 32, seed: int = 5) -> pa.Table:
 import struct
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """uint8 [n, h, w, 3] RGB frames -> uncompressed RIFF AVI bytes
-    ('vids'/'DIB ' stream, BITMAPINFOHEADER biCompression=0: bottom-up
-    BGR rows padded to 4-byte stride)."""
+def encode_avi(frames: np.ndarray, fps: int = 10, codec: str = "DIB",
+               quality: int = 85) -> bytes:
+    """uint8 [n, h, w, 3] RGB frames -> RIFF AVI bytes.
+
+    ``codec="DIB"``: uncompressed ('vids'/'DIB ' stream,
+    BITMAPINFOHEADER biCompression=0: bottom-up BGR rows padded to a
+    4-byte stride).  ``codec="MJPG"``: Motion-JPEG — every frame is an
+    independent baseline JPEG (functions/jpeg.py) in a 00dc chunk with
+    biCompression='MJPG', the standard intra-only compressed AVI form.
+    """
     if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
         raise ValueError("frames must be uint8 [n, h, w, 3] RGB")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unknown AVI codec {codec!r}")
     n, h, w, _ = frames.shape
     stride = (w * 3 + 3) & ~3
-    frame_bytes = stride * h
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) % 2 else b""
@@ -514,26 +521,37 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         body = kind + payload
         return b"LIST" + struct.pack("<I", len(body)) + body
 
+    movi_frames = []
+    if codec == "MJPG":
+        from ..functions.jpeg import encode_jpeg
+
+        for f in frames:
+            movi_frames.append(chunk(
+                b"00dc", encode_jpeg(f, quality=quality, subsampling="420")))
+        frame_bytes = max(len(c) - 8 for c in movi_frames)
+        handler, compression = b"MJPG", struct.unpack("<I", b"MJPG")[0]
+    else:
+        pad_cols = stride - w * 3
+        for f in frames:
+            bgr = f[::-1, :, ::-1]  # bottom-up rows, RGB->BGR
+            rows = bgr.reshape(h, w * 3)
+            if pad_cols:
+                rows = np.concatenate(
+                    [rows, np.zeros((h, pad_cols), dtype=np.uint8)], axis=1)
+            movi_frames.append(chunk(b"00db", rows.tobytes()))
+        frame_bytes = stride * h
+        handler, compression = b"DIB ", 0
+
     avih = struct.pack(
         "<14I", int(1_000_000 / fps), frame_bytes * fps, 0, 0x10,  # HASINDEX-free, AVIF_WASCAPTUREFILE-ish flags
         n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
-    strh = b"vids" + b"DIB " + struct.pack("<10I4h", 0, 0, 0, 1, fps, 0, n,
+    strh = b"vids" + handler + struct.pack("<10I4h", 0, 0, 0, 1, fps, 0, n,
                                            frame_bytes, 0xFFFFFFFF, 0,
                                            0, 0, w, h)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
-                       0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       frame_bytes, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-
-    movi_frames = []
-    pad_cols = stride - w * 3
-    for f in frames:
-        bgr = f[::-1, :, ::-1]  # bottom-up rows, RGB->BGR
-        rows = bgr.reshape(h, w * 3)
-        if pad_cols:
-            rows = np.concatenate(
-                [rows, np.zeros((h, pad_cols), dtype=np.uint8)], axis=1)
-        movi_frames.append(chunk(b"00db", rows.tobytes()))
     movi = lst(b"movi", b"".join(movi_frames))
 
     body = b"AVI " + hdrl + movi
@@ -541,19 +559,25 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
 
 
 def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
-    """Uncompressed RIFF AVI bytes -> (uint8 [n, h, w, 3] RGB, fps).
+    """RIFF AVI bytes (uncompressed DIB or Motion-JPEG) ->
+    (uint8 [n, h, w, 3] RGB, fps).
 
-    A real RIFF walk: verifies the RIFF/AVI magic, reads w/h/bitcount
-    from the strf BITMAPINFOHEADER, fps from the strh scale/rate pair,
-    and collects every 00db/00dc frame chunk under LIST movi."""
+    A real RIFF walk: verifies the RIFF/AVI magic, reads
+    w/h/bitcount/biCompression from the strf BITMAPINFOHEADER, fps from
+    the strh scale/rate pair, and collects every 00db/00dc frame chunk
+    under LIST movi.  biCompression=0 -> raw bottom-up BGR DIB rows;
+    biCompression='MJPG' -> each chunk is an independent baseline JPEG
+    decoded by functions/jpeg.py.  Other codecs (h264/vp9/...) remain
+    NotImplementedError stubs."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF AVI payload")
     w = h = bitcount = 0
     fps = 0
+    compression = 0
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, off: int, end: int) -> None:
-        nonlocal w, h, bitcount, fps
+        nonlocal w, h, bitcount, fps, compression
         while off + 8 <= end:
             fourcc = buf[off:off + 4]
             (size,) = struct.unpack_from("<I", buf, off + 4)
@@ -565,7 +589,8 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 if scale:
                     fps = rate // scale
             elif fourcc == b"strf":
-                _, w, h, _, bitcount = struct.unpack_from("<IiiHH", buf, data_off)
+                _, w, h, _, bitcount, compression = struct.unpack_from(
+                    "<IiiHHI", buf, data_off)
             elif fourcc in (b"00db", b"00dc"):
                 frames_raw.append(buf[data_off:data_off + size])
             off = data_off + size + (size % 2)
@@ -573,6 +598,17 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     walk(payload, 12, len(payload))
     if not frames_raw or w <= 0 or h <= 0:
         raise ValueError("no decodable frames in AVI payload")
+    if compression == struct.unpack("<I", b"MJPG")[0]:
+        from ..functions.jpeg import decode_jpeg
+
+        out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+        for i, raw in enumerate(frames_raw):
+            out[i] = decode_jpeg(bytes(raw))
+        return out, fps
+    if compression != 0:
+        raise NotImplementedError(
+            f"AVI biCompression 0x{compression:08X} not supported "
+            "(only raw DIB and MJPG)")
     if bitcount != 24:
         raise NotImplementedError(f"only 24-bit DIB frames supported, got {bitcount}")
     stride = (w * 3 + 3) & ~3
@@ -615,9 +651,10 @@ class RealFrameSampleStage:
 
 
 def make_real_video_table(n: int = 8, seed: int = 5) -> pa.Table:
-    """Deterministic REAL video table: short uncompressed AVIs of a
-    bright block orbiting a gradient background (size/speed/frame count
-    vary by id).  Synthesized in-process — no external data."""
+    """Deterministic REAL video table: short AVIs of a bright block
+    orbiting a gradient background (size/speed/frame count vary by id)
+    — every third row Motion-JPEG-compressed, the rest uncompressed
+    DIB.  Synthesized in-process — no external data."""
     payloads, widths, heights, durs = [], [], [], []
     for i in range(n):
         rng = np.random.default_rng(seed * 99_991 + i)
@@ -636,7 +673,8 @@ def make_real_video_table(n: int = 8, seed: int = 5) -> pa.Table:
             img[cy:cy + 6, cx:cx + 6, :] = 250.0
             img += rng.integers(0, 6, size=img.shape)
             frames[f] = np.clip(img, 0, 255).astype(np.uint8)
-        payloads.append(encode_avi(frames, fps))
+        codec = "MJPG" if i % 3 == 2 else "DIB"
+        payloads.append(encode_avi(frames, fps, codec=codec))
         widths.append(w); heights.append(h)
         durs.append(int(n_frames / fps * 1000))
     return pa.table({
