@@ -53,6 +53,26 @@ def _pages_corpus(n_docs: int) -> str:
     return out
 
 
+def _query_mix(seed: int) -> list:
+    """Reference queries + 200 seeded random 2-3-word vocab queries —
+    the shared traffic mix for BOTH throughput measurements (replicated
+    searchers and sharded tier), seed-varied per worker."""
+    import numpy as np
+
+    from news_information_retrieval_system_ray.sources.pages import (
+        REFERENCE_QUERIES as RQ,
+    )
+    from news_information_retrieval_system_ray.sources.pages import VOCAB
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array(VOCAB, dtype=object)
+    qs = list(RQ.values())
+    for _ in range(200):
+        n_terms = int(rng.integers(2, 4))
+        qs.append(" ".join(rng.choice(vocab, size=n_terms, replace=False)))
+    return qs
+
+
 def _warm_workers(num_cpus: int) -> None:
     """Spawn + import-warm the Ray worker pool (idle workers are culled
     between phases, so each measured phase re-warms; steady-state
@@ -173,41 +193,34 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
         @ray.remote(num_cpus=1)
         class ShardClient:
             def __init__(self, index_dir: str, workers, chunks, cid: int):
-                import numpy as np
-
                 from news_information_retrieval_system_ray.pipelines.serve import (
                     ShardedSearcher as SS,
                 )
-                from news_information_retrieval_system_ray.sources.pages import (
-                    REFERENCE_QUERIES as RQ,
-                )
-                from news_information_retrieval_system_ray.sources.pages import VOCAB
 
                 self.s = SS(index_dir, workers=workers, shard_chunks=chunks)
-                rng = np.random.default_rng(500 + cid)
-                vocab = np.array(VOCAB, dtype=object)
-                qs = list(RQ.values())
-                for _ in range(200):
-                    n_terms = int(rng.integers(2, 4))
-                    qs.append(" ".join(rng.choice(vocab, size=n_terms,
-                                                  replace=False)))
-                self.queries = qs
-                self.s.search_many(qs, k=10)  # warm: dfs + shard decode
+                self.queries = _query_mix(500 + cid)
+                self.s.search_many(self.queries, k=10)  # warm: dfs + decode
 
-            def run(self, seconds: float) -> int:
+            def run(self, seconds: float) -> tuple[int, float]:
+                """(queries served, ACTUAL elapsed) — sub-batched so the
+                deadline is checked often, and divided by real elapsed
+                time (a whole-batch count over the nominal window
+                overstated qps by up to one batch; r4 review finding)."""
                 n = 0
                 t0 = time.perf_counter()
-                while time.perf_counter() - t0 < seconds:
-                    self.s.search_many(self.queries, k=10)
-                    n += len(self.queries)
-                return n
+                while True:
+                    for i in range(0, len(self.queries), 25):
+                        self.s.search_many(self.queries[i:i + 25], k=10)
+                        n += len(self.queries[i:i + 25])
+                        if time.perf_counter() - t0 >= seconds:
+                            return n, time.perf_counter() - t0
 
         try:
             clients = [ShardClient.remote(idx_dir, tier.workers,
                                           tier._shard_chunks, i)
                        for i in range(n_clients)]
-            counts = ray.get([c.run.remote(3.0) for c in clients])
-            sharded_qps = sum(counts) / 3.0
+            results_sh = ray.get([c.run.remote(3.0) for c in clients])
+            sharded_qps = sum(n / el for n, el in results_sh)
             for c in clients:
                 ray.kill(c)
         finally:
@@ -220,31 +233,19 @@ def run_headline(num_cpus: int, n_docs: int) -> dict:
         @ray.remote(num_cpus=1)
         class QueryWorker:
             def __init__(self, index_dir: str, worker_id: int):
-                import numpy as np
-
                 from news_information_retrieval_system_ray.pipelines.query import (
                     IndexSearcher,
                 )
-                from news_information_retrieval_system_ray.sources.pages import (
-                    REFERENCE_QUERIES as RQ,
-                )
-                from news_information_retrieval_system_ray.sources.pages import VOCAB
 
                 # compact serving mode: int32 ids + float32 weights —
                 # half the per-query memory traffic (quantized-impact
                 # serving tradeoff; correctness paths use exact float64)
                 self.s = IndexSearcher(index_dir, compact=True)
                 # realistic traffic: each worker streams a DISTINCT seeded
-                # query mix (reference queries + random 2-3 word vocab
-                # queries) — a fixed 15-query loop would serve entirely
-                # from per-worker caches, measuring only the shared
-                # memory bus instead of the serving stack
-                rng = np.random.default_rng(1000 + worker_id)
-                vocab = np.array(VOCAB, dtype=object)
-                qs = list(RQ.values())
-                for _ in range(200):
-                    n_terms = int(rng.integers(2, 4))
-                    qs.append(" ".join(rng.choice(vocab, size=n_terms, replace=False)))
+                # query mix (_query_mix) — a fixed 15-query loop would
+                # serve entirely from per-worker caches, measuring only
+                # the shared memory bus instead of the serving stack
+                qs = _query_mix(1000 + worker_id)
                 self.queries = qs
                 # warm the ENTIRE mix once (untimed): the measured window
                 # is then steady-state serving over a large (~500-term)

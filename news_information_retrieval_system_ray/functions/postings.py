@@ -334,7 +334,18 @@ class DocLenLookup:
     def __call__(self, ids: np.ndarray) -> np.ndarray:
         ids = np.asarray(ids, dtype=np.int64)
         if self.dense:
-            return self.dls[ids - self.base]
+            # same membership guard as the sparse path: an id below base
+            # would otherwise wrap to a NEGATIVE index and silently
+            # return another doc's length
+            off = ids - self.base
+            bad = (off < 0) | (off >= self.dls.size)
+            if bad.any():
+                missing = ids[bad][:5].tolist()
+                raise KeyError(
+                    f"doc_ids absent from doc-length sidecar (first "
+                    f"{len(missing)}): {missing} — postings and tokens "
+                    "tables disagree")
+            return self.dls[off]
         idx = np.searchsorted(self.ids, ids)
         # membership check: a doc_id absent from the sidecar must be a
         # loud error, not a silent neighboring doc's length (which would

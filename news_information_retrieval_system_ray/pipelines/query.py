@@ -78,12 +78,17 @@ class IndexSearcher:
         self.n_docs = manifest["stats"]["n_docs"]
         self.avgdl = manifest["stats"]["avg_doc_length"]
         # legacy-manifest fallback MUST match build_index/ShardedSearcher
-        # (max(10, n_docs.bit_length()-3)): a chunk-restricted searcher
-        # with a different formula would mis-slice the dl sidecar vs the
-        # shard assignment
-        self.eff_chunk_bits = manifest.get("eff_chunk_bits") \
-            or self.config.get("chunk_bits") \
-            or max(10, int(self.n_docs).bit_length() - 3)
+        # (is-None checks + max(10, n_docs.bit_length()-3)): a
+        # chunk-restricted searcher with a different formula — or a
+        # falsy-`or` chain that treats an explicit chunk_bits=0 as
+        # missing — would mis-slice the dl sidecar vs the shard
+        # assignment
+        bits = manifest.get("eff_chunk_bits")
+        if bits is None:
+            bits = self.config.get("chunk_bits")
+        if bits is None:
+            bits = max(10, int(self.n_docs).bit_length() - 3)
+        self.eff_chunk_bits = int(bits)
         self.k1, self.b, self.delta = k1, b, delta
         self.with_positions = self.config.get("with_positions", False)
         self.tokenize = get_tokenizer(self.config["engine"])

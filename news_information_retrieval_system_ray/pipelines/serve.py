@@ -116,7 +116,9 @@ class ShardedSearcher:
         self.config = manifest["config"]
         self.n_docs = int(manifest["stats"]["n_docs"])
         self.k1, self.b, self.delta = k1, b, delta
-        bits = manifest.get("eff_chunk_bits") or self.config.get("chunk_bits")
+        bits = manifest.get("eff_chunk_bits")
+        if bits is None:
+            bits = self.config.get("chunk_bits")
         if bits is None:  # same fallback build_index uses when unset
             bits = max(10, self.n_docs.bit_length() - 3)
         self.chunk_bits = int(bits)
@@ -140,6 +142,16 @@ class ShardedSearcher:
             self.workers = list(workers)
             self._shard_chunks = shard_chunks if shard_chunks is not None \
                 else chunk_sets
+            if len(self._shard_chunks) != len(self.workers):
+                # a tier built on a tiny index clamps its shard count;
+                # re-deriving chunk sets here can only match if the
+                # worker list has the same (clamped) length — anything
+                # else means the caller's tier and this facade disagree
+                # on the chunk partition, which corrupts seeding/merges
+                raise ValueError(
+                    f"borrowed tier has {len(self.workers)} workers but "
+                    f"{len(self._shard_chunks)} chunk sets — pass the "
+                    "tier's own shard_chunks")
             self._owns_workers = False
         else:
             worker_cls = _make_shard_worker()
@@ -180,12 +192,14 @@ class ShardedSearcher:
             del self._dfs[old]
             del self._mass[old]
 
-    def _resolve_dfs(self, terms: list[str]) -> dict[str, int]:
+    def _resolve_dfs(self, terms: list[str]
+                     ) -> tuple[dict[str, int], dict[str, list[int]]]:
         """Resolve global dfs for ``terms`` in ONE parallel round.
 
-        Returns a LOCAL ``{term: global_df}`` snapshot — callers must
-        score from it, not from ``self._dfs``, so a bulk request larger
-        than the LRU cap cannot evict a term between resolve and use.
+        Returns LOCAL ``({term: global_df}, {term: per-shard local df})``
+        snapshots — callers must score/seed from them, not from
+        ``self._dfs``/``self._mass``, so a request with more terms than
+        the LRU cap cannot evict its own terms between resolve and use.
 
         The old flow also installed the new dfs on every shard via a
         second ``set_global_dfs`` barrier — dead weight: the sharded
@@ -194,23 +208,25 @@ class ShardedSearcher:
         never consult their own ``df_global`` (r3 verdict item #2)."""
         import ray
 
-        out: dict[str, int] = {}
+        dfs: dict[str, int] = {}
+        mass: dict[str, list[int]] = {}
         missing = []
         for t in terms:
             df = self._dfs.get(t)
             if df is None:
                 missing.append(t)
             else:
-                out[t] = df
+                dfs[t] = df
+                mass[t] = self._mass[t]
         if missing:
             per_shard = ray.get([w.local_dfs.remote(missing)
                                  for w in self.workers])
             for t in missing:
                 locals_ = [int(d.get(t, 0)) for d in per_shard]
-                self._mass[t] = locals_
-                out[t] = self._dfs[t] = sum(locals_)
+                mass[t] = self._mass[t] = locals_
+                dfs[t] = self._dfs[t] = sum(locals_)
         self._lru_touch(terms)
-        return out
+        return dfs, mass
 
     def search(self, query: str, k: int = 10, method: str = "wand",
                seed: "bool | str" = "auto") -> list[tuple[int, float]]:
@@ -234,7 +250,7 @@ class ShardedSearcher:
         qtf: dict[str, int] = {}
         for t in q_tokens:
             qtf[t] = qtf.get(t, 0) + 1
-        dfs = self._resolve_dfs(list(qtf))
+        dfs, mass = self._resolve_dfs(list(qtf))
         tw = [(t, n * float(bm25_idf(dfs[t], self.n_docs)))
               for t, n in qtf.items() if dfs[t] > 0]
         if not tw:
@@ -247,9 +263,9 @@ class ShardedSearcher:
         if seed and len(self.workers) > 1 and method != "naive":
             # prime on the shard holding the most query postings: its
             # k-th local score is the best cheap theta for the others
-            mass = [sum(self._mass[t][i] for t, _ in tw)
-                    for i in range(len(self.workers))]
-            si = max(range(len(mass)), key=mass.__getitem__)
+            shard_mass = [sum(mass[t][i] for t, _ in tw)
+                          for i in range(len(self.workers))]
+            si = max(range(len(shard_mass)), key=shard_mass.__getitem__)
             first = ray.get(self.workers[si].search_weighted.remote(
                 tw, k, method, float("-inf")))
             results.append(first)
@@ -289,7 +305,7 @@ class ShardedSearcher:
                 if t not in seen:
                     seen.add(t)
                     order.append(t)
-        dfs = self._resolve_dfs(order)
+        dfs, _ = self._resolve_dfs(order)
         results: list[list[tuple[int, float]]] = [[] for _ in queries]
         window = max(1, max_inflight // max(1, len(self.workers)))
         pending: list[tuple[int, list]] = []  # (query idx, shard futures)

@@ -237,9 +237,10 @@ class MinHashStage:
                           for j in range(len(toks) - n + 1)]
             counts[i] = len(joined)
             all_strs += joined
-        md5, frm = hashlib.md5, int.from_bytes
+        from ..functions.hashing import token_hash64
+
         hashes = np.fromiter(
-            (frm(md5(s.encode()).digest()[:8], "big") for s in all_strs),
+            (token_hash64(s) for s in all_strs),
             dtype=np.uint64, count=len(all_strs))
         return hashes, counts
 

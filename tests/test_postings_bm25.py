@@ -221,3 +221,20 @@ def test_doclen_lookup_missing_id_raises():
     assert list(empty(np.empty(0, np.int64))) == []
     with pytest.raises(KeyError, match="sidecar"):
         empty(np.array([0]))
+
+
+def test_doclen_lookup_dense_path_missing_id_raises():
+    """r4 review: the dense fast path must not wrap negative offsets —
+    an id below base silently returned another doc's length."""
+    import pytest
+
+    from news_information_retrieval_system_ray.functions.postings import DocLenLookup
+
+    lk = DocLenLookup(np.arange(100, 200, dtype=np.int64),
+                      np.arange(100, 200, dtype=np.int64) * 2)
+    assert lk.dense
+    assert list(lk(np.array([150, 100, 199]))) == [300, 200, 398]
+    with pytest.raises(KeyError, match="sidecar"):
+        lk(np.array([50]))  # below base: used to wrap to dls[-50]
+    with pytest.raises(KeyError, match="sidecar"):
+        lk(np.array([200]))  # past the end

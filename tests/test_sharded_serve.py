@@ -304,3 +304,29 @@ def test_search_many_survives_lru_smaller_than_batch(built):
             assert got == s.search(q, k=5, method="wand", seed=False), q
     finally:
         s.shutdown()
+
+
+def test_seeded_search_survives_lru_smaller_than_query(built):
+    """r4 review: seeded search must seed from the resolve-round mass
+    snapshot, not the evictable cache — a query with more terms than
+    the LRU cap used to KeyError in the seed-mass computation."""
+    single = IndexSearcher(built)
+    s = ShardedSearcher(built, n_shards=N_SHARDS)
+    try:
+        s.max_cached_terms = 1  # below any multi-term query's term count
+        for q in list(REFERENCE_QUERIES.values())[:3]:
+            expect = single.search(q, k=5, method="wand")
+            got = s.search(q, k=5, method="wand", seed=True)
+            assert [d for d, _ in got] == [d for d, _ in expect], q
+    finally:
+        s.shutdown()
+
+
+def test_borrowed_tier_length_mismatch_raises(built):
+    tier = ShardedSearcher(built, n_shards=N_SHARDS)
+    try:
+        with pytest.raises(ValueError, match="chunk sets"):
+            ShardedSearcher(built, workers=tier.workers[:-1],
+                            shard_chunks=tier._shard_chunks)
+    finally:
+        tier.shutdown()
