@@ -73,6 +73,15 @@ def _make_shard_worker():
         def search_weighted(self, tw, k: int, method: str, theta0: float):
             return self.s.search_weighted(tw, k, method=method, theta0=theta0)
 
+        def search_weighted_many(self, tws: list, k: int, method: str):
+            """Batched form: one RPC covers a GROUP of weighted queries,
+            amortizing the per-task Ray dispatch/serialization overhead
+            (~0.5-1 ms) across the group — the dominant cost of bulk
+            serving once decode state is warm."""
+            return [self.s.search_weighted(tw, k, method=method,
+                                           theta0=float("-inf"))
+                    for tw in tws]
+
         def boolean_local(self, include, exclude):
             """Boolean include-AND minus exclude-OR over THIS shard's
             chunks only (IndexSearcher.boolean_not semantics) — chunks
@@ -279,18 +288,23 @@ class ShardedSearcher:
         return merged[:k]
 
     def search_many(self, queries: list[str], k: int = 10,
-                    method: str = "wand", max_inflight: int = 256
+                    method: str = "wand", group_size: int = 32,
+                    max_inflight_groups: int = 4
                     ) -> list[list[tuple[int, float]]]:
         """Pipelined bulk search — the sharded-serving THROUGHPUT path.
 
         ``search`` pays one fan-out barrier per query (the right shape
-        for latency).  For a query STREAM the driver should never sit in
-        a barrier while shards idle: this resolves every cold term of
-        the whole batch in ONE round, then keeps up to ``max_inflight``
-        shard calls in flight, merging each query's k*N rows as its
-        futures complete.  Results are exactly ``[self.search(q, k,
-        method, seed=False) for q in queries]`` (unseeded fan-out:
-        theta seeding is a latency trade, wrong for throughput)."""
+        for latency).  For a query STREAM: (1) every cold term of the
+        whole batch resolves in ONE round; (2) queries go to the shards
+        in GROUPS of ``group_size`` — one ``search_weighted_many`` RPC
+        per shard per group, amortizing Ray's per-task overhead across
+        the group (the dominant bulk cost; per-query fan-out measured
+        ~3 ms/query of pure dispatch at 16 shards); (3) up to
+        ``max_inflight_groups`` groups stay in flight so the driver
+        merges one group while shards work the next.  Results are
+        exactly ``[self.search(q, k, method, seed=False) for q in
+        queries]`` (unseeded: theta seeding is a latency trade, wrong
+        for throughput)."""
         import ray
 
         qtfs: list[dict[str, int]] = []
@@ -307,25 +321,32 @@ class ShardedSearcher:
                     order.append(t)
         dfs, _ = self._resolve_dfs(order)
         results: list[list[tuple[int, float]]] = [[] for _ in queries]
-        window = max(1, max_inflight // max(1, len(self.workers)))
-        pending: list[tuple[int, list]] = []  # (query idx, shard futures)
-
-        def _finish(i: int, futs: list) -> None:
-            merged = [r for part in ray.get(futs) for r in part]
-            merged.sort(key=lambda r: (-r[1], r[0]))
-            results[i] = merged[:k]
-
+        tws: list[list[tuple[str, float]]] = []
+        live_idx: list[int] = []  # query index per live tw
         for i, qtf in enumerate(qtfs):
             tw = [(t, n * float(bm25_idf(dfs[t], self.n_docs)))
                   for t, n in qtf.items() if dfs[t] > 0]
-            if not tw:
-                continue
-            pending.append((i, [w.search_weighted.remote(
-                tw, k, method, float("-inf")) for w in self.workers]))
-            if len(pending) >= window:
+            if tw:
+                live_idx.append(i)
+                tws.append(tw)
+
+        def _finish(idxs: list[int], futs: list) -> None:
+            per_shard = ray.get(futs)  # [shard][query in group] -> topk
+            for j, qi in enumerate(idxs):
+                merged = [r for part in per_shard for r in part[j]]
+                merged.sort(key=lambda r: (-r[1], r[0]))
+                results[qi] = merged[:k]
+
+        pending: list[tuple[list[int], list]] = []
+        for g in range(0, len(tws), group_size):
+            grp = tws[g:g + group_size]
+            idxs = live_idx[g:g + group_size]
+            pending.append((idxs, [w.search_weighted_many.remote(
+                grp, k, method) for w in self.workers]))
+            if len(pending) >= max_inflight_groups:
                 _finish(*pending.pop(0))
-        for i, futs in pending:
-            _finish(i, futs)
+        for idxs, futs in pending:
+            _finish(idxs, futs)
         return results
 
     def boolean_not(self, include: list[str], exclude: list[str]):

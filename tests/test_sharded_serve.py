@@ -285,7 +285,8 @@ def test_search_many_matches_per_query_search(built, sharded):
     """Pipelined bulk search must equal per-query search exactly,
     including queries with no indexed terms (empty result slots)."""
     qs = list(REFERENCE_QUERIES.values()) + ["zzzzunindexedzzz", ""]
-    bulk = sharded.search_many(qs, k=10, max_inflight=8)
+    # tiny group size + window exercises the group pipelining edges
+    bulk = sharded.search_many(qs, k=10, group_size=3, max_inflight_groups=2)
     assert len(bulk) == len(qs)
     for q, got in zip(qs, bulk):
         expect = sharded.search(q, k=10, method="wand", seed=False)
