@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same queries through the pipelined BULK serving path
         # (ShardedSearcher.search_many)
         "bm25_sharded_bulk": A.bm25_sharded_bulk,
+        # tombstone deletion (beyond-reference): doc_id %% 7 == 3 deleted,
+        # frozen-stats semantics (index_build.delete_docs)
+        "bm25_deleted_topk": A.bm25_deleted_topk,
         "tfidf_topk": A.tfidf_topk,
         "lm_dirichlet_topk": A.lm_dirichlet_topk,
         "lm_jm_topk": A.lm_jm_topk,
@@ -933,6 +936,15 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
                        FROM scores)"""
     bm25_sql = _CTE + bm25_rank_cte + """
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10"""
+    # tombstone-delete variant: scores filtered to LIVE docs while
+    # n/avgdl/df keep FULL-corpus values (delete_docs frozen-stats
+    # semantics: surviving docs score identically to the undeleted index)
+    bm25_deleted_sql = _CTE + bm25_rank_cte.replace(
+        "ranked AS (SELECT qid, doc_id, score,",
+        "live AS (SELECT * FROM scores WHERE doc_id % 7 <> 3),\n"
+        "            ranked AS (SELECT qid, doc_id, score,",
+    ).replace("FROM scores)", "FROM live)") + """
             SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10"""
     # shared sentence segmentation for the summarizer oracles
     # (functions/summarize.segment_sentences: split on [.!?。！？]+, strip,
@@ -2914,6 +2926,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_topk": bm25_sql,
         "bm25_sharded_topk": bm25_sql,
         "bm25_sharded_bulk": bm25_sql,
+        "bm25_deleted_topk": bm25_deleted_sql,
         "search_snippets": snippets_sql,
         "summarize_query_focused": qfocus_sql,
         "summarize_key_sentences": keysent_sql,

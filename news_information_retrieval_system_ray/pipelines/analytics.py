@@ -492,6 +492,44 @@ def bm25_sharded_bulk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
+def _deleted_searcher(sf_dir: str):
+    """Searcher over an index with doc_id %% 7 == 3 tombstoned (the
+    deterministic oracle delete set)."""
+
+    def build():
+        import tempfile
+
+        from .index_build import build_index, delete_docs
+        from .query import IndexSearcher
+
+        idx = tempfile.mkdtemp(prefix="nirs_del_idx_")
+        build_index(f"{sf_dir}/documents.parquet", idx, text_source="text",
+                    id_col="doc_id", engine="whitespace", n_shards=4,
+                    chunk_bits=5, resume=False)
+        n = int(IndexSearcher(idx).n_docs)
+        delete_docs(idx, [d for d in range(n) if d % 7 == 3])
+        return IndexSearcher(idx)
+
+    return _memo(("deleted_searcher", sf_dir), build)
+
+
+def bm25_deleted_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Fixed-query BM25 top-k AFTER tombstone deletion of every
+    doc_id %% 7 == 3 (index_build.delete_docs — beyond-reference:
+    Lucene-style liveness, the reference has no delete path).  Oracle:
+    the bm25 SQL with scores filtered to live docs while n/avgdl/df
+    keep FULL-corpus values — exactly the documented frozen-stats
+    semantics, so surviving docs score identically to the undeleted
+    index."""
+    s = _deleted_searcher(sf_dir)
+    rows = []
+    for qid, terms in FIXED_QUERIES.items():
+        for rank, (doc_id, score) in enumerate(
+                s.search(" ".join(terms), k=k, method="wand"), 1):
+            rows.append((qid, rank, doc_id, round4(score)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
 def boolean_sharded(sf_dir: str) -> pd.DataFrame:
     """(A AND B) NOT C served by the doc-sharded actors: each shard
     resolves its own chunks' sorted-merge boolean (disjoint doc

@@ -822,6 +822,59 @@ def build_index(
     )
 
 
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone deletion (Lucene-style liveness) — beyond-reference:
+    the reference is append-only with no delete path at all.
+
+    Appends the given doc_ids to ``<index_dir>/deletes/*.parquet``; no
+    segment is rewritten.  Searchers (single, chunk-restricted shards,
+    boolean/phrase) load the tombstone sidecar lazily and filter doc
+    ids at the gather points, so deleted docs never enter a heap,
+    intersection or phrase match.  SCORING SEMANTICS: global stats
+    (n_docs, avg_doc_length, df/idf) intentionally keep their
+    build-time values until a rebuild ("compaction" = re-running
+    build_index on the remaining corpus) — the standard
+    deleted-docs-affect-idf tradeoff every tombstone engine makes;
+    surviving docs' scores are bit-identical before and after a delete.
+
+    At 10^12-doc scale the sidecar stays tiny relative to the index
+    (8 bytes/tombstone), each file carries doc_id footer stats for
+    chunk-restricted pruning, and compaction is the existing resumable
+    build.  Returns the number of NEW tombstones written (already-dead
+    ids are dropped)."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import read_json
+
+    manifest = read_json(os.path.join(index_dir, "manifest.json"))
+    if manifest is None or manifest.get("stats") is None:
+        raise FileNotFoundError(f"no completed index manifest in {index_dir}")
+    n_docs = int(manifest["stats"]["n_docs"])
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if ids.size and (ids[0] < 0 or ids[-1] >= n_docs):
+        bad = ids[(ids < 0) | (ids >= n_docs)][:5].tolist()
+        raise ValueError(f"doc_ids outside [0, {n_docs}): {bad}")
+    ddir = os.path.join(index_dir, "deletes")
+    os.makedirs(ddir, exist_ok=True)
+    existing = sorted(glob.glob(os.path.join(ddir, "*.parquet")))
+    if existing:
+        old = np.concatenate([
+            pq.read_table(f, columns=["doc_id"]).column("doc_id")
+            .to_numpy(zero_copy_only=False) for f in existing])
+        ids = np.setdiff1d(ids, old.astype(np.int64), assume_unique=False)
+    if ids.size == 0:
+        return 0
+    path = os.path.join(ddir, f"delete-{len(existing):05d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
+    os.replace(tmp, path)  # atomic like the segment promote
+    return int(ids.size)
+
+
 def append_index(
     index_dir: str,
     new_input: str | list[str],

@@ -140,6 +140,8 @@ class IndexSearcher:
         # actor serving a hot query stream doesn't grow unboundedly
         self._tp: dict[str, _TermPostings | None] = {}
         self._tp_postings = 0
+        self._tomb: "np.ndarray | None" = None  # lazy (_tombstones)
+        self._tomb_loaded = False
         self.max_cached_postings = 20_000_000
         self.compact = compact
         # global term -> df overrides (doc-sharded serving: idf must use
@@ -308,13 +310,59 @@ class IndexSearcher:
         return self._dl_table(ids)
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(doc_ids, tfs, dls) for one term; empty arrays if absent."""
+        """(doc_ids, tfs, dls) for one term; empty arrays if absent.
+        Tombstoned docs are filtered (boolean/OR/NOT thus never see
+        them)."""
         tp = self._term(term)
         if tp is None:
             e = np.empty(0, dtype=np.int64)
             return e, e.copy(), e.copy()
         ids, tfs, dls, _ = tp.full()
+        m = self._live_mask(ids)
+        if m is not None:
+            ids, tfs = ids[m], tfs[m]
+            if dls is not None:
+                dls = dls[m]
         return ids, tfs, dls
+
+    # -------------------------------------------------------- tombstones
+    @property
+    def _tombstones(self) -> "np.ndarray | None":
+        """Sorted deleted doc_ids (deletes/*.parquet sidecar), loaded
+        once; ``None`` when the index has no deletions.  Chunk-restricted
+        searchers keep only their own chunks' tombstones.  See
+        ``index_build.delete_docs`` for the liveness semantics (global
+        stats keep build-time values until a rebuild, Lucene-style)."""
+        if not self._tomb_loaded:
+            self._tomb_loaded = True
+            import glob
+
+            import pyarrow.parquet as pq
+
+            files = sorted(glob.glob(
+                os.path.join(self.index_dir, "deletes", "*.parquet")))
+            if files:
+                d = np.unique(np.concatenate([
+                    pq.read_table(f, columns=["doc_id"]).column("doc_id")
+                    .to_numpy(zero_copy_only=False) for f in files]
+                )).astype(np.int64)
+                if self.chunks is not None and d.size:
+                    cm = np.isin(d >> self.eff_chunk_bits,
+                                 np.fromiter(self.chunks, dtype=np.int64,
+                                             count=len(self.chunks)))
+                    d = d[cm]
+                self._tomb = d if d.size else None
+        return self._tomb
+
+    def _live_mask(self, ids: np.ndarray) -> "np.ndarray | None":
+        """Boolean mask of NOT-tombstoned ids; None = no deletions (the
+        zero-cost fast path)."""
+        t = self._tombstones
+        if t is None or ids.size == 0:
+            return None
+        idx = np.searchsorted(t, ids)
+        hit = (idx < t.size) & (t[np.minimum(idx, t.size - 1)] == ids)
+        return ~hit if hit.any() else None
 
     def _term(self, term: str) -> "_TermPostings | None":
         """Cached query-independent decoded state for one term."""
@@ -483,7 +531,12 @@ class IndexSearcher:
             ids, _, _, base_w = tp.full()
             all_ids.append(ids)
             all_contrib.append(w * (base_w + self.delta))
-        return self._agg_topk(np.concatenate(all_ids), np.concatenate(all_contrib), k)
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        m = self._live_mask(ids)  # tombstoned docs never enter the heap
+        if m is not None:
+            ids, contrib = ids[m], contrib[m]
+        return self._agg_topk(ids, contrib, k)
 
     def _search_maxscore(self, q_tokens: list[str], k: int) -> list[tuple[int, float]]:
         """MaxScore essential/non-essential split (query_optimization.py:495-612).
@@ -639,15 +692,22 @@ class IndexSearcher:
             return parts_i, parts_w
 
         def score_ranges(cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-            """Per-doc aggregated (doc_ids, scores) over a range set."""
+            """Per-doc aggregated (doc_ids, scores) over a range set.
+            Tombstoned docs are masked BEFORE theta/heap ever see them
+            (range UBs still include them — an overestimate, so pruning
+            stays sound)."""
             parts_i, parts_w = gather_ranges(cand)
             if not parts_i:
                 return (np.empty(0, dtype=np.int64), np.empty(0))
             if len(parts_i) == 1:
-                return parts_i[0], parts_w[0]
-            uniq, inv = np.unique(np.concatenate(parts_i), return_inverse=True)
-            return uniq, np.bincount(inv, weights=np.concatenate(parts_w),
-                                     minlength=uniq.size)
+                u, s = parts_i[0], parts_w[0]
+            else:
+                uniq, inv = np.unique(np.concatenate(parts_i),
+                                      return_inverse=True)
+                u, s = uniq, np.bincount(
+                    inv, weights=np.concatenate(parts_w), minlength=uniq.size)
+            m = self._live_mask(u)
+            return (u, s) if m is None else (u[m], s[m])
 
         order = np.argsort(-ub, kind="stable")  # impact (desc-UB) order
         # running candidate buffer, compressed to the score->=cut set after
@@ -748,12 +808,14 @@ class IndexSearcher:
         if row is None:
             return {}
         ids, _, _ = unpack_postings(row)
+        live = self._live_mask(ids)
         out: dict[int, np.ndarray] = {}
         off = 0
         buf = row["positions_bytes"]
         for i, nb in enumerate(row["pos_nbytes"]):
-            deltas = vbyte_decode(buf[off : off + nb])
-            out[int(ids[i])] = np.cumsum(deltas.astype(np.int64))
+            if live is None or live[i]:  # tombstoned docs never match
+                deltas = vbyte_decode(buf[off : off + nb])
+                out[int(ids[i])] = np.cumsum(deltas.astype(np.int64))
             off += nb
         return out
 
