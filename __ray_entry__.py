@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tombstone deletion (beyond-reference): doc_id %% 7 == 3 deleted,
         # frozen-stats semantics (index_build.delete_docs)
         "bm25_deleted_topk": A.bm25_deleted_topk,
+        # delete + compact: segments rewritten, stats recomputed over
+        # the live corpus (index_build.compact_index)
+        "bm25_compacted_topk": A.bm25_compacted_topk,
         "tfidf_topk": A.tfidf_topk,
         "lm_dirichlet_topk": A.lm_dirichlet_topk,
         "lm_jm_topk": A.lm_jm_topk,
@@ -940,6 +943,14 @@ def oracle_sql() -> dict[str, str]:
     # tombstone-delete variant: scores filtered to LIVE docs while
     # n/avgdl/df keep FULL-corpus values (delete_docs frozen-stats
     # semantics: surviving docs score identically to the undeleted index)
+    # compaction variant: the ENTIRE bm25 computation over the live
+    # subset (live n/avgdl/df — stats recomputed, the opposite contract
+    # of the frozen-stats tombstone phase)
+    live_cte = _CTE.replace("FROM documents", "FROM docs_live").replace(
+        "WITH norm AS (",
+        "WITH docs_live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),\nnorm AS (")
+    bm25_compacted_sql = live_cte + bm25_rank_cte + """
+            SELECT qid, rank, doc_id, round(score, 4) AS score FROM ranked WHERE rank <= 10"""
     bm25_deleted_sql = _CTE + bm25_rank_cte.replace(
         "ranked AS (SELECT qid, doc_id, score,",
         "live AS (SELECT * FROM scores WHERE doc_id % 7 <> 3),\n"
@@ -2927,6 +2938,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_sharded_topk": bm25_sql,
         "bm25_sharded_bulk": bm25_sql,
         "bm25_deleted_topk": bm25_deleted_sql,
+        "bm25_compacted_topk": bm25_compacted_sql,
         "search_snippets": snippets_sql,
         "summarize_query_focused": qfocus_sql,
         "summarize_key_sentences": keysent_sql,

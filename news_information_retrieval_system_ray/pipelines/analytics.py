@@ -530,6 +530,38 @@ def bm25_deleted_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
+def bm25_compacted_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Fixed-query BM25 top-k after delete + COMPACT (doc_id %% 7 == 3
+    removed, segments rewritten, stats recomputed): equivalent to an
+    index built directly on the live docs with the same ids.  Oracle:
+    the bm25 SQL computed entirely over the live subset (live n, avgdl,
+    df — the opposite stats contract of bm25_deleted_topk's frozen
+    phase)."""
+
+    def build():
+        import tempfile
+
+        from .index_build import build_index, compact_index, delete_docs
+        from .query import IndexSearcher
+
+        idx = tempfile.mkdtemp(prefix="nirs_compact_idx_")
+        build_index(f"{sf_dir}/documents.parquet", idx, text_source="text",
+                    id_col="doc_id", engine="whitespace", n_shards=4,
+                    chunk_bits=5, resume=False)
+        n = int(IndexSearcher(idx).n_docs)
+        delete_docs(idx, [d for d in range(n) if d % 7 == 3])
+        compact_index(idx)
+        return IndexSearcher(idx)
+
+    s = _memo(("compacted_searcher", sf_dir), build)
+    rows = []
+    for qid, terms in FIXED_QUERIES.items():
+        for rank, (doc_id, score) in enumerate(
+                s.search(" ".join(terms), k=k, method="wand"), 1):
+            rows.append((qid, rank, doc_id, round4(score)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
+
+
 def boolean_sharded(sf_dir: str) -> pd.DataFrame:
     """(A AND B) NOT C served by the doc-sharded actors: each shard
     resolves its own chunks' sorted-merge boolean (disjoint doc

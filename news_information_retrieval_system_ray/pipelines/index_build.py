@@ -875,6 +875,190 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(ids.size)
 
 
+def compact_index(index_dir: str, *,
+                  shuffle_blocks: int | None = None) -> "dict | None":
+    """Rewrite the index without its tombstoned docs — the delete
+    lifecycle's second half (``delete_docs`` is the first).
+
+    Doc ids are UNCHANGED (the live id space just becomes sparse), so
+    external doc references stay valid; what changes is the STATS:
+    n_docs / avg_doc_length / df now reflect the live corpus, so BM25
+    scores legitimately shift — a compacted index is rank/score
+    -identical to an index built directly on the remaining docs with
+    the same ids (equivalence-tested), unlike the frozen-stats
+    tombstone phase.
+
+    Flow (each artifact swapped by atomic rename, in an order that a
+    rerun repairs: segments first — built from the FILTERED tokens
+    stream — then the tokens table itself, then stats, then the
+    tombstone sidecar is cleared; ``deletes/`` survives until the end,
+    so a crashed compaction is recovered by running it again):
+
+    1. read tombstones; no-op if none;
+    2. stream the retained tokens table minus deleted ids through the
+       SAME prepack -> sort -> repack exchange the build uses (or the
+       explode -> sort -> pack positional path), honoring the built
+       layout (block size, eff_chunk_bits, chunkband partitions, alt
+       collision passenger);
+    3. recompute stats from the filtered tokens; update the manifest;
+       drop ``deletes/``.
+
+    Returns the new ``{"n_docs", "avg_doc_length", "n_posting_rows",
+    "n_compacted"}`` or ``None`` when there was nothing to do."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..state.manifest import read_json
+
+    manifest_d = read_json(os.path.join(index_dir, "manifest.json"))
+    if manifest_d is None or manifest_d.get("stats") is None:
+        raise FileNotFoundError(f"no completed index manifest in {index_dir}")
+    dfiles = sorted(glob.glob(os.path.join(index_dir, "deletes", "*.parquet")))
+    if not dfiles:
+        return None
+    dead = np.unique(np.concatenate([
+        pq.read_table(f, columns=["doc_id"]).column("doc_id")
+        .to_numpy(zero_copy_only=False) for f in dfiles])).astype(np.int64)
+    if dead.size == 0:
+        shutil.rmtree(os.path.join(index_dir, "deletes"), ignore_errors=True)
+        return None
+    config = manifest_d["config"]
+    block_size = int(config.get("block_size") or 32)
+    with_positions = bool(config.get("with_positions"))
+    band_p = int(config.get("chunkband_partitions") or 0) \
+        if not with_positions else 0
+    eff_chunk_bits = int(manifest_d.get("eff_chunk_bits")
+                         or config.get("chunk_bits")
+                         or max(10, int(manifest_d["stats"]["n_docs"])
+                                .bit_length() - 3))
+    emit_alt = bool(manifest_d.get("alt_layout"))
+    tokens_root = os.path.join(index_dir, "tokens")
+    seg_dir = os.path.join(index_dir, "segments")
+    if shuffle_blocks is None:
+        shuffle_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    dead_ref = ray.put(dead)
+
+    def _drop_dead(t, _ref=dead_ref):
+        d = ray.get(_ref)  # zero-copy plasma read, cached per worker
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(d, ids)
+        hit = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == ids)
+        return t.filter(pa.array(~hit)) if hit.any() else t
+
+    # -- segments from the filtered token stream (mirrors build_index's
+    # two layout branches; fragments stay correct because filtering
+    # whole docs preserves ascending per-term doc order)
+    tok_cols = ["doc_id", "doc_len", "terms", "tfs"] \
+        + (["positions"] if with_positions else [])
+    live_tokens = rd.read_parquet(
+        _tokens_files_by_docid(tokens_root), columns=tok_cols,
+        override_num_blocks=shuffle_blocks,
+    ).map_batches(_drop_dead, batch_format="pyarrow")
+    # ids are dense 0..n-1 at build and tombstones are range-validated,
+    # so the live count is arithmetic — no extra execution pass
+    n_live = int(manifest_d["stats"]["n_docs"]) - int(dead.size)
+    tmp_seg = os.path.join(index_dir, ".tmp_seg_compact")
+    shutil.rmtree(tmp_seg, ignore_errors=True)
+    if not with_positions:
+        prepack_batch = min(4096, -(-n_live // shuffle_blocks))
+        prepacked = live_tokens.map_batches(
+            PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size,
+                          emit_alt=emit_alt, band_partitions=band_p),
+            batch_format="pyarrow", batch_size=prepack_batch)
+        if band_p > 0:
+            packed = prepacked.sort(
+                ["chunkband", "term_hash", "chunk", "first_doc"]
+            ).map_batches(
+                RepackFragments,
+                fn_constructor_kwargs=dict(
+                    block_size=block_size, tokens_path=tokens_root,
+                    chunk_bits=eff_chunk_bits, band_partitions=band_p),
+                batch_format="pyarrow", batch_size=8192,
+                concurrency=(1, shuffle_blocks))
+        else:
+            packed = prepacked.sort(
+                ["term_hash", "chunk", "first_doc"]
+            ).map_batches(
+                RepackFragments(block_size=block_size,
+                                doclens=_doclens_ref(tokens_root)),
+                batch_format="pyarrow", batch_size=8192)
+        # NOTE: the repack dl lookup reads the PRE-compaction tokens
+        # table — sound: it is a superset of the live docs, and only
+        # live doc ids are ever looked up.
+        if band_p > 0:
+            packed.write_parquet(tmp_seg, partition_cols=["chunkband"],
+                                 row_group_size=2048)
+        else:
+            packed.write_parquet(tmp_seg, row_group_size=2048)
+        if emit_alt:
+            _verify_alt_global(tmp_seg) if band_p > 0 \
+                else _verify_alt_sorted(tmp_seg)
+    else:
+        exploded = live_tokens.map_batches(
+            ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=True,
+                          emit_term=False, emit_alt=emit_alt),
+            batch_format="pyarrow")
+        packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
+            PackRuns(block_size=block_size, with_positions=True),
+            batch_format="pyarrow", batch_size=None)
+        packed.write_parquet(tmp_seg, row_group_size=2048)
+        if emit_alt:
+            _verify_alt_sorted(tmp_seg)
+
+    # -- filtered tokens table (doc-length sidecar must shrink with the
+    # postings so stats and dl lookups describe the live corpus)
+    tmp_tok = os.path.join(index_dir, ".tmp_tok_compact")
+    shutil.rmtree(tmp_tok, ignore_errors=True)
+    rd.read_parquet(tokens_root).map_batches(
+        _drop_dead, batch_format="pyarrow"
+    ).write_parquet(tmp_tok, partition_cols=["shard"])
+
+    # -- swaps + stats (rename order documented above)
+    old_seg = seg_dir + ".old"
+    shutil.rmtree(old_seg, ignore_errors=True)
+    os.replace(seg_dir, old_seg)
+    os.replace(tmp_seg, seg_dir)
+    shutil.rmtree(old_seg, ignore_errors=True)
+    old_tok = tokens_root + ".old"
+    shutil.rmtree(old_tok, ignore_errors=True)
+    os.replace(tokens_root, old_tok)
+    os.replace(tmp_tok, tokens_root)
+    shutil.rmtree(old_tok, ignore_errors=True)
+
+    total_len = 0
+    for f in glob.glob(os.path.join(tokens_root, "**", "*.parquet"),
+                       recursive=True):
+        t = pq.read_table(f, columns=["doc_len"])
+        total_len += int(pc.sum(t.column("doc_len")).as_py() or 0)
+    # update the raw manifest json in place (the manifest IS its state
+    # dict) — fingerprints/shard lineage stay untouched: inputs did not
+    # change, only the live subset did.  id_space preserves the doc-id
+    # ASSIGNMENT bound (the live set is now sparse): appends allocate
+    # from it and shard chunk universes span it.
+    manifest_d["id_space"] = int(manifest_d.get(
+        "id_space", manifest_d["stats"]["n_docs"]))
+    manifest_d["stats"] = {
+        "n_docs": int(n_live),
+        "total_len": int(total_len),
+        "avg_doc_length": (total_len / n_live) if n_live else 0.0,
+    }
+    n_rows = _count_rows(seg_dir)
+    manifest_d["segments_rows"] = n_rows
+    from ..state.manifest import write_json_atomic
+
+    write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest_d)
+    shutil.rmtree(os.path.join(index_dir, "deletes"), ignore_errors=True)
+    return {"n_docs": int(n_live),
+            "avg_doc_length": manifest_d["stats"]["avg_doc_length"],
+            "n_posting_rows": n_rows, "n_compacted": int(dead.size)}
+
+
 def append_index(
     index_dir: str,
     new_input: str | list[str],
@@ -916,7 +1100,11 @@ def append_index(
                                 state["stats"]["avg_doc_length"],
                                 state.get("segments_rows", 0), 0)
 
-    base = state["stats"]["n_docs"]
+    # id_space = the doc-id ASSIGNMENT bound (>= n_docs once a
+    # compaction has made the live id set sparse): new ids must never
+    # reuse a surviving sparse id, so appends allocate from the bound,
+    # not the live count
+    base = int(state.get("id_space", state["stats"]["n_docs"]))
     items = []
     for it in plan_row_groups(files):
         items.append(RowGroupItem(it.path, it.row_group, it.doc_base + base, it.num_rows))
@@ -1071,6 +1259,9 @@ def append_index(
     st["n_docs"] += n_new
     st["total_len"] += len_new
     st["avg_doc_length"] = st["total_len"] / max(1, st["n_docs"])
+    # advance the id-space bound by the PLANNED rows (ids are assigned
+    # per input row even if extraction drops some)
+    state["id_space"] = base + sum(i.num_rows for i in items)
     state["segments_rows"] = state.get("segments_rows", 0) + _count_rows(seg_dst)
     write_json_atomic(mpath, state)
     return IndexBuildResult(index_dir, st["n_docs"], st["avg_doc_length"],

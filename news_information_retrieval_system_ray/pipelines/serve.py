@@ -131,7 +131,11 @@ class ShardedSearcher:
         if bits is None:  # same fallback build_index uses when unset
             bits = max(10, self.n_docs.bit_length() - 3)
         self.chunk_bits = int(bits)
-        n_chunks = ((max(1, self.n_docs) - 1) >> self.chunk_bits) + 1
+        # chunk universe spans the id-space BOUND, not the live count —
+        # after a compaction the live ids are sparse up to the bound and
+        # every chunk must belong to some shard
+        id_bound = int(manifest.get("id_space") or self.n_docs)
+        n_chunks = ((max(1, id_bound) - 1) >> self.chunk_bits) + 1
         if workers is not None:
             n_shards = len(workers)
         n_shards = max(1, min(n_shards, n_chunks))

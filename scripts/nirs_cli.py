@@ -63,6 +63,15 @@ def main() -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--query", required=True)
 
+    dl = sub.add_parser("delete", help="tombstone doc ids (no rewrite)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", required=True,
+                    help="comma-separated doc ids and/or a:b ranges")
+
+    cp = sub.add_parser("compact", help="rewrite the index without "
+                                        "tombstoned docs (stats recomputed)")
+    cp.add_argument("--index", required=True)
+
     c = sub.add_parser("corpus", help="unified-corpus ETL (normalize, dedup, caps)")
     c.add_argument("--input", required=True, help="raw crawler records parquet (file or dir)")
     c.add_argument("--out", required=True)
@@ -88,6 +97,23 @@ def main() -> int:
         r = append_index(args.index, args.input)
         print(json.dumps({"n_docs": r.n_docs, "avg_doc_length": round(r.avg_doc_length, 4),
                           "posting_rows": r.n_posting_rows}))
+    elif args.cmd == "delete":
+        from news_information_retrieval_system_ray.pipelines.index_build import delete_docs
+
+        ids: list[int] = []
+        for part in args.ids.split(","):
+            if ":" in part:
+                a_, b_ = part.split(":")
+                ids.extend(range(int(a_), int(b_)))
+            elif part.strip():
+                ids.append(int(part))
+        print(json.dumps({"tombstoned": delete_docs(args.index, ids)}))
+    elif args.cmd == "compact":
+        _ray_init()
+        from news_information_retrieval_system_ray.pipelines.index_build import compact_index
+
+        r = compact_index(args.index)
+        print(json.dumps(r if r is not None else {"noop": True}))
     elif args.cmd == "corpus":
         _ray_init()
         from news_information_retrieval_system_ray.pipelines.corpus_build import (

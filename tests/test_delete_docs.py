@@ -96,3 +96,102 @@ def test_phrase_respects_tombstones(ray_session, tmp_path_factory):
     delete_docs(idx, pre[:2])
     post = IndexSearcher(idx).phrase_docs(phrase).tolist()
     assert post == pre[2:]
+
+
+def _filtered_documents(tmp_path_factory, sf_dir, keep_fn):
+    """documents.parquet subset with EXPLICIT doc_ids preserved."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    keep = np.array([keep_fn(int(d)) for d in ids])
+    out = str(tmp_path_factory.mktemp("docs_subset") / "documents.parquet")
+    pq.write_table(t.filter(pa.array(keep)), out)
+    return out
+
+
+def test_compaction_equals_direct_build_on_survivors(ray_session, tmp_path_factory):
+    """compact_index must produce an index rank/score-identical to one
+    built directly on the surviving docs with the SAME ids (stats now
+    reflect the live corpus — the opposite contract of the frozen-stats
+    tombstone phase), and shard chunk universes must span the sparse id
+    space."""
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        compact_index)
+    from news_information_retrieval_system_ray.state.manifest import read_json
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    keep = lambda d: d % 5 != 2  # noqa: E731
+
+    idx = str(tmp_path_factory.mktemp("index_compact"))
+    build_index(f"{sf}/documents.parquet", idx, text_source="text",
+                id_col="doc_id", engine="whitespace", n_shards=3,
+                chunk_bits=5, resume=False)
+    n0 = int(read_json(os.path.join(idx, "manifest.json"))["stats"]["n_docs"])
+    victims = [d for d in range(n0) if not keep(d)]
+    delete_docs(idx, victims)
+    summary = compact_index(idx)
+    assert summary is not None
+    assert summary["n_compacted"] == len(victims)
+    assert summary["n_docs"] == n0 - len(victims)
+    assert compact_index(idx) is None  # tombstones cleared -> no-op
+
+    ref_docs = _filtered_documents(tmp_path_factory, sf, keep)
+    ref_idx = str(tmp_path_factory.mktemp("index_ref"))
+    build_index(ref_docs, ref_idx, text_source="text", id_col="doc_id",
+                engine="whitespace", n_shards=3, chunk_bits=5, resume=False)
+
+    a, b = IndexSearcher(idx), IndexSearcher(ref_idx)
+    assert a.n_docs == b.n_docs
+    assert abs(a.avgdl - b.avgdl) < 1e-9
+    for q in ("spark table join", "window agg batch", "customer value"):
+        ra = a.search(q, k=20, method="wand")
+        rb = b.search(q, k=20, method="wand")
+        assert [d for d, _ in ra] == [d for d, _ in rb], q
+        np.testing.assert_allclose([s for _, s in ra], [s for _, s in rb],
+                                   rtol=0, atol=1e-12)
+    # sharded serving over the compacted (sparse-id) index still finds
+    # everything: chunk universe spans the id-space bound
+    s = ShardedSearcher(idx, n_shards=4)
+    try:
+        for q in ("spark table join", "customer value"):
+            assert s.search(q, k=10) == a.search(q, k=10, method="wand"), q
+    finally:
+        s.shutdown()
+    # deleted docs are really gone from the postings
+    assert not any(not keep(d) for d, _ in a.search("table", k=50))
+
+
+def test_append_after_compact_allocates_from_id_space(ray_session, tmp_path_factory):
+    """After compaction the live id set is sparse; an append must
+    allocate NEW ids from the id-space bound, never reusing a surviving
+    (or freed) id."""
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        append_index, compact_index)
+    from news_information_retrieval_system_ray.state.manifest import read_json
+    import os
+
+    d = tmp_path_factory.mktemp("pages_idspace")
+    paths = generate_pages(str(d), n_docs=200, seed=31, n_files=2)
+    idx = str(tmp_path_factory.mktemp("index_idspace"))
+    build_index(paths, idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2, resume=False)
+    delete_docs(idx, list(range(0, 200, 3)))  # 67 victims
+    assert compact_index(idx)["n_docs"] == 200 - 67
+    m = read_json(os.path.join(idx, "manifest.json"))
+    assert m["id_space"] == 200 and m["stats"]["n_docs"] == 133
+
+    d2 = tmp_path_factory.mktemp("pages_idspace_new")
+    new_paths = generate_pages(str(d2), n_docs=50, seed=77, n_files=1)
+    res = append_index(idx, new_paths)
+    assert res.n_docs == 183
+    m2 = read_json(os.path.join(idx, "manifest.json"))
+    assert m2["id_space"] == 250  # appended ids live in [200, 250)
+    s = IndexSearcher(idx)
+    hits = s.search(list(REFERENCE_QUERIES.values())[0], k=250, method="wand")
+    ids = [doc for doc, _ in hits]
+    assert len(ids) == len(set(ids))  # no id collisions anywhere
+    assert max(ids) >= 200  # appended docs are searchable
+    assert not any(i % 3 == 0 and i < 200 for i in ids)  # victims stay gone
