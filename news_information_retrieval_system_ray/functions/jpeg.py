@@ -486,7 +486,11 @@ def _decode_block(br: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder,
                   pred: int) -> tuple[np.ndarray, int]:
     zz = np.zeros(64, dtype=np.int32)
     cat = br.decode(dc)
+    if cat > 15:  # baseline DC categories are 0..11; 16+ = corrupt DHT
+        raise ValueError(f"corrupt JPEG: DC category {cat}")
     dc_val = pred + _extend(br.receive(cat), cat)
+    if abs(dc_val) > (1 << 30):  # corrupt stream: runaway DC predictor
+        raise ValueError("corrupt JPEG: DC predictor out of range")
     zz[0] = dc_val
     i = 1
     while i < 64:
@@ -529,7 +533,12 @@ class _JpegStream:
                 continue
             if tag == 0xD9:  # EOI
                 break
+            if p + 2 > len(d):
+                raise ValueError("truncated JPEG: marker length cut off")
             ln = struct.unpack(">H", d[p:p + 2])[0]
+            if ln < 2:
+                raise ValueError(f"corrupt JPEG: marker 0x{tag:02X} "
+                                 f"declares length {ln} < 2")
             seg = d[p + 2:p + ln]
             if tag == 0xDB:
                 q = 0
@@ -579,6 +588,8 @@ class _JpegStream:
                 continue
             # APPn / COM / others: skipped
             p += ln
+        if not hasattr(self, "planes"):
+            raise ValueError("truncated JPEG: no decodable scan")
 
     def _decode_scan(self, d: bytes) -> None:
         hmax = max(c["h"] for c in self.comps)
@@ -595,7 +606,11 @@ class _JpegStream:
         preds = {c["id"]: 0 for c in self.comps}
         order = []  # per-MCU (comp dict, scan dict) block emission order
         for sc in self.scan:
-            comp = next(c for c in self.comps if c["id"] == sc["id"])
+            comp = next((c for c in self.comps if c["id"] == sc["id"]), None)
+            if comp is None:
+                raise ValueError(
+                    f"corrupt JPEG: scan references component {sc['id']} "
+                    "absent from SOF")
             order.append((comp, sc))
         n_mcu = mcux * mcuy
         since_restart = 0

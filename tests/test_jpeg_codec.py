@@ -167,3 +167,29 @@ def test_mjpeg_avi_roundtrip():
     np.testing.assert_array_equal(decode_avi(dib)[0], frames)
     with pytest.raises(ValueError):
         encode_avi(frames, codec="h264")
+
+
+def test_decoder_survives_truncation_and_corruption():
+    """Malformed payloads must raise cleanly (never hang or return
+    garbage silently): truncations at every 37-byte stride and
+    single-byte corruptions across the header and entropy segment."""
+    img = _gradient_img(16, 16, seed=1)
+    payload = encode_jpeg(img, quality=70)
+    for cut in range(2, len(payload), 37):
+        try:
+            out = decode_jpeg(payload[:cut])
+            assert out.dtype == np.uint8  # decoded despite truncation: fine
+        except Exception as e:
+            assert isinstance(e, (ValueError, KeyError, IndexError)), \
+                (cut, type(e))
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        pos = int(rng.integers(2, len(payload)))
+        mutated = bytearray(payload)
+        mutated[pos] ^= 0xFF
+        try:
+            out = decode_jpeg(bytes(mutated))
+            assert out.dtype == np.uint8
+        except Exception as e:
+            assert isinstance(e, (ValueError, KeyError, IndexError)), \
+                (pos, type(e))
