@@ -1059,6 +1059,69 @@ def compact_index(index_dir: str, *,
             "n_posting_rows": n_rows, "n_compacted": int(dead.size)}
 
 
+class StreamingIndexer:
+    """Buffered near-real-time ingestion over an existing index.
+
+    ``add(rows)`` buffers plain row dicts (the columns the index was
+    built from: ``url``/``html`` for an html build, the text column
+    otherwise, plus the id column if configured); once the buffer
+    reaches ``flush_every`` docs — or on an explicit ``flush()`` — the
+    batch is written as a parquet file and folded in through
+    ``append_index``, which is rank/score-identical to a full rebuild
+    (tests/test_append_index.py).  Searchers pick new docs up with
+    ``IndexSearcher.refresh()`` — the Lucene NRT shape: writer buffers,
+    segment-granular commits, cheap reader reopen.
+
+    Scale shape: one StreamingIndexer per ingest partition (an actor),
+    each flushing its own append shard; flushes are the existing
+    resumable append path, so a crashed flush re-runs."""
+
+    def __init__(self, index_dir: str, flush_every: int = 1000,
+                 spool_dir: str | None = None):
+        import tempfile
+
+        from ..state.manifest import read_json
+
+        m = read_json(os.path.join(index_dir, "manifest.json"))
+        if m is None or m.get("stats") is None:
+            raise FileNotFoundError(f"no completed index manifest in {index_dir}")
+        self.index_dir = index_dir
+        self.flush_every = int(flush_every)
+        if spool_dir:
+            os.makedirs(spool_dir, exist_ok=True)
+            self.spool_dir = spool_dir
+        else:
+            self.spool_dir = tempfile.mkdtemp(prefix="nirs_spool_")
+        self._buf: list[dict] = []
+        self._n_flushed = 0
+        self._spooled = 0
+
+    def add(self, rows) -> "IndexBuildResult | None":
+        """Buffer rows; auto-flush at ``flush_every``.  Returns the
+        flush result when one happened, else None."""
+        self._buf.extend(dict(r) for r in rows)
+        if len(self._buf) >= self.flush_every:
+            return self.flush()
+        return None
+
+    def flush(self) -> "IndexBuildResult | None":
+        if not self._buf:
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.spool_dir,
+                            f"stream-{self._spooled:06d}.parquet")
+        self._spooled += 1
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pylist(self._buf), tmp)
+        os.replace(tmp, path)
+        self._buf.clear()
+        res = append_index(self.index_dir, [path])
+        self._n_flushed += 1
+        return res
+
+
 def append_index(
     index_dir: str,
     new_input: str | list[str],

@@ -388,6 +388,16 @@ class IndexSearcher:
             self._tp[term] = tp
         return tp
 
+    def refresh(self) -> None:
+        """NRT refresh: re-open the index, picking up segments appended,
+        compactions run and tombstones written since this searcher
+        loaded.  Drops every cache — equivalent to constructing a new
+        searcher with the same parameters (the cheap-reopen granularity
+        a streaming ingest loop needs between flushes)."""
+        self.__init__(self.index_dir, k1=self.k1, b=self.b,
+                      delta=self.delta, compact=self.compact,
+                      chunks=self.chunks)
+
     def df(self, term: str) -> int:
         self._fetch_terms([term])
         row = self._cache[term]
