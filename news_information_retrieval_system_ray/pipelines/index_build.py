@@ -853,11 +853,17 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     manifest = read_json(os.path.join(index_dir, "manifest.json"))
     if manifest is None or manifest.get("stats") is None:
         raise FileNotFoundError(f"no completed index manifest in {index_dir}")
-    n_docs = int(manifest["stats"]["n_docs"])
+    # validate against the id-space BOUND, not the live count: after a
+    # compaction the live ids are sparse up to the bound, and a doc with
+    # id >= n_docs can be perfectly live (r4 review).  Ids inside the
+    # bound that no longer exist are harmless no-ops at compaction time
+    # (stats are derived from the actual surviving rows, never from
+    # tombstone arithmetic).
+    bound = int(manifest.get("id_space", manifest["stats"]["n_docs"]))
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
-    if ids.size and (ids[0] < 0 or ids[-1] >= n_docs):
-        bad = ids[(ids < 0) | (ids >= n_docs)][:5].tolist()
-        raise ValueError(f"doc_ids outside [0, {n_docs}): {bad}")
+    if ids.size and (ids[0] < 0 or ids[-1] >= bound):
+        bad = ids[(ids < 0) | (ids >= bound)][:5].tolist()
+        raise ValueError(f"doc_ids outside [0, {bound}): {bad}")
     ddir = os.path.join(index_dir, "deletes")
     os.makedirs(ddir, exist_ok=True)
     existing = sorted(glob.glob(os.path.join(ddir, "*.parquet")))
@@ -888,20 +894,22 @@ def compact_index(index_dir: str, *,
     the same ids (equivalence-tested), unlike the frozen-stats
     tombstone phase.
 
-    Flow (each artifact swapped by atomic rename, in an order that a
-    rerun repairs: segments first — built from the FILTERED tokens
-    stream — then the tokens table itself, then stats, then the
-    tombstone sidecar is cleared; ``deletes/`` survives until the end,
-    so a crashed compaction is recovered by running it again):
+    Flow (each artifact swapped by atomic rename; ``deletes/`` survives
+    until the very end and stats derive from the ACTUAL surviving rows
+    — never tombstone arithmetic — so a crashed compaction at any point
+    is recovered by running it again; a half-finished rename pair is
+    restored by the entry guard):
 
-    1. read tombstones; no-op if none;
-    2. stream the retained tokens table minus deleted ids through the
-       SAME prepack -> sort -> repack exchange the build uses (or the
-       explode -> sort -> pack positional path), honoring the built
-       layout (block size, eff_chunk_bits, chunkband partitions, alt
-       collision passenger);
-    3. recompute stats from the filtered tokens; update the manifest;
-       drop ``deletes/``.
+    1. restore any ``*.old`` artifact a previous crash left mid-swap;
+    2. read tombstones; no-op if none;
+    3. write the FILTERED tokens table once (one scan; tombstoned ids
+       inside the bound that no longer exist are harmless no-ops);
+    4. rebuild segments FROM the filtered copy through the SAME prepack
+       -> sort -> repack exchange the build uses (or the explode ->
+       sort -> pack positional path), honoring the built layout (block
+       size, eff_chunk_bits, chunkband partitions, alt passenger);
+    5. swap segments, swap tokens, write stats counted from the
+       filtered rows, drop ``deletes/``.
 
     Returns the new ``{"n_docs", "avg_doc_length", "n_posting_rows",
     "n_compacted"}`` or ``None`` when there was nothing to do."""
@@ -919,6 +927,12 @@ def compact_index(index_dir: str, *,
     manifest_d = read_json(os.path.join(index_dir, "manifest.json"))
     if manifest_d is None or manifest_d.get("stats") is None:
         raise FileNotFoundError(f"no completed index manifest in {index_dir}")
+    # crash recovery: a previous run that died between its two renames
+    # left the live dir missing and the .old sibling present — restore
+    for live in (os.path.join(index_dir, "segments"),
+                 os.path.join(index_dir, "tokens")):
+        if not os.path.isdir(live) and os.path.isdir(live + ".old"):
+            os.replace(live + ".old", live)
     dfiles = sorted(glob.glob(os.path.join(index_dir, "deletes", "*.parquet")))
     if not dfiles:
         return None
@@ -951,22 +965,39 @@ def compact_index(index_dir: str, *,
         hit = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == ids)
         return t.filter(pa.array(~hit)) if hit.any() else t
 
-    # -- segments from the filtered token stream (mirrors build_index's
-    # two layout branches; fragments stay correct because filtering
-    # whole docs preserves ascending per-term doc order)
+    # -- ONE scan: write the filtered tokens table first; the segment
+    # rebuild then reads the already-filtered copy (r4 review: the old
+    # flow scanned+filtered the tokens twice)
+    tmp_tok = os.path.join(index_dir, ".tmp_tok_compact")
+    shutil.rmtree(tmp_tok, ignore_errors=True)
+    rd.read_parquet(tokens_root).map_batches(
+        _drop_dead, batch_format="pyarrow"
+    ).write_parquet(tmp_tok, partition_cols=["shard"])
+    # actual-row stats (NEVER tombstone arithmetic: tombstones may name
+    # ids that no longer exist after an earlier compaction — harmless
+    # no-ops that must not skew n_docs/avgdl)
+    n_live = 0
+    total_len = 0
+    for f in glob.glob(os.path.join(tmp_tok, "**", "*.parquet"),
+                       recursive=True):
+        t = pq.read_table(f, columns=["doc_len"])
+        n_live += t.num_rows
+        total_len += int(pc.sum(t.column("doc_len")).as_py() or 0)
+    if n_live == 0:
+        shutil.rmtree(tmp_tok, ignore_errors=True)
+        raise ValueError(
+            "compaction would remove every document — delete the index "
+            "directory instead of compacting it to empty")
+
     tok_cols = ["doc_id", "doc_len", "terms", "tfs"] \
         + (["positions"] if with_positions else [])
     live_tokens = rd.read_parquet(
-        _tokens_files_by_docid(tokens_root), columns=tok_cols,
-        override_num_blocks=shuffle_blocks,
-    ).map_batches(_drop_dead, batch_format="pyarrow")
-    # ids are dense 0..n-1 at build and tombstones are range-validated,
-    # so the live count is arithmetic — no extra execution pass
-    n_live = int(manifest_d["stats"]["n_docs"]) - int(dead.size)
+        _tokens_files_by_docid(tmp_tok), columns=tok_cols,
+        override_num_blocks=shuffle_blocks)
     tmp_seg = os.path.join(index_dir, ".tmp_seg_compact")
     shutil.rmtree(tmp_seg, ignore_errors=True)
     if not with_positions:
-        prepack_batch = min(4096, -(-n_live // shuffle_blocks))
+        prepack_batch = max(1, min(4096, -(-n_live // shuffle_blocks)))
         prepacked = live_tokens.map_batches(
             PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size,
                           emit_alt=emit_alt, band_partitions=band_p),
@@ -977,7 +1008,7 @@ def compact_index(index_dir: str, *,
             ).map_batches(
                 RepackFragments,
                 fn_constructor_kwargs=dict(
-                    block_size=block_size, tokens_path=tokens_root,
+                    block_size=block_size, tokens_path=tmp_tok,
                     chunk_bits=eff_chunk_bits, band_partitions=band_p),
                 batch_format="pyarrow", batch_size=8192,
                 concurrency=(1, shuffle_blocks))
@@ -986,11 +1017,8 @@ def compact_index(index_dir: str, *,
                 ["term_hash", "chunk", "first_doc"]
             ).map_batches(
                 RepackFragments(block_size=block_size,
-                                doclens=_doclens_ref(tokens_root)),
+                                doclens=_doclens_ref(tmp_tok)),
                 batch_format="pyarrow", batch_size=8192)
-        # NOTE: the repack dl lookup reads the PRE-compaction tokens
-        # table — sound: it is a superset of the live docs, and only
-        # live doc ids are ever looked up.
         if band_p > 0:
             packed.write_parquet(tmp_seg, partition_cols=["chunkband"],
                                  row_group_size=2048)
@@ -1011,15 +1039,9 @@ def compact_index(index_dir: str, *,
         if emit_alt:
             _verify_alt_sorted(tmp_seg)
 
-    # -- filtered tokens table (doc-length sidecar must shrink with the
-    # postings so stats and dl lookups describe the live corpus)
-    tmp_tok = os.path.join(index_dir, ".tmp_tok_compact")
-    shutil.rmtree(tmp_tok, ignore_errors=True)
-    rd.read_parquet(tokens_root).map_batches(
-        _drop_dead, batch_format="pyarrow"
-    ).write_parquet(tmp_tok, partition_cols=["shard"])
-
-    # -- swaps + stats (rename order documented above)
+    # -- swaps (the entry guard restores a crash between either rename
+    # pair; deletes/ still present means a rerun redoes everything from
+    # the actual rows, which is idempotent)
     old_seg = seg_dir + ".old"
     shutil.rmtree(old_seg, ignore_errors=True)
     os.replace(seg_dir, old_seg)
@@ -1030,12 +1052,6 @@ def compact_index(index_dir: str, *,
     os.replace(tokens_root, old_tok)
     os.replace(tmp_tok, tokens_root)
     shutil.rmtree(old_tok, ignore_errors=True)
-
-    total_len = 0
-    for f in glob.glob(os.path.join(tokens_root, "**", "*.parquet"),
-                       recursive=True):
-        t = pq.read_table(f, columns=["doc_len"])
-        total_len += int(pc.sum(t.column("doc_len")).as_py() or 0)
     # update the raw manifest json in place (the manifest IS its state
     # dict) — fingerprints/shard lineage stay untouched: inputs did not
     # change, only the live subset did.  id_space preserves the doc-id
@@ -1043,6 +1059,7 @@ def compact_index(index_dir: str, *,
     # from it and shard chunk universes span it.
     manifest_d["id_space"] = int(manifest_d.get(
         "id_space", manifest_d["stats"]["n_docs"]))
+    n_before_compact = int(manifest_d["stats"]["n_docs"])
     manifest_d["stats"] = {
         "n_docs": int(n_live),
         "total_len": int(total_len),
@@ -1056,7 +1073,10 @@ def compact_index(index_dir: str, *,
     shutil.rmtree(os.path.join(index_dir, "deletes"), ignore_errors=True)
     return {"n_docs": int(n_live),
             "avg_doc_length": manifest_d["stats"]["avg_doc_length"],
-            "n_posting_rows": n_rows, "n_compacted": int(dead.size)}
+            "n_posting_rows": n_rows,
+            # docs ACTUALLY removed (tombstones naming already-absent
+            # ids are no-ops and are not counted)
+            "n_compacted": int(n_before_compact - n_live)}
 
 
 class StreamingIndexer:
@@ -1094,7 +1114,18 @@ class StreamingIndexer:
             self.spool_dir = tempfile.mkdtemp(prefix="nirs_spool_")
         self._buf: list[dict] = []
         self._n_flushed = 0
-        self._spooled = 0
+        # resume the spool sequence past any existing files: restarting
+        # over a persistent spool_dir must never overwrite a spool file
+        # append_index already recorded as known (it would silently drop
+        # the new batch AND destroy the old copy — r4 review)
+        import glob as _glob
+        import re as _re
+
+        existing = [_re.search(r"stream-(\d+)\.parquet$", f)
+                    for f in _glob.glob(os.path.join(self.spool_dir,
+                                                     "stream-*.parquet"))]
+        self._spooled = 1 + max((int(m.group(1)) for m in existing if m),
+                                default=-1)
 
     def add(self, rows) -> "IndexBuildResult | None":
         """Buffer rows; auto-flush at ``flush_every``.  Returns the
@@ -1116,8 +1147,11 @@ class StreamingIndexer:
         tmp = path + ".tmp"
         pq.write_table(pa.Table.from_pylist(self._buf), tmp)
         os.replace(tmp, path)
-        self._buf.clear()
+        # buffer survives until the append succeeds (a transient append
+        # failure must not lose rows); the spool file itself is the
+        # durable copy either way
         res = append_index(self.index_dir, [path])
+        self._buf.clear()
         self._n_flushed += 1
         return res
 

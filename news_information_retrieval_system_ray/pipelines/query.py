@@ -142,6 +142,7 @@ class IndexSearcher:
         self._tp_postings = 0
         self._tomb: "np.ndarray | None" = None  # lazy (_tombstones)
         self._tomb_loaded = False
+        self._live_ids: "np.ndarray | None" = None  # lazy (live_doc_ids)
         self.max_cached_postings = 20_000_000
         self.compact = compact
         # global term -> df overrides (doc-sharded serving: idf must use
@@ -574,8 +575,38 @@ class IndexSearcher:
         from ..functions.boolquery import search_boolean
 
         if universe is None:
-            universe = np.arange(self.n_docs, dtype=np.int64)
+            universe = self.live_doc_ids()
         return search_boolean(query, lambda t: self.postings(t)[0], universe)
+
+    def live_doc_ids(self) -> np.ndarray:
+        """Sorted LIVE doc ids — the NOT-complement universe.  Derived
+        from the tokens table (the doc-length sidecar source: exactly
+        the ids that exist, dense or sparse) minus tombstones; a dense
+        0..N-1 arange would resurrect deleted docs in complements and,
+        after a compaction or append, mis-describe the sparse/extended
+        id space entirely (r4 review).  Cached per searcher."""
+        ids = getattr(self, "_live_ids", None)
+        if ids is None:
+            import glob
+
+            import pyarrow.parquet as pq
+
+            parts = [pq.read_table(f, columns=["doc_id"]).column("doc_id")
+                     .to_numpy(zero_copy_only=False).astype(np.int64)
+                     for f in sorted(glob.glob(os.path.join(
+                         self.index_dir, "tokens", "**", "*.parquet"),
+                         recursive=True))]
+            ids = np.sort(np.concatenate(parts)) if parts \
+                else np.empty(0, dtype=np.int64)
+            if self.chunks is not None and ids.size:
+                ids = ids[np.isin(ids >> self.eff_chunk_bits,
+                                  np.fromiter(self.chunks, dtype=np.int64,
+                                              count=len(self.chunks)))]
+            m = self._live_mask(ids)
+            if m is not None:
+                ids = ids[m]
+            self._live_ids = ids
+        return ids
 
     # ---------------------------------------------------------------- WAND
     _WAND_DENSE_LIMIT = 512  # processed ranges before the bulk bailout

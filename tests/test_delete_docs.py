@@ -195,3 +195,89 @@ def test_append_after_compact_allocates_from_id_space(ray_session, tmp_path_fact
     assert len(ids) == len(set(ids))  # no id collisions anywhere
     assert max(ids) >= 200  # appended docs are searchable
     assert not any(i % 3 == 0 and i < 200 for i in ids)  # victims stay gone
+
+
+def test_lifecycle_edges_after_compaction(ray_session, tmp_path_factory):
+    """r4 review closures: (1) delete of a live doc with id >= n_docs
+    works after compaction (validation uses the id-space bound); (2) a
+    tombstone naming an already-absent id is a no-op that does NOT skew
+    recomputed stats; (3) boolean NOT complements never resurrect
+    deleted docs and track the sparse live id set; (4) compacting away
+    every doc refuses loudly."""
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        compact_index)
+    from news_information_retrieval_system_ray.state.manifest import read_json
+    import os
+
+    d = tmp_path_factory.mktemp("pages_edge")
+    paths = generate_pages(str(d), n_docs=100, seed=41, n_files=1)
+    idx = str(tmp_path_factory.mktemp("index_edge"))
+    build_index(paths, idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2, resume=False)
+
+    s0 = IndexSearcher(idx)
+    # boolean NOT before any deletion: universe = all docs
+    term = s0._query_terms(list(REFERENCE_QUERIES.values())[0])[0]
+    not_pre = set(s0.boolean_query(f"NOT {term}").tolist())
+    with_term = set(s0.postings(term)[0].tolist())
+    assert not_pre == set(range(100)) - with_term
+
+    delete_docs(idx, list(range(0, 100, 4)))  # 25 victims
+    s1 = IndexSearcher(idx)
+    not_post = set(s1.boolean_query(f"NOT {term}").tolist())
+    assert not any(v % 4 == 0 for v in not_post)  # (3) no resurrection
+    assert not_post == {d_ for d_ in not_pre if d_ % 4 != 0}
+
+    assert compact_index(idx)["n_compacted"] == 25
+    m = read_json(os.path.join(idx, "manifest.json"))
+    assert m["stats"]["n_docs"] == 75 and m["id_space"] == 100
+
+    # (1) doc 99 is live and >= n_docs(75): delete must validate OK
+    assert delete_docs(idx, [99]) == 1
+    # (2) tombstone a hole (id 4 was compacted away): no-op at compact,
+    # stats derived from actual rows
+    assert delete_docs(idx, [4]) == 1
+    summary = compact_index(idx)
+    assert summary["n_docs"] == 74          # only 99 actually removed
+    assert summary["n_compacted"] == 1
+    m2 = read_json(os.path.join(idx, "manifest.json"))
+    assert m2["stats"]["n_docs"] == 74
+
+    # (3) sparse-universe NOT after compaction: ids 0 mod 4 and 99 gone
+    s2 = IndexSearcher(idx)
+    uni = set(s2.live_doc_ids().tolist())
+    assert uni == {d_ for d_ in range(100) if d_ % 4 != 0 and d_ != 99}
+    assert set(s2.boolean_query(f"NOT {term}").tolist()) <= uni
+
+    # (4) refusing to compact to empty
+    delete_docs(idx, sorted(uni))
+    with pytest.raises(ValueError, match="every document"):
+        compact_index(idx)
+
+
+def test_streaming_indexer_resumes_spool_sequence(ray_session, tmp_path_factory):
+    """Restarting a StreamingIndexer over the same persistent spool dir
+    must continue the file sequence (an overwrite would be silently
+    dropped by append's known-file dedup)."""
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        StreamingIndexer)
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("pages_spool")
+    paths = generate_pages(str(d), n_docs=120, seed=51, n_files=2)
+    idx = str(tmp_path_factory.mktemp("index_spool"))
+    build_index(paths[:1], idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2, resume=False)
+    rows = pq.read_table(paths[1]).to_pylist()
+    spool = str(tmp_path_factory.mktemp("spool_persist"))
+
+    ing1 = StreamingIndexer(idx, flush_every=1000, spool_dir=spool)
+    ing1.add(rows[:20])
+    r1 = ing1.flush()
+    n_after_first = r1.n_docs
+
+    ing2 = StreamingIndexer(idx, flush_every=1000, spool_dir=spool)
+    assert ing2._spooled == 1  # resumes PAST stream-000000.parquet
+    ing2.add(rows[20:45])
+    r2 = ing2.flush()
+    assert r2.n_docs == n_after_first + 25  # second batch NOT dropped
