@@ -281,3 +281,28 @@ def test_streaming_indexer_resumes_spool_sequence(ray_session, tmp_path_factory)
     ing2.add(rows[20:45])
     r2 = ing2.flush()
     assert r2.n_docs == n_after_first + 25  # second batch NOT dropped
+
+
+def test_random_delete_sets_preserve_survivor_ranking(built, tmp_path_factory):
+    """Property sweep: for random victim sets, the post-delete ranking
+    is EXACTLY the pre-delete ranking minus the victims (frozen stats
+    => survivor scores bit-identical), across naive and WAND."""
+    import shutil
+
+    pre = IndexSearcher(built)
+    q = list(REFERENCE_QUERIES.values())[2]
+    full_pre = pre.search(q, k=N_DOCS, method="wand")
+    assert len(full_pre) >= 20
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        victims = set(int(v) for v in rng.choice(
+            N_DOCS, size=int(rng.integers(1, 60)), replace=False))
+        idx2 = str(tmp_path_factory.mktemp(f"index_rnd{seed}"))
+        shutil.rmtree(idx2)
+        shutil.copytree(built, idx2)
+        delete_docs(idx2, sorted(victims))
+        post = IndexSearcher(idx2)
+        expect = [(d, s) for d, s in full_pre if d not in victims]
+        for method in ("naive", "wand"):
+            got = post.search(q, k=N_DOCS, method=method)
+            assert got == expect, (seed, method)
