@@ -306,3 +306,37 @@ def test_random_delete_sets_preserve_survivor_ranking(built, tmp_path_factory):
         for method in ("naive", "wand"):
             got = post.search(q, k=N_DOCS, method=method)
             assert got == expect, (seed, method)
+
+
+def test_compaction_positional_layout(ray_session, tmp_path_factory):
+    """compact_index's positional branch: phrase + BM25 results after
+    delete+compact equal a direct rebuild on the surviving pages (page
+    ids shift on rebuild, so compare via the compacted searcher's own
+    invariants: victims gone, phrase set == pre-delete minus victims,
+    and stats reflect the live corpus)."""
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        compact_index)
+
+    d = tmp_path_factory.mktemp("pages_cpos")
+    paths = generate_pages(str(d), n_docs=120, seed=61, n_files=2)
+    idx = str(tmp_path_factory.mktemp("index_cpos"))
+    build_index(paths, idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2,
+                with_positions=True, resume=False)
+    pre = IndexSearcher(idx)
+    phrase = ["台灣"]
+    pre_phrase = pre.phrase_docs(phrase).tolist()
+    assert pre_phrase
+    pre_total = pre.n_docs * pre.avgdl
+    victims = set(pre_phrase[::2]) | {0, 1}
+    delete_docs(idx, sorted(victims))
+    res = compact_index(idx)
+    assert res["n_docs"] == 120 - len(victims)
+    post = IndexSearcher(idx)
+    assert post.phrase_docs(phrase).tolist() == \
+        [d_ for d_ in pre_phrase if d_ not in victims]
+    assert post.n_docs == 120 - len(victims)
+    assert post.n_docs * post.avgdl < pre_total  # stats shrank with corpus
+    # BM25 over the compacted positional index finds no victims
+    got = post.search(list(REFERENCE_QUERIES.values())[0], k=120)
+    assert not victims & {d_ for d_, _ in got}
