@@ -645,124 +645,17 @@ def build_index(
             max(10, int(n_docs_meta).bit_length() - 3)
         manifest.state["eff_chunk_bits"] = eff_chunk_bits  # appends must reuse
         manifest.save()
-        tok_cols = ["doc_id", "doc_len", "terms", "tfs"] + (["positions"] if with_positions else [])
         if shuffle_blocks is None:
             import ray
 
             shuffle_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
-        if not with_positions:
-            # Map-side combine (PrePackTokens): explode + local sort + pack
-            # per BATCH, so the wide exchange ships compressed posting
-            # FRAGMENTS (~10x fewer bytes than raw (doc, term) rows) and
-            # the global sort handles ~vocab x n_batches fragment rows
-            # instead of the full token stream.  Fragment doc-intervals
-            # are disjoint by construction; the query-side merge orders
-            # them by (chunk, first doc) as it already does for
-            # batch-edge fragments.
-            # batch_size is CAPPED at a constant: a pre-pack call over
-            # n_docs/shuffle_blocks docs grows with the corpus, and on
-            # this host a >~8k-doc explode+lexsort falls off an allocator
-            # cliff under full concurrency (measured 2 s -> 29 s per call
-            # at 32-way; host_alloc_scaling 0.27).  Constant per-task
-            # memory is also the only shape that survives 100 TB.  The
-            # resulting fragment inflation (count scales with batch COUNT
-            # x vocab) is undone by RepackFragments after the sort, which
-            # restores the dense ~vocab x chunks block layout.
-            prepack_batch = min(4096, -(-int(n_docs_meta) // shuffle_blocks))
-            band_p0 = int(chunkband_partitions)
-            prepacked = rd.read_parquet(
-                _tokens_files_by_docid(tokens_root), columns=tok_cols,
-                override_num_blocks=shuffle_blocks,
-            ).map_batches(
-                # dt fragments: the dls stream stays OUT of the wide
-                # exchange (doc-length sidecar layout) — Repack gathers
-                # lengths by doc id for the block metadata
-                PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size,
-                              emit_alt=collision_check,
-                              band_partitions=band_p0),
-                batch_format="pyarrow", batch_size=prepack_batch,
-            )
-            if band_p0 > 0:
-                # banded build (the 10^12-doc shape): lead the sort with
-                # the band key so each repack batch covers ~one band,
-                # and repack as an ACTOR pool whose per-band dl slices
-                # load lazily — no broadcast of the global length table
-                packed = prepacked.sort(
-                    ["chunkband", "term_hash", "chunk", "first_doc"]
-                ).map_batches(
-                    RepackFragments,
-                    fn_constructor_kwargs=dict(
-                        block_size=block_size, tokens_path=tokens_root,
-                        chunk_bits=eff_chunk_bits, band_partitions=band_p0),
-                    batch_format="pyarrow", batch_size=8192,
-                    concurrency=(1, shuffle_blocks),
-                )
-            else:
-                packed = prepacked.sort(
-                    ["term_hash", "chunk", "first_doc"]
-                ).map_batches(
-                    RepackFragments(block_size=block_size,
-                                    doclens=_doclens_ref(tokens_root)),
-                    batch_format="pyarrow", batch_size=8192,
-                )
-        else:
-            exploded = rd.read_parquet(
-                tokens_root, columns=tok_cols, override_num_blocks=shuffle_blocks,
-            ).map_batches(
-                # hash-only shuffle: the term STRING never enters the wide
-                # exchange (30%+ of row bytes); strings live in the vocab
-                # sidecar.  emit_alt: the collision-check passenger rides
-                # this exchange too (8 bytes/row), so the positional
-                # layout gets the same post-sort adjacency check as the
-                # default layout — no separate dual-hash pairs job.
-                ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
-                              emit_term=False, emit_alt=collision_check),
-                batch_format="pyarrow",
-            )
-            # One sort shuffle (same exchange the groupby ran), then a
-            # vectorized multi-run packer per BATCH — no per-vocab-term Ray
-            # dispatch.  doc_id is a sort key so a run split at a batch edge
-            # yields fragments with disjoint increasing doc ranges, which the
-            # query-side merge already handles (PackRuns docstring).
-            packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
-                PackRuns(block_size=block_size, with_positions=with_positions),
-                batch_format="pyarrow", batch_size=None,
-            )
-        # small row groups -> fine-grained predicate pushdown: a cold
-        # term fetch decodes ~2k-row groups instead of whole files (the
-        # binary posting columns dominate decode cost)
-        band_p = int(chunkband_partitions) if not with_positions else 0
-        if band_p > 0:
-            # IO-isolated serving layout: hive-partition by
-            # chunkband = chunk % P so each doc-shard actor opens only
-            # its own band's files (serve.py reads the band dirs; each
-            # file stays term_hash-sorted for row-group pruning)
-            def _add_band(t, _p=band_p):
-                import numpy as _np
-                import pyarrow as _pa
-
-                ch = t.column("chunk").to_numpy(zero_copy_only=False)
-                return t.append_column(
-                    "chunkband", _pa.array((ch % _p).astype(_np.int32)))
-
-            packed = packed.map_batches(_add_band, batch_format="pyarrow")
-            packed.write_parquet(tmp_seg, partition_cols=["chunkband"],
-                                 row_group_size=2048)
-        else:
-            packed.write_parquet(tmp_seg, row_group_size=2048)
+        _segments_pipeline(
+            tokens_root, tmp_seg, with_positions=with_positions,
+            block_size=block_size, eff_chunk_bits=eff_chunk_bits,
+            band_p=int(chunkband_partitions) if not with_positions else 0,
+            emit_alt=collision_check, shuffle_blocks=shuffle_blocks,
+            n_docs_est=int(n_docs_meta))
         if collision_check:
-            if band_p > 0:
-                # partitioned layout: one term's chunk rows scatter
-                # across band dirs mid-file, so sorted-adjacency edges
-                # no longer cover cross-file pairs — use the
-                # order-independent pairs groupby instead
-                _verify_alt_global(tmp_seg)
-            else:
-                # cross-batch collision pairs (within-batch ones already
-                # raised inside PrePack/Repack for the default layout);
-                # one linear 2-column scan over the sorted segments —
-                # BOTH layouts now carry the alt passenger
-                _verify_alt_sorted(tmp_seg)
             manifest.state["alt_layout"] = True  # appends pick the
             manifest.save()                      # segments-side check
         os.replace(tmp_seg, seg_dir)
@@ -881,6 +774,115 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(ids.size)
 
 
+def _segments_pipeline(tokens_path: str, tmp_seg: str, *,
+                       with_positions: bool, block_size: int,
+                       eff_chunk_bits: int, band_p: int, emit_alt: bool,
+                       shuffle_blocks: int, n_docs_est: int) -> None:
+    """The segments exchange, shared by build_index and compact_index:
+    prepack (map-side combine; dt fragments, dls sidecar) -> sort ->
+    actor/task repack for the default layout, or explode -> sort ->
+    PackRuns for the positional one; then the hive write (chunkband
+    partitioning when banded) and the alt-passenger collision verify
+    into ``tmp_seg`` (the caller promotes it atomically).  append_index
+    keeps its own variant (base-layout format detection + single-shard
+    scope).  See the inline rationale comments for the batch caps and
+    byte-shape choices — they are the measured 100-TB-safe settings."""
+    import ray.data as rd
+
+    tok_cols = ["doc_id", "doc_len", "terms", "tfs"] \
+        + (["positions"] if with_positions else [])
+    shutil.rmtree(tmp_seg, ignore_errors=True)
+    if not with_positions:
+        # Map-side combine (PrePackTokens): explode + local sort + pack
+        # per BATCH, so the wide exchange ships compressed posting
+        # FRAGMENTS (~10x fewer bytes than raw (doc, term) rows).
+        # batch_size is CAPPED at a constant: a pre-pack call over
+        # n_docs/shuffle_blocks docs grows with the corpus and falls off
+        # this host's allocator cliff under full concurrency; constant
+        # per-task memory is also the only shape that survives 100 TB.
+        # The fragment inflation is undone by RepackFragments post-sort.
+        prepack_batch = max(1, min(4096, -(-int(n_docs_est) // shuffle_blocks)))
+        prepacked = rd.read_parquet(
+            _tokens_files_by_docid(tokens_path), columns=tok_cols,
+            override_num_blocks=shuffle_blocks,
+        ).map_batches(
+            # dt fragments: the dls stream stays OUT of the wide
+            # exchange (doc-length sidecar layout) — Repack gathers
+            # lengths by doc id for the block metadata
+            PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size,
+                          emit_alt=emit_alt, band_partitions=band_p),
+            batch_format="pyarrow", batch_size=prepack_batch,
+        )
+        if band_p > 0:
+            # banded build (the 10^12-doc shape): lead the sort with
+            # the band key so each repack batch covers ~one band, and
+            # repack as an ACTOR pool whose per-band dl slices load
+            # lazily — no broadcast of the global length table
+            packed = prepacked.sort(
+                ["chunkband", "term_hash", "chunk", "first_doc"]
+            ).map_batches(
+                RepackFragments,
+                fn_constructor_kwargs=dict(
+                    block_size=block_size, tokens_path=tokens_path,
+                    chunk_bits=eff_chunk_bits, band_partitions=band_p),
+                batch_format="pyarrow", batch_size=8192,
+                concurrency=(1, shuffle_blocks),
+            )
+        else:
+            packed = prepacked.sort(
+                ["term_hash", "chunk", "first_doc"]
+            ).map_batches(
+                RepackFragments(block_size=block_size,
+                                doclens=_doclens_ref(tokens_path)),
+                batch_format="pyarrow", batch_size=8192,
+            )
+    else:
+        exploded = rd.read_parquet(
+            _tokens_files_by_docid(tokens_path), columns=tok_cols,
+            override_num_blocks=shuffle_blocks,
+        ).map_batches(
+            # hash-only shuffle: the term STRING never enters the wide
+            # exchange; the alt collision passenger rides it (8 B/row)
+            ExplodeTokens(chunk_bits=eff_chunk_bits,
+                          with_positions=with_positions,
+                          emit_term=False, emit_alt=emit_alt),
+            batch_format="pyarrow",
+        )
+        # One sort shuffle, then the vectorized multi-run packer per
+        # BATCH — batch-edge fragments have disjoint increasing doc
+        # ranges, which the query-side merge already handles
+        packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
+            PackRuns(block_size=block_size, with_positions=with_positions),
+            batch_format="pyarrow", batch_size=None,
+        )
+    # small row groups -> fine-grained predicate pushdown: a cold term
+    # fetch decodes ~2k-row groups instead of whole files
+    if band_p > 0:
+        # IO-isolated serving layout: hive-partition by chunkband so
+        # each doc-shard actor opens only its own band's files
+        def _add_band(t, _p=band_p):
+            import numpy as _np
+            import pyarrow as _pa
+
+            ch = t.column("chunk").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "chunkband", _pa.array((ch % _p).astype(_np.int32)))
+
+        packed = packed.map_batches(_add_band, batch_format="pyarrow")
+        packed.write_parquet(tmp_seg, partition_cols=["chunkband"],
+                             row_group_size=2048)
+    else:
+        packed.write_parquet(tmp_seg, row_group_size=2048)
+    if emit_alt:
+        if band_p > 0:
+            # partitioned layout: a term's chunk rows scatter across
+            # band dirs mid-file — use the order-independent pairs check
+            _verify_alt_global(tmp_seg)
+        else:
+            # one linear 2-column scan over the sorted segments
+            _verify_alt_sorted(tmp_seg)
+
+
 def compact_index(index_dir: str, *,
                   shuffle_blocks: int | None = None) -> "dict | None":
     """Rewrite the index without its tombstoned docs — the delete
@@ -989,55 +991,12 @@ def compact_index(index_dir: str, *,
             "compaction would remove every document — delete the index "
             "directory instead of compacting it to empty")
 
-    tok_cols = ["doc_id", "doc_len", "terms", "tfs"] \
-        + (["positions"] if with_positions else [])
-    live_tokens = rd.read_parquet(
-        _tokens_files_by_docid(tmp_tok), columns=tok_cols,
-        override_num_blocks=shuffle_blocks)
     tmp_seg = os.path.join(index_dir, ".tmp_seg_compact")
-    shutil.rmtree(tmp_seg, ignore_errors=True)
-    if not with_positions:
-        prepack_batch = max(1, min(4096, -(-n_live // shuffle_blocks)))
-        prepacked = live_tokens.map_batches(
-            PrePackTokens(chunk_bits=eff_chunk_bits, block_size=block_size,
-                          emit_alt=emit_alt, band_partitions=band_p),
-            batch_format="pyarrow", batch_size=prepack_batch)
-        if band_p > 0:
-            packed = prepacked.sort(
-                ["chunkband", "term_hash", "chunk", "first_doc"]
-            ).map_batches(
-                RepackFragments,
-                fn_constructor_kwargs=dict(
-                    block_size=block_size, tokens_path=tmp_tok,
-                    chunk_bits=eff_chunk_bits, band_partitions=band_p),
-                batch_format="pyarrow", batch_size=8192,
-                concurrency=(1, shuffle_blocks))
-        else:
-            packed = prepacked.sort(
-                ["term_hash", "chunk", "first_doc"]
-            ).map_batches(
-                RepackFragments(block_size=block_size,
-                                doclens=_doclens_ref(tmp_tok)),
-                batch_format="pyarrow", batch_size=8192)
-        if band_p > 0:
-            packed.write_parquet(tmp_seg, partition_cols=["chunkband"],
-                                 row_group_size=2048)
-        else:
-            packed.write_parquet(tmp_seg, row_group_size=2048)
-        if emit_alt:
-            _verify_alt_global(tmp_seg) if band_p > 0 \
-                else _verify_alt_sorted(tmp_seg)
-    else:
-        exploded = live_tokens.map_batches(
-            ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=True,
-                          emit_term=False, emit_alt=emit_alt),
-            batch_format="pyarrow")
-        packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
-            PackRuns(block_size=block_size, with_positions=True),
-            batch_format="pyarrow", batch_size=None)
-        packed.write_parquet(tmp_seg, row_group_size=2048)
-        if emit_alt:
-            _verify_alt_sorted(tmp_seg)
+    _segments_pipeline(
+        tmp_tok, tmp_seg, with_positions=with_positions,
+        block_size=block_size, eff_chunk_bits=eff_chunk_bits,
+        band_p=band_p, emit_alt=emit_alt, shuffle_blocks=shuffle_blocks,
+        n_docs_est=n_live)
 
     # -- swaps (the entry guard restores a crash between either rename
     # pair; deletes/ still present means a rerun redoes everything from
