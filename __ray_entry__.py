@@ -1378,32 +1378,43 @@ def oracle_sql() -> dict[str, str]:
             FROM ysel y JOIN ycand c
                  ON c.doc_id = y.doc_id AND c.keyword = y.keyword
             WHERE y.rank <= 5 ORDER BY y.doc_id, y.rank"""
-    # MinHash-LSH near-dup, replicated end-to-end: md5 3-gram shingles,
-    # the MinHasher(seed=1729) permutation table (a*x+b mod 2^64 via
+    # MinHash-LSH near-dup, replicated end-to-end: 3-gram shingle hashes
+    # as the Horner polynomial over per-token md5 hashes (hashing.py
+    # SHINGLE_K; short docs fold all their tokens), the
+    # MinHasher(seed=1729) permutation table (a*x+b mod 2^64 via
     # UHUGEINT), 16x8 banding via signature-slice equality (two docs
     # share a band key iff the 8 sig values match), candidate pairwise
     # signature-estimated Jaccard >= 0.8
     import numpy as _np
 
     from news_information_retrieval_system_ray.functions.hashing import MinHasher as _MH
+    from news_information_retrieval_system_ray.functions.hashing import SHINGLE_K as _SHK
 
     _mh = _MH(num_perm=128, seed=1729)
     perm_rows = ", ".join(f"({i}, {int(a)}, {int(b)})"
                           for i, (a, b) in enumerate(zip(_mh.a, _mh.b)))
+    _K = f"{int(_SHK)}::UHUGEINT"
+    _M = "18446744073709551616::UHUGEINT"
     minhash_sql = _CTE + f""",
             tkl AS (SELECT doc_id,
                            list_filter(string_split(t, ' '),
                                        s -> s <> '' AND regexp_matches(s, '[a-z0-9_]')) AS tk
                     FROM norm),
-            ntk AS (SELECT doc_id, tk, len(tk) AS n FROM tkl),
+            ntk AS (SELECT doc_id,
+                           list_transform(tk, s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS th,
+                           len(tk) AS n
+                    FROM tkl),
             shl AS (SELECT doc_id,
                            CASE WHEN n >= 3
                                 THEN list_transform(range(0, n - 2),
-                                                    i -> array_to_string(tk[i+1:i+3], ' '))
-                                WHEN n > 0 THEN [array_to_string(tk, ' ')]
+                                     i -> ((((th[i+1]::UHUGEINT * {_K} + th[i+2]::UHUGEINT) % {_M})
+                                            * {_K} + th[i+3]::UHUGEINT) % {_M})::UBIGINT)
+                                WHEN n = 2
+                                THEN [((th[1]::UHUGEINT * {_K} + th[2]::UHUGEINT) % {_M})::UBIGINT]
+                                WHEN n = 1 THEN [th[1]]
                                 ELSE [] END AS gs
                     FROM ntk),
-            sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h
+            sh AS (SELECT DISTINCT doc_id, g AS h
                    FROM (SELECT doc_id, unnest(gs) AS g FROM shl)),
             perm(pid, pa, pb) AS (VALUES {perm_rows}),
             sig AS (SELECT doc_id, pid,

@@ -99,15 +99,70 @@ def simhash_bands(sig: int, n_bands: int = 4) -> list[int]:
     return [(sig >> (width * i)) & mask for i in range(n_bands)]
 
 
+# Shingle-hash combiner: Horner polynomial over per-token MD5 hashes,
+# h(t1..tm) = ((h(t1)*K + h(t2))*K + ... + h(tm)) mod 2^64 with the odd
+# golden-ratio multiplier.  Replaces md5(" ".join(shingle)) — same
+# injective-up-to-2^-64 identity, but computable as ONE vectorized pass
+# over a flattened token-hash stream (no per-shingle string joins, no
+# per-shingle MD5).  The DuckDB oracles replay this exact polynomial.
+SHINGLE_K = np.uint64(0x9E3779B97F4A7C15)
+
+
+def shingle_hashes_flat(th: np.ndarray, lens: np.ndarray,
+                        n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-n-gram shingle hashes over a flattened per-doc
+    token-hash stream.
+
+    ``th``: uint64 token hashes of every doc concatenated doc-major;
+    ``lens``: per-doc token counts.  Returns ``(hashes, counts)`` where
+    ``hashes`` holds each doc's shingle hashes flattened doc-major and
+    ``counts`` the per-doc shingle counts.  Docs shorter than ``n``
+    contribute ONE shingle (the Horner fold of all their tokens),
+    empty docs contribute none — the same semantics the old
+    join-then-md5 path had.  No per-doc unique: MinHash mins are
+    duplicate-invariant; set callers (``shingles``) uniquify themselves.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    th = np.ascontiguousarray(th, dtype=np.uint64)
+    k = SHINGLE_K
+    counts = np.where(lens >= n, lens - n + 1, (lens > 0).astype(np.int64))
+    total = int(counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    if total == 0:
+        return out, counts
+    is_long = lens >= n
+    slot_long = np.repeat(is_long, counts)
+    nwin = th.size - n + 1
+    if nwin > 0 and is_long.any():
+        with np.errstate(over="ignore"):
+            h = th[:nwin] * k + th[1:nwin + 1]
+            for j in range(2, n):
+                h = h * k + th[j:nwin + j]
+        # windows crossing a doc boundary are invalid; same-doc test via
+        # the window's first/last token doc ids
+        doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        valid = doc_of[:nwin] == doc_of[n - 1:]
+        out[slot_long] = h[valid]
+    shorts = np.flatnonzero((lens > 0) & ~is_long)
+    if shorts.size:
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        s0, sl = starts[shorts], lens[shorts]
+        fold = th[s0].copy()
+        with np.errstate(over="ignore"):
+            for j in range(1, n - 1):
+                m = sl > j
+                fold[m] = fold[m] * k + th[s0[m] + j]
+        out[~slot_long] = fold  # shorts ascend by doc, one slot each
+    return out, counts
+
+
 def shingles(tokens: list[str], n: int = 3) -> np.ndarray:
     """Hashed word n-gram shingle set (sorted unique uint64)."""
-    if len(tokens) < n:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
-    if not joined:
+    if not tokens:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(np.fromiter((token_hash64(s) for s in joined), dtype=np.uint64, count=len(joined)))
+    h, _ = shingle_hashes_flat(
+        _token_hashes(tokens), np.array([len(tokens)], dtype=np.int64), n)
+    return np.unique(h)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -222,27 +222,31 @@ class MinHashStage:
     def _shingle_hashes(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """All docs' shingle hashes flattened (doc order) + per-doc counts.
 
-        No per-doc unique: the signature min is duplicate-invariant, so
-        dedup here would be pure overhead (``shingles()`` uniquifies for
-        exact-Jaccard callers only)."""
-        n = self.shingle_n
-        counts = np.empty(len(texts), dtype=np.int64)
-        all_strs: list[str] = []
+        Vectorized end-to-end past tokenization: the flattened token
+        stream is dictionary-encoded with ``pd.factorize`` (C-speed
+        string hashing), MD5 runs once per batch-UNIQUE token (memoized
+        across batches by ``token_hash64``'s lru), and shingle hashes
+        are one Horner-polynomial pass over the token-hash stream
+        (``shingle_hashes_flat``) — no per-shingle string joins, no
+        per-shingle MD5.  No per-doc unique: the signature min is
+        duplicate-invariant, so dedup here would be pure overhead
+        (``shingles()`` uniquifies for exact-Jaccard callers only)."""
+        import pandas as pd
+
+        from ..functions.hashing import shingle_hashes_flat, token_hash64
+
+        lens = np.empty(len(texts), dtype=np.int64)
+        all_toks: list[str] = []
         for i, t in enumerate(texts):
             toks = self.tokenize(normalize_text(t or ""))
-            if len(toks) < n:
-                joined = [" ".join(toks)] if toks else []
-            else:
-                joined = [" ".join(toks[j:j + n])
-                          for j in range(len(toks) - n + 1)]
-            counts[i] = len(joined)
-            all_strs += joined
-        from ..functions.hashing import token_hash64
-
-        hashes = np.fromiter(
-            (token_hash64(s) for s in all_strs),
-            dtype=np.uint64, count=len(all_strs))
-        return hashes, counts
+            lens[i] = len(toks)
+            all_toks += toks
+        if not all_toks:
+            return np.empty(0, dtype=np.uint64), np.zeros(len(texts), np.int64)
+        codes, uniq = pd.factorize(np.asarray(all_toks, dtype=object))
+        uh = np.fromiter((token_hash64(s) for s in uniq),
+                         dtype=np.uint64, count=len(uniq))
+        return shingle_hashes_flat(uh[codes], lens, self.shingle_n)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # signatures travel as fixed-width binary (num_perm * 8 bytes) —
@@ -299,14 +303,17 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
 
     Verification placement mirrors ``simhash_pairs``: small candidate
     sets (<= ``driver_verify_limit`` exploded candidate rows) verify on
-    the driver; larger ones verify INSIDE ``groupby(band_key)``
-    map_groups tasks — signatures reach their buckets via a distributed
-    hash join of the (band_key, doc_id) candidate rows against the
-    candidate-doc signature rows, so neither the candidate set nor any
-    signature bytes ever materialize on the driver.  (The driver holds
-    only the candidate DOC-ID list for the signature filter — at true
-    web scale replace that is_in broadcast with a bloom-filter column
-    or a semi-join, noted here per the custom-operator rule.)
+    the driver (vectorized: one pair-index expansion + one (pairs x
+    num_perm) signature comparison); larger ones verify INSIDE
+    ``groupby(band_key)`` map_groups tasks.  Either way the candidate
+    rows come from ONE fused scan of the signature table that recomputes
+    band keys per batch (the mix is a few vectorized uint64 ops — far
+    cheaper than a second exchange) and emits (band_key, doc_id, sig)
+    for multi-occupant buckets only, so no keys materialization, no
+    signature-fetch scan and no distributed hash join are needed.  (The
+    driver holds only the multi-bucket KEY list for the is_in broadcast
+    — at true web scale replace that with a bloom-filter column or a
+    semi-join, noted here per the custom-operator rule.)
     """
     sigs = ds.map_batches(
         MinHashStage(engine=engine, text_col=text_col, num_perm=num_perm,
@@ -315,29 +322,33 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     ).materialize()
     r = num_perm // n_bands
 
-    def explode_keys(batch: pa.Table) -> pa.Table:
-        # (band_key, doc_id) ONLY — the 1 KB signatures never enter a
-        # shuffle (they are fetched later for just the O(dups) candidate
-        # docs).  Vectorized FNV-style band mixing over the
-        # (n, n_bands, r) signature cube; only key EQUALITY matters, so
-        # any good 64-bit mix is equivalent (uint64 wraps mod 2^64).
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = doc_ids.size
-        if n == 0:
-            return pa.table({"band_key": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64())})
-        mat = _sig_matrix(batch.column("sig"), num_perm)
+    def _band_keys(mat: np.ndarray) -> np.ndarray:
+        # (n, n_bands) int64 band keys.  Vectorized FNV-style mixing
+        # over the (n, n_bands, r) signature cube; only key EQUALITY
+        # matters, so any good 64-bit mix is equivalent (uint64 wraps
+        # mod 2^64).  int64 bit-cast: Ray hash-shuffle aggregates
+        # mishandle uint64 keys > 2^63 (see index_build.vocab_uniq_terms)
+        n = mat.shape[0]
         cube = mat.reshape(n, n_bands, r)
         prime = np.uint64(0x100000001B3)
         key = (np.uint64(0xCBF29CE484222325)
                ^ (np.arange(n_bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)))[None, :]
         key = np.broadcast_to(key, (n, n_bands)).copy()
-        for j in range(r):
-            key = (key ^ cube[:, :, j]) * prime
+        with np.errstate(over="ignore"):
+            for j in range(r):
+                key = (key ^ cube[:, :, j]) * prime
+        return key.view(np.int64)
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        # (band_key, doc_id) ONLY — the 1 KB signatures never enter the
+        # counting pass.
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if doc_ids.size == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        key = _band_keys(_sig_matrix(batch.column("sig"), num_perm))
         return pa.table({
-            # int64 bit-cast: Ray hash-shuffle aggregates mishandle
-            # uint64 keys > 2^63 (see index_build.vocab_uniq_terms)
-            "band_key": pa.array(key.reshape(-1).view(np.int64)),
+            "band_key": pa.array(key.reshape(-1)),
             "doc_id": pa.array(np.repeat(doc_ids, n_bands).astype(np.int64)),
         })
 
@@ -351,7 +362,7 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                           "doc_b": pd.Series(dtype=np.int64),
                           "est_jaccard": pd.Series(dtype=np.float64)})
-    keys_ds = sigs.map_batches(explode_keys, batch_format="pyarrow").materialize()
+    keys_ds = sigs.map_batches(explode_keys, batch_format="pyarrow")
     counts = _sum_by(keys_ds, ("band_key",), (), counts=("n",),
                      num_buckets=num_buckets)
     multi = counts.map_batches(
@@ -361,57 +372,76 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     if not multi:
         return empty
     n_cand = sum(int(row["n"]) for row in multi)
-    mset = pa.array(np.array(sorted(row["band_key"] for row in multi), dtype=np.int64))
-    cand_ds = keys_ds.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column("band_key"), value_set=mset)),
-        batch_format="pyarrow",
-    )
+    mset_np = np.array(sorted(row["band_key"] for row in multi), dtype=np.int64)
+    mset = pa.array(mset_np)
+
+    def cand_batch(t: pa.Table) -> pa.Table:
+        # fused candidate scan: recompute band keys, keep only hits in
+        # multi-occupant buckets, carry the signature alongside —
+        # O(candidates) rows out, one pass over the signature table.
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sink = pa.table({"band_key": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "sig": pa.array([], pa.binary())})
+        if doc_ids.size == 0:
+            return sink
+        key = _band_keys(_sig_matrix(t.column("sig"), num_perm))
+        hit = np.isin(key, mset_np)
+        di, bi = np.nonzero(hit)
+        if di.size == 0:
+            return sink
+        return pa.table({
+            "band_key": pa.array(key[di, bi]),
+            "doc_id": pa.array(doc_ids[di].astype(np.int64)),
+            "sig": t.column("sig").take(pa.array(di)),
+        })
+
+    cand_ds = sigs.map_batches(cand_batch, batch_format="pyarrow")
 
     if n_cand <= driver_verify_limit:
         cand = cand_ds.to_pandas()
-        dset = pa.array(np.unique(cand["doc_id"].to_numpy()))
-        csig = sigs.map_batches(
-            lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=dset)),
-            batch_format="pyarrow",
-        ).to_pandas()
-        sig_of = {int(d): np.frombuffer(b, dtype=np.uint64)
-                  for d, b in zip(csig["doc_id"], csig["sig"])}
-        a_out: list[int] = []
-        b_out: list[int] = []
-        j_out: list[float] = []
-        seen: set[tuple[int, int]] = set()
-        for _, grp in cand.groupby("band_key", sort=True):
-            ids = np.sort(grp["doc_id"].to_numpy())
-            m = np.stack([sig_of[int(d)] for d in ids])
-            for i in range(ids.size - 1):
-                est = (m[i + 1:] == m[i]).mean(axis=1)
-                for j in np.nonzero(est >= threshold)[0]:
-                    pair = (int(ids[i]), int(ids[i + 1 + j]))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    a_out.append(pair[0])
-                    b_out.append(pair[1])
-                    j_out.append(float(est[j]))
-        if not a_out:
+        if cand.empty:
             return empty
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out}) \
+        bk = cand["band_key"].to_numpy()
+        ids = cand["doc_id"].to_numpy()
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        m = np.frombuffer(b"".join(cand["sig"].to_numpy()[order]),
+                          dtype=np.uint64).reshape(ids.size, num_perm)
+        # vectorized per-bucket pair expansion: group starts from key
+        # changes, combinations batched by group size (sizes are tiny —
+        # nearly all 2 — so the distinct-size loop is a handful of iters)
+        gidx = np.concatenate(([0], np.flatnonzero(np.diff(bk) != 0) + 1))
+        sizes = np.diff(np.concatenate((gidx, [bk.size])))
+        ai_l: list[np.ndarray] = []
+        bi_l: list[np.ndarray] = []
+        for s in np.unique(sizes[sizes >= 2]):
+            g0 = gidx[sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            ai_l.append((g0[:, None] + iu[None, :]).ravel())
+            bi_l.append((g0[:, None] + ju[None, :]).ravel())
+        if not ai_l:
+            return empty
+        ai = np.concatenate(ai_l)
+        bi = np.concatenate(bi_l)
+        est = (m[ai] == m[bi]).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        da, db = ids[ai[keep]], ids[bi[keep]]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        out = pd.DataFrame({"doc_a": lo.astype(np.int64),
+                            "doc_b": hi.astype(np.int64),
+                            "est_jaccard": est[keep]})
+        # est is signature-determined, so cross-band duplicates agree
+        return out.drop_duplicates(["doc_a", "doc_b"]) \
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
     # ---- distributed verify (the web-scale path) ----
-    # candidate doc ids (O(dup docs), ids only — no sigs) -> filter the
-    # signature table down to candidates -> hash-join sigs onto the
-    # (band_key, doc_id) rows -> per-bucket numpy verify inside tasks.
-    doc_ids = cand_ds.map_batches(
-        lambda t: pa.table({"doc_id": pa.compute.unique(t.column("doc_id"))}),
-        batch_format="pyarrow",
-    ).to_pandas()  # per-batch-unique; final unique below (ids only)
-    dset = pa.array(np.unique(doc_ids["doc_id"].to_numpy()))
-    csig_ds = sigs.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=dset)),
-        batch_format="pyarrow",
-    )
-    withsig = cand_ds.join(csig_ds, "inner", num_partitions=8, on=("doc_id",))
+    # the fused scan already produced (band_key, doc_id, sig) candidate
+    # rows; group them by bucket and verify inside tasks — no signature
+    # bytes ever reach the driver.
+    withsig = cand_ds
 
     def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
         ids = group["doc_id"].to_numpy(dtype=np.int64)
