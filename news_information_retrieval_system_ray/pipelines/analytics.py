@@ -195,16 +195,41 @@ def _sum_by(ds, keys: tuple[str, ...], vals: tuple[str, ...],
                  .map_batches(finish, batch_size=None, batch_format="pyarrow"))
 
 
-def _df_map(sf_dir: str) -> dict[str, int]:
-    """term -> document frequency, collected once per sf_dir (vocab-sized
-    small side; broadcast-join at web scale)."""
+def _df_ds(sf_dir: str):
+    """(term, df) document-frequency table as a materialized DATASET —
+    the vocab never collects on the driver.  Full-vocab consumers
+    (``_tfidf_scores_for``, ``_tfidf_weights_ds``) hash-join against
+    it; bounded consumers resolve just their terms via
+    ``_df_for_terms``."""
 
     def build():
         ex = _exploded_ds(sf_dir)
-        t = _sum_by(ex, ("term",), (), counts=("df",)).to_pandas()
+        return _sum_by(ex, ("term",), (), counts=("df",)).materialize()
+
+    return _memo(("df_ds", sf_dir), build)
+
+
+def _df_for_terms(sf_dir: str, terms) -> dict[str, int]:
+    """df for a BOUNDED term collection (query terms, a few docs'
+    vocabulary): an is_in-pruned scan of the distributed df table.
+    Absent terms are simply missing (callers treat missing as df=0).
+    Memoized per term-set — the battery re-resolves the same fixed
+    query terms many times."""
+    tl = tuple(sorted(set(terms)))
+    if not tl:
+        return {}
+
+    def build():
+        tset = pa.array(list(tl))
+        t = _df_ds(sf_dir).map_batches(
+            lambda b: b.filter(pa.compute.is_in(b.column("term"),
+                                                value_set=tset)),
+            batch_format="pyarrow").to_pandas()
+        if "term" not in t.columns:  # Ray drops the schema on empty frames
+            return {}
         return dict(zip(t["term"], t["df"].astype(int)))
 
-    return _memo(("df_map", sf_dir), build)
+    return _memo(("df_for_terms", sf_dir, tl), build)
 
 
 def _corpus_stats(sf_dir: str) -> tuple[int, float]:
@@ -572,29 +597,42 @@ def boolean_sharded(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64)})
 
 
+def _app_idf_vec(n_docs: int):
+    """Vectorized app TF-IDF idf (index_service.py:297-306) over a df
+    array; df=0 rows come out 0."""
+
+    def f(df: np.ndarray) -> np.ndarray:
+        df = df.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        out[df == 0] = 0.0
+        return out
+
+    return f
+
+
 def _tfidf_scores_for(sf_dir: str, qvecs: dict[str, dict[str, float]],
-                      idf=None):
+                      idf_vec=None):
     """(qid, doc_id, score>0) Dataset: cosine of the given NORMALIZED
     query vectors against (1+log10 tf)·idf, L2-normalized-per-doc
-    vectors.  ``idf`` defaults to the app TF-IDF variant
+    vectors.  ``idf_vec`` is a VECTORIZED ``df-array -> idf-array``
+    function, defaulting to the app TF-IDF variant
     (index_service.py:297-306); pass e.g. the SMART 't' idf for VSM.
-    Per-doc norms need the full doc vector, so scoring is a per-doc
-    group stage."""
-    n_docs, _ = _corpus_stats(sf_dir)
-    ex = _exploded_ds(sf_dir).materialize()
-    df_map = _df_map(sf_dir)
 
-    if idf is None:
-        def idf(term: str) -> float:
-            df = df_map.get(term, 0)
-            if df == 0:
-                return 0.0
-            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    Per-(doc,term) df comes from a Dataset hash join against the
+    distributed df table — no driver vocab dict, nothing vocab-sized
+    in any shipped closure.  Per-doc norms need the full doc vector,
+    so scoring stays a per-doc group stage."""
+    n_docs, _ = _corpus_stats(sf_dir)
+    if idf_vec is None:
+        idf_vec = _app_idf_vec(n_docs)
+    ex = _exploded_ds(sf_dir).join(_df_ds(sf_dir), "inner",
+                                   num_partitions=8, on=("term",))
 
     def doc_scores(group: pd.DataFrame) -> pd.DataFrame:
         tfs = group["tf"].to_numpy(dtype=np.float64)
         terms = group["term"].tolist()
-        ws = (1.0 + np.log10(tfs)) * np.array([idf(t) for t in terms])
+        ws = (1.0 + np.log10(tfs)) * idf_vec(group["df"].to_numpy())
         nrm = float(np.sqrt((ws * ws).sum()))
         if nrm == 0.0:
             return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
@@ -616,11 +654,13 @@ def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     Per-doc norms need the FULL doc vector, so the per-doc group stage
     computes the norm and emits only query-term dot contributions.  The
-    vocab-wide df map is collected driver-side here (tiny corpus vocab);
-    at web scale it would be a broadcast join keyed on term.
+    doc side resolves df through the distributed hash join inside
+    ``_tfidf_scores_for``; the driver resolves df only for the QUERY
+    terms (bounded ``_df_for_terms``).
     """
     n_docs, _ = _corpus_stats(sf_dir)
-    df_map = _df_map(sf_dir)
+    df_map = _df_for_terms(
+        sf_dir, (t for ts in FIXED_QUERIES.values() for t in ts))
 
     def idf(term: str) -> float:
         df = df_map.get(term, 0)
@@ -678,11 +718,13 @@ def vsm_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     as SURVEY §7.6.2).  Same distributed shape as tfidf_topk: per-doc
     group stage for the norms, tiny driver top-k."""
     n_docs, _ = _corpus_stats(sf_dir)
-    df_map = _df_map(sf_dir)
 
-    def idf_t(term: str) -> float:
-        df = df_map.get(term, 0)
-        return math.log10(n_docs / df) if df else 0.0
+    def idf_t_vec(df: np.ndarray) -> np.ndarray:
+        df = df.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            out = np.log10(n_docs / np.maximum(df, 1.0))
+        out[df == 0] = 0.0
+        return out
 
     qvecs: dict[str, dict[str, float]] = {}
     for qid, terms in FIXED_QUERIES.items():
@@ -690,7 +732,7 @@ def vsm_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         nrm = math.sqrt(sum(v * v for v in w.values()))
         qvecs[qid] = {t: v / nrm for t, v in w.items()} if nrm else {}
 
-    scored = _tfidf_scores_for(sf_dir, qvecs, idf=idf_t)
+    scored = _tfidf_scores_for(sf_dir, qvecs, idf_vec=idf_t_vec)
     out = _topk_by_qid(scored, k)
     out["score"] = out["score"].map(round4)
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)[
@@ -2142,11 +2184,6 @@ def rocchio_topk(sf_dir: str, k: int = 10, alpha: float = 1.0, beta: float = 0.7
     n_docs, _ = _corpus_stats(sf_dir)
     base = tfidf_topk(sf_dir, k=n_feedback)
     ex = _exploded_ds(sf_dir).materialize()
-    df_map = _df_map(sf_dir)
-
-    def idf(term: str) -> float:
-        df = df_map.get(term, 0)
-        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
 
     # normalized doc vectors for the feedback docs (small set -> driver)
     fb_ids = sorted(set(base["doc_id"]))
@@ -2155,6 +2192,16 @@ def rocchio_topk(sf_dir: str, k: int = 10, alpha: float = 1.0, beta: float = 0.7
         lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=fb_set)),
         batch_format="pyarrow",
     ).to_pandas()
+    # df only for the BOUNDED working vocabulary: feedback-doc terms +
+    # the fixed query terms (never the corpus vocab)
+    df_map = _df_for_terms(
+        sf_dir, set(fb_rows["term"])
+        | {t for ts in FIXED_QUERIES.values() for t in ts})
+
+    def idf(term: str) -> float:
+        df = df_map.get(term, 0)
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
+
     doc_vecs: dict[int, dict[str, float]] = {}
     for d, g in fb_rows.groupby("doc_id"):
         ws = {t: (1.0 + math.log10(tf)) * idf(t) for t, tf in zip(g["term"], g["tf"])}
@@ -2230,11 +2277,6 @@ def _rocchio_explicit_vectors(sf_dir: str, alpha: float = 1.0,
     n_docs, _ = _corpus_stats(sf_dir)
     base = tfidf_topk(sf_dir, k=n_nonrel)
     ex = _exploded_ds(sf_dir).materialize()
-    df_map = _df_map(sf_dir)
-
-    def idf(term: str) -> float:
-        df = df_map.get(term, 0)
-        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
 
     # graded qrels (the eval_metrics contract)
     qterms_all = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
@@ -2260,6 +2302,13 @@ def _rocchio_explicit_vectors(sf_dir: str, alpha: float = 1.0,
         lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=need_set)),
         batch_format="pyarrow",
     ).to_pandas()
+    # bounded df resolve: feedback-doc terms + the fixed query terms
+    df_map = _df_for_terms(sf_dir, set(fb_rows["term"]) | set(qterms_all))
+
+    def idf(term: str) -> float:
+        df = df_map.get(term, 0)
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
+
     doc_vecs: dict[int, dict[str, float]] = {}
     for d, g in fb_rows.groupby("doc_id"):
         ws = {t: (1.0 + math.log10(tf)) * idf(t) for t, tf in zip(g["term"], g["tf"])}
@@ -2713,30 +2762,40 @@ def _tfidf_weights_ds(sf_dir: str):
     """(doc_id, term, w) stream of L2-normalized app-TF-IDF weights
     (w = (1+log10(tf)) * ln(1+(N-df+0.5)/(df+0.5)), per-doc L2 norm —
     index_service.py:297-306), the doc_hac weights map generalized to
-    the full corpus."""
-    n_corpus, _ = _corpus_stats(sf_dir)
-    df_map = _df_map(sf_dir)
+    the full corpus.
 
-    def weights(t: pa.Table) -> pa.Table:
-        out_t, out_d, out_w = [], [], []
-        for row in t.to_pylist():
-            ws = []
-            for term, tf in zip(row["terms"], row["tfs"]):
-                df = df_map.get(term, 0)
-                idf = math.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) if df else 0.0
-                ws.append((1.0 + math.log10(tf)) * idf)
-            nrm = math.sqrt(sum(w * w for w in ws)) or 1.0
-            for term, w in zip(row["terms"], ws):
-                out_t.append(term)
-                out_d.append(row["doc_id"])
-                out_w.append(w / nrm)
-        return pa.table({"term": pa.array(out_t, pa.string()),
-                         "doc_id": pa.array(out_d, pa.int64()),
-                         "w": pa.array(out_w, pa.float64())})
+    df comes from a Dataset hash join against the distributed df table
+    and the per-doc norm from a keyed partial-sum joined back on doc_id
+    — vectorized per batch, no driver vocab dict anywhere."""
+    n_corpus, _ = _corpus_stats(sf_dir)
+    idf_vec = _app_idf_vec(n_corpus)
+
+    def unnorm(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        w = (1.0 + np.log10(tf)) \
+            * idf_vec(t.column("df").to_numpy(zero_copy_only=False))
+        return pa.table({"term": t.column("term"),
+                         "doc_id": t.column("doc_id"),
+                         "w": pa.array(w, pa.float64()),
+                         "w2": pa.array(w * w, pa.float64())})
+
+    def norm(t: pa.Table) -> pa.Table:
+        nrm = np.sqrt(t.column("w2").to_numpy(zero_copy_only=False))
+        nrm[nrm == 0.0] = 1.0
+        w = t.column("w").to_numpy(zero_copy_only=False) / nrm
+        return pa.table({"term": t.column("term"),
+                         "doc_id": t.column("doc_id"),
+                         "w": pa.array(w, pa.float64())})
 
     def build():
-        return _tokens_ds(sf_dir).map_batches(
-            weights, batch_format="pyarrow").materialize()
+        un = _exploded_ds(sf_dir) \
+            .join(_df_ds(sf_dir), "inner", num_partitions=8, on=("term",)) \
+            .map_batches(unnorm, batch_format="pyarrow").materialize()
+        norms = _sum_by(un.select_columns(["doc_id", "w2"]),
+                        ("doc_id",), ("w2",))
+        return un.select_columns(["term", "doc_id", "w"]) \
+            .join(norms, "inner", num_partitions=8, on=("doc_id",)) \
+            .map_batches(norm, batch_format="pyarrow").materialize()
 
     return _memo(("tfidf_weights", sf_dir), build)
 
@@ -2841,7 +2900,6 @@ def document_detail(sf_dir: str, n_docs: int = 15) -> pd.DataFrame:
     from ..functions.snippets import lead_k_summary
 
     n_corpus, _ = _corpus_stats(sf_dir)
-    df_map = _df_map(sf_dir)
 
     def s(t: pa.Table) -> pa.Table:
         t = t.filter(pa.compute.less(t.column("doc_id"), n_docs))
@@ -2858,6 +2916,8 @@ def document_detail(sf_dir: str, n_docs: int = 15) -> pd.DataFrame:
     ex = _exploded_ds(sf_dir).map_batches(
         lambda t: t.filter(pa.compute.less(t.column("doc_id"), n_docs)),
         batch_format="pyarrow").to_pandas()
+    # df only for the selected docs' vocabulary (bounded)
+    df_map = _df_for_terms(sf_dir, ex["term"])
     ex["w"] = [(1.0 + math.log10(tf))
                * math.log(1.0 + (n_corpus - df_map[t] + 0.5) / (df_map[t] + 0.5))
                for t, tf in zip(ex["term"], ex["tf"])]
@@ -2933,12 +2993,7 @@ def related_documents(sf_dir: str, doc_id: int = RELATED_DOC_ID,
     from ..functions.tokenize import get_tokenizer
 
     n_docs, avgdl = _corpus_stats(sf_dir)
-    df_map = _df_map(sf_dir)
     tokenize = get_tokenizer("whitespace")
-
-    def idf_app(t: str) -> float:
-        df = df_map.get(t, 0)
-        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
 
     srow = _docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]) \
         .map_batches(lambda t: t.filter(
@@ -2946,6 +3001,13 @@ def related_documents(sf_dir: str, doc_id: int = RELATED_DOC_ID,
             batch_format="pyarrow").take_all()[0]
     toks = tokenize(normalize_text(srow["text"] or ""))
     tfc = Counter(toks)
+    # df only for the source doc's vocabulary + its source tag (bounded)
+    df_map = _df_for_terms(sf_dir, set(tfc) | {srow["source"]})
+
+    def idf_app(t: str) -> float:
+        df = df_map.get(t, 0)
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
+
     kwsc = [(t, round9(c * idf_app(t))) for t, c in tfc.items() if len(t) > 1]
     kws = [t for t, _ in sorted(kwsc, key=lambda x: (-x[1], x[0]))[:RELATED_KW_K]]
     qtoks = toks[:5] + kws + [srow["source"]]
@@ -3221,7 +3283,6 @@ def _rocchio_expand_app(sf_dir: str, terms: list[str]) -> tuple[list[str], float
     from collections import Counter
 
     n_docs, avgdl = _corpus_stats(sf_dir)
-    df_map = _df_map(sf_dir)
     t2q = {t: ["rq"] for t in dict.fromkeys(terms)}
     bm = _bm25_scores(sf_dir, n_docs, avgdl, t2q).to_pandas()
     if bm.empty:  # Ray drops the schema on empty frames
@@ -3231,10 +3292,6 @@ def _rocchio_expand_app(sf_dir: str, terms: list[str]) -> tuple[list[str], float
         .head(SUGGEST_FEEDBACK_K)
     fb_ids = pa.array(sorted(int(x) for x in top5["doc_id"]))
 
-    def idf_app(t: str) -> float:
-        df = df_map.get(t, 0)
-        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
-
     # normalized tfidf vectors of the 5 feedback docs (pruned scan)
     if len(fb_ids):
         fb = _exploded_ds(sf_dir).map_batches(
@@ -3243,6 +3300,13 @@ def _rocchio_expand_app(sf_dir: str, terms: list[str]) -> tuple[list[str], float
             batch_format="pyarrow").to_pandas()
     else:  # no feedback docs -> empty expansion (rocchio.py:214-223)
         fb = pd.DataFrame({"doc_id": [], "term": [], "tf": []})
+    # df only for the feedback docs' vocabulary + the query terms (bounded)
+    df_map = _df_for_terms(sf_dir, set(fb["term"]) | set(terms))
+
+    def idf_app(t: str) -> float:
+        df = df_map.get(t, 0)
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df else 0.0
+
     vecs: list[dict[str, float]] = []
     for _, g in fb.groupby("doc_id"):
         ws = {t: (1.0 + math.log10(tf)) * idf_app(t)
@@ -3743,29 +3807,24 @@ def doc_hac_clusters(sf_dir: str, n_docs: int = 60, k: int = 8,
     from ..functions.cluster import hac
 
     n_corpus, _ = _corpus_stats(sf_dir)
-    ex = _exploded_ds(sf_dir)
-    df_map = _df_map(sf_dir)
 
-    toks = _tokens_ds(sf_dir).map_batches(
+    # normalized TF-IDF weights for the HAC doc subset, driver-side and
+    # bounded (n_docs docs, their vocab only — df via _df_for_terms);
+    # the quadratic pair-contribution stage below stays distributed
+    wrows = _exploded_ds(sf_dir).map_batches(
         lambda t: t.filter(pa.compute.less(t.column("doc_id"), n_docs)),
-        batch_format="pyarrow")
-
-    def weights(t: pa.Table) -> pa.Table:
-        out_t, out_d, out_w = [], [], []
-        for row in t.to_pylist():
-            ws = []
-            for term, tf in zip(row["terms"], row["tfs"]):
-                df = df_map.get(term, 0)
-                idf = math.log(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) if df else 0.0
-                ws.append((1.0 + math.log10(tf)) * idf)
-            nrm = math.sqrt(sum(w * w for w in ws)) or 1.0
-            for term, w in zip(row["terms"], ws):
-                out_t.append(term)
-                out_d.append(row["doc_id"])
-                out_w.append(w / nrm)
-        return pa.table({"term": pa.array(out_t, pa.string()),
-                         "doc_id": pa.array(out_d, pa.int64()),
-                         "w": pa.array(out_w, pa.float64())})
+        batch_format="pyarrow").to_pandas()
+    df_map = _df_for_terms(sf_dir, wrows["term"])
+    idf_vec = _app_idf_vec(n_corpus)
+    dfv = wrows["term"].map(df_map).fillna(0).to_numpy(dtype=np.float64)
+    wun = (1.0 + np.log10(wrows["tf"].to_numpy(dtype=np.float64))) \
+        * idf_vec(dfv)
+    nrm = np.sqrt(pd.Series(wun * wun).groupby(wrows["doc_id"]).transform("sum")
+                  .to_numpy())
+    nrm[nrm == 0.0] = 1.0
+    weights_df = pd.DataFrame({"term": wrows["term"],
+                               "doc_id": wrows["doc_id"].astype(np.int64),
+                               "w": wun / nrm})
 
     def pair_contrib(df: pd.DataFrame) -> pd.DataFrame:
         d = df["doc_id"].to_numpy()
@@ -3777,8 +3836,10 @@ def doc_hac_clusters(sf_dir: str, n_docs: int = 60, k: int = 8,
         i, j = np.triu_indices(len(d), 1)
         return pd.DataFrame({"d1": d[i], "d2": d[j], "p": w[i] * w[j]})
 
-    contrib = toks.map_batches(weights, batch_format="pyarrow") \
-                  .groupby("term").map_groups(pair_contrib, batch_format="pandas")
+    import ray.data as rd
+
+    contrib = rd.from_pandas(weights_df) \
+                .groupby("term").map_groups(pair_contrib, batch_format="pandas")
     sims = _sum_by(contrib, ("d1", "d2"), ("p",)).to_pandas() \
         .rename(columns={"p": "sim"})
     if sim_decimals is not None:
@@ -4459,7 +4520,7 @@ def explain_scores(sf_dir: str) -> pd.DataFrame:
     top = bm25_topk(sf_dir, k=1)
     chosen = {r["qid"]: int(r["doc_id"]) for _, r in top.iterrows()}
     qterms = sorted({t for ts in FIXED_QUERIES.values() for t in ts})
-    df_map = _df_map(sf_dir)
+    df_map = _df_for_terms(sf_dir, qterms)
 
     ex = _exploded_ds(sf_dir)
     tset = pa.array(qterms)

@@ -44,8 +44,9 @@ import pyarrow.compute as pc
 
 from .analytics import (
     FIXED_QUERIES,  # noqa: F401  (shared query-surface conventions)
+    _app_idf_vec,
     _corpus_stats,
-    _df_map,
+    _df_ds,
     _exploded_ds,
     _memo,
     _sum_by,
@@ -276,19 +277,13 @@ def cf_user_recs(sf_dir: str, k: int = 5, n_neighbors: int = N_NEIGHBORS,
 # --------------------------------------------------- content-based similar
 
 def _doc_tfidf_parts(sf_dir: str):
-    """df map + exploded postings shared by the content recommenders."""
-    from ray.data.aggregate import Count
-
+    """(exploded ⋈ df dataset, vectorized idf) shared by the content
+    recommenders: per-(doc,term) df rides each row via the distributed
+    hash join against the df table — no driver vocab dict."""
     n_docs, _ = _corpus_stats(sf_dir)
-    ex = _exploded_ds(sf_dir)
-
-    df_map = _df_map(sf_dir)
-
-    def idf(term: str) -> float:
-        df = df_map.get(term, 0)
-        return 0.0 if df == 0 else math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-
-    return ex, idf
+    ex = _exploded_ds(sf_dir).join(_df_ds(sf_dir), "inner",
+                                   num_partitions=8, on=("term",))
+    return ex, _app_idf_vec(n_docs)
 
 
 def recommend_similar(sf_dir: str, seeds: tuple[int, ...] = SEED_DOCS,
@@ -304,7 +299,7 @@ def recommend_similar(sf_dir: str, seeds: tuple[int, ...] = SEED_DOCS,
     broadcast; candidates stream through the same per-doc group stage
     as tfidf_topk.
     """
-    ex, idf = _doc_tfidf_parts(sf_dir)
+    ex, idf_vec = _doc_tfidf_parts(sf_dir)
 
     seed_set = set(int(s) for s in seeds)
     seed_rows = ex.map_batches(
@@ -314,7 +309,8 @@ def recommend_similar(sf_dir: str, seeds: tuple[int, ...] = SEED_DOCS,
     svecs: dict[int, dict[str, float]] = {}
     for r in seed_rows:
         svecs.setdefault(int(r["doc_id"]), {})[r["term"]] = \
-            (1.0 + math.log10(float(r["tf"]))) * idf(r["term"])
+            (1.0 + math.log10(float(r["tf"]))) \
+            * float(idf_vec(np.array([r["df"]], dtype=np.float64))[0])
     for s, w in svecs.items():
         nrm = math.sqrt(sum(v * v for v in w.values()))
         svecs[s] = {t: v / nrm for t, v in w.items()} if nrm else {}
@@ -322,7 +318,7 @@ def recommend_similar(sf_dir: str, seeds: tuple[int, ...] = SEED_DOCS,
     def doc_scores(group: pd.DataFrame) -> pd.DataFrame:
         tfs = group["tf"].to_numpy(dtype=np.float64)
         terms = group["term"].tolist()
-        ws = (1.0 + np.log10(tfs)) * np.array([idf(t) for t in terms])
+        ws = (1.0 + np.log10(tfs)) * idf_vec(group["df"].to_numpy())
         nrm = float(np.sqrt((ws * ws).sum()))
         if nrm == 0.0:
             return pd.DataFrame({"seed_id": [], "doc_id": [], "score": []})
