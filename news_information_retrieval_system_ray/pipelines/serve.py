@@ -73,6 +73,12 @@ def _make_shard_worker():
         def search_weighted(self, tw, k: int, method: str, theta0: float):
             return self.s.search_weighted(tw, k, method=method, theta0=theta0)
 
+        def search_weighted_packed(self, args):
+            """Single-argument form for the compiled-graph fan-out
+            (ray.dag InputNode carries one value per execution)."""
+            tw, k, method, theta0 = args
+            return self.s.search_weighted(tw, k, method=method, theta0=theta0)
+
         def search_weighted_many(self, tws: list, k: int, method: str):
             """Batched form: one RPC covers a GROUP of weighted queries,
             amortizing the per-task Ray dispatch/serialization overhead
@@ -183,6 +189,15 @@ class ShardedSearcher:
         # decode work; below this many candidate postings per query the
         # round-trip costs more than the decode it saves
         self.seed_mass_min = 500_000
+        # compiled-graph fan-out (lazy; OWNED tiers only): Ray's classic
+        # actor RPC costs ~1.5-2 ms round-trip on this class of host —
+        # 4-15x the shard's actual compute — while a compiled ray.dag
+        # fan-out over the same actors runs the round in ~0.15 ms via
+        # shared-memory channels.  An actor set supports only ONE
+        # compiled graph at a time (a second compile HANGS, it does not
+        # error), so borrowed-tier facades (multi-frontend sharing)
+        # never compile and keep the classic path.
+        self._cdag = None
 
     # ------------------------------------------------------------------
     def _query_terms(self, query: str) -> list[str]:
@@ -241,6 +256,30 @@ class ShardedSearcher:
         self._lru_touch(terms)
         return dfs, mass
 
+    def _fanout(self, tw, k: int, method: str, theta0: float
+                ) -> list[list[tuple[int, float]]]:
+        """One all-shard ``search_weighted`` round.  Owned tiers go
+        through the compiled-graph channel (sub-ms); borrowed tiers and
+        hosts without compiled-graph support fall back to the classic
+        RPC fan-out."""
+        import ray
+
+        if self._owns_workers and self._cdag is not False:
+            if self._cdag is None:
+                try:
+                    from ray.dag import InputNode, MultiOutputNode
+
+                    with InputNode() as inp:
+                        self._cdag = MultiOutputNode(
+                            [w.search_weighted_packed.bind(inp)
+                             for w in self.workers]).experimental_compile()
+                except Exception:
+                    self._cdag = False
+            if self._cdag:
+                return ray.get(self._cdag.execute((tw, k, method, theta0)))
+        return ray.get([w.search_weighted.remote(tw, k, method, theta0)
+                        for w in self.workers])
+
     def search(self, query: str, k: int = 10, method: str = "wand",
                seed: "bool | str" = "auto") -> list[tuple[int, float]]:
         """Global top-k (doc_id, score), canonical (-score, doc_id) order;
@@ -272,10 +311,15 @@ class ShardedSearcher:
             seed = sum(dfs[t] for t, _ in tw) >= self.seed_mass_min
         theta0 = float("-inf")
         results: list[list[tuple[int, float]]] = []
-        rest = list(self.workers)
         if seed and len(self.workers) > 1 and method != "naive":
             # prime on the shard holding the most query postings: its
-            # k-th local score is the best cheap theta for the others
+            # k-th local score is the best cheap theta for the others.
+            # The theta'd round then goes to ALL shards through the one
+            # compiled fan-out (a rest-only graph would need one
+            # compiled DAG per seed index); the seed shard's theta'd
+            # rerun could drop boundary ties, so its untheta'd result
+            # stays in the merge and duplicates collapse by doc_id
+            # (scores are identical by construction).
             shard_mass = [sum(mass[t][i] for t, _ in tw)
                           for i in range(len(self.workers))]
             si = max(range(len(shard_mass)), key=shard_mass.__getitem__)
@@ -284,11 +328,13 @@ class ShardedSearcher:
             results.append(first)
             if len(first) >= k:
                 theta0 = float(first[k - 1][1])
-            rest = [w for i, w in enumerate(self.workers) if i != si]
-        results += ray.get([w.search_weighted.remote(tw, k, method, theta0)
-                            for w in rest])
-        merged = [r for part in results for r in part]
-        merged.sort(key=lambda r: (-r[1], r[0]))
+        results += self._fanout(tw, k, method, theta0)
+        best: dict[int, float] = {}
+        for part in results:
+            for d, s in part:
+                if d not in best:
+                    best[d] = s
+        merged = sorted(best.items(), key=lambda r: (-r[1], r[0]))
         return merged[:k]
 
     def search_many(self, queries: list[str], k: int = 10,
@@ -383,6 +429,12 @@ class ShardedSearcher:
     def shutdown(self) -> None:
         import ray
 
+        if getattr(self, "_cdag", None):
+            try:
+                self._cdag.teardown()
+            except Exception:
+                pass
+            self._cdag = None
         if getattr(self, "_owns_workers", True):
             for w in self.workers:
                 ray.kill(w)
