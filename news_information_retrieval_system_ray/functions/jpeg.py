@@ -561,13 +561,25 @@ class _JpegStream:
                     self.htabs[tid] = _HuffDecoder(bits, vals)
                     q += 17 + n
             elif tag == 0xC0 or tag == 0xC1:
+                if len(seg) < 6:
+                    raise ValueError("truncated SOF segment")
                 prec, self.h, self.w, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8:
                     raise ValueError("only 8-bit baseline supported")
+                if len(seg) < 6 + 3 * nc:
+                    raise ValueError("truncated SOF component table")
                 for ci in range(nc):
                     cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                    self.comps.append({"id": cid, "h": hv >> 4,
-                                       "v": hv & 0x0F, "tq": tq})
+                    h, v = hv >> 4, hv & 0x0F
+                    # JPEG spec bounds sampling factors to 1..4; a 0
+                    # from a crafted SOF would divide by zero in
+                    # _decode_scan — keep malformed input inside the
+                    # ValueError contract (r4 ADVICE)
+                    if not (1 <= h <= 4 and 1 <= v <= 4):
+                        raise ValueError(
+                            f"invalid SOF sampling factors {h}x{v}")
+                    self.comps.append({"id": cid, "h": h, "v": v,
+                                       "tq": tq})
             elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(f"SOF marker 0x{tag:02X} not baseline "

@@ -767,7 +767,16 @@ def delete_docs(index_dir: str, doc_ids) -> int:
         ids = np.setdiff1d(ids, old.astype(np.int64), assume_unique=False)
     if ids.size == 0:
         return 0
-    path = os.path.join(ddir, f"delete-{len(existing):05d}.parquet")
+    # unique per-writer filename so two concurrent callers can never
+    # compute the same path and silently overwrite each other's
+    # tombstones (r4 ADVICE); readers glob the directory, so the name
+    # only needs uniqueness, not a dense sequence.  The read-dedupe
+    # above stays advisory — a lost race at worst re-records an id,
+    # which every reader already de-duplicates.
+    import uuid
+
+    path = os.path.join(
+        ddir, f"delete-{len(existing):05d}-{uuid.uuid4().hex[:8]}.parquet")
     tmp = path + ".tmp"
     pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
     os.replace(tmp, path)  # atomic like the segment promote
@@ -949,10 +958,17 @@ def compact_index(index_dir: str, *,
     with_positions = bool(config.get("with_positions"))
     band_p = int(config.get("chunkband_partitions") or 0) \
         if not with_positions else 0
-    eff_chunk_bits = int(manifest_d.get("eff_chunk_bits")
-                         or config.get("chunk_bits")
-                         or max(10, int(manifest_d["stats"]["n_docs"])
-                                .bit_length() - 3))
+    # is-None chain, NOT falsy-`or`: an explicit chunk_bits=0 in a
+    # legacy manifest must resolve to 0 here exactly as the searchers
+    # resolve it (query.py/serve.py) — an `or` chain would rebuild with
+    # bits>=10 while readers keep slicing with 0
+    eff_chunk_bits = manifest_d.get("eff_chunk_bits")
+    if eff_chunk_bits is None:
+        eff_chunk_bits = config.get("chunk_bits")
+    if eff_chunk_bits is None:
+        eff_chunk_bits = max(
+            10, int(manifest_d["stats"]["n_docs"]).bit_length() - 3)
+    eff_chunk_bits = int(eff_chunk_bits)
     emit_alt = bool(manifest_d.get("alt_layout"))
     tokens_root = os.path.join(index_dir, "tokens")
     seg_dir = os.path.join(index_dir, "segments")
@@ -1085,6 +1101,13 @@ class StreamingIndexer:
                                                      "stream-*.parquet"))]
         self._spooled = 1 + max((int(m.group(1)) for m in existing if m),
                                 default=-1)
+        # in-flight spool file from a failed append: retries MUST
+        # re-submit the SAME path (append's crash-resume keys on the
+        # input), never respool the rows under a new sequence number —
+        # a half-promoted append replayed with a different file would
+        # duplicate docs (r4 ADVICE)
+        self._pending: str | None = None
+        self._pending_rows = 0
 
     def add(self, rows) -> "IndexBuildResult | None":
         """Buffer rows; auto-flush at ``flush_every``.  Returns the
@@ -1095,23 +1118,34 @@ class StreamingIndexer:
         return None
 
     def flush(self) -> "IndexBuildResult | None":
-        if not self._buf:
+        if not self._buf and self._pending is None:
             return None
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        path = os.path.join(self.spool_dir,
-                            f"stream-{self._spooled:06d}.parquet")
-        self._spooled += 1
-        tmp = path + ".tmp"
-        pq.write_table(pa.Table.from_pylist(self._buf), tmp)
-        os.replace(tmp, path)
-        # buffer survives until the append succeeds (a transient append
-        # failure must not lose rows); the spool file itself is the
-        # durable copy either way
-        res = append_index(self.index_dir, [path])
-        self._buf.clear()
+        if self._pending is None:
+            path = os.path.join(self.spool_dir,
+                                f"stream-{self._spooled:06d}.parquet")
+            self._spooled += 1
+            tmp = path + ".tmp"
+            pq.write_table(pa.Table.from_pylist(self._buf), tmp)
+            os.replace(tmp, path)
+            self._pending = path
+            self._pending_rows = len(self._buf)
+        # buffered rows survive until the append succeeds (a transient
+        # append failure must not lose them); on failure the SAME spool
+        # file is re-submitted next flush so append's resumability
+        # contract (same input re-run) holds
+        res = append_index(self.index_dir, [self._pending])
+        del self._buf[:self._pending_rows]
+        self._pending = None
+        self._pending_rows = 0
         self._n_flushed += 1
+        if self._buf:
+            # rows buffered between a failed append and its retry (or
+            # past the pending snapshot) drain in their own spool file —
+            # flush() means "everything buffered is in the index"
+            return self.flush()
         return res
 
 
@@ -1143,7 +1177,16 @@ def append_index(
     if not state or state.get("stats") is None or not state.get("segments_done"):
         raise ValueError(f"append requires a completed index at {index_dir}")
     config = state["config"]
-    eff_chunk_bits = state.get("eff_chunk_bits") or config.get("chunk_bits") or 20
+    # same is-None fallback chain as the searchers (query.py/serve.py):
+    # explicit chunk_bits=0 means 0, and a manifest missing both fields
+    # resolves to the formula readers use — never a divergent constant
+    eff_chunk_bits = state.get("eff_chunk_bits")
+    if eff_chunk_bits is None:
+        eff_chunk_bits = config.get("chunk_bits")
+    if eff_chunk_bits is None:
+        eff_chunk_bits = max(
+            10, int(state["stats"]["n_docs"]).bit_length() - 3)
+    eff_chunk_bits = int(eff_chunk_bits)
     with_positions = config.get("with_positions", False)
     use_html = config["text_source"] == "html"
     id_col = config.get("id_col")

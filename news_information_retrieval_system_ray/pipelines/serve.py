@@ -158,6 +158,14 @@ class ShardedSearcher:
         else:
             self._stops = frozenset()
         if workers is not None:
+            # scoring runs INSIDE the tier's actors under the tier's own
+            # construction-time parameters; accepting different ones
+            # here would silently score under other settings (r4 ADVICE)
+            if (k1, b, delta, compact) != (1.5, 0.75, 0.0, False):
+                raise ValueError(
+                    "k1/b/delta/compact cannot be overridden when "
+                    "attaching to an existing tier (workers=...) — the "
+                    "tier's construction-time parameters govern scoring")
             self.workers = list(workers)
             self._shard_chunks = shard_chunks if shard_chunks is not None \
                 else chunk_sets

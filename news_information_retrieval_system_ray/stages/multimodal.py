@@ -585,10 +585,17 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
             if fourcc == b"LIST":
                 walk(buf, data_off + 4, data_off + size)
             elif fourcc == b"strh":
+                if size < 28 or data_off + 28 > len(buf):
+                    raise ValueError("truncated strh chunk")
                 scale, rate = struct.unpack_from("<II", buf, data_off + 20)
                 if scale:
                     fps = rate // scale
             elif fourcc == b"strf":
+                # length-check before unpack: a truncated strf must
+                # raise the malformed-payload ValueError, not leak a
+                # struct.error past callers' except clauses (r4 ADVICE)
+                if size < 20 or data_off + 20 > len(buf):
+                    raise ValueError("truncated strf BITMAPINFOHEADER")
                 _, w, h, _, bitcount, compression = struct.unpack_from(
                     "<IiiHHI", buf, data_off)
             elif fourcc in (b"00db", b"00dc"):

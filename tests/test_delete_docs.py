@@ -340,3 +340,73 @@ def test_compaction_positional_layout(ray_session, tmp_path_factory):
     # BM25 over the compacted positional index finds no victims
     got = post.search(list(REFERENCE_QUERIES.values())[0], k=120)
     assert not victims & {d_ for d_, _ in got}
+
+
+def test_delete_docs_unique_tombstone_filenames(built):
+    """Two delete calls never collide on a tombstone path (unique
+    per-writer suffix), and the union of both files is the full set."""
+    import glob
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    delete_docs(built, [1, 2, 3])
+    delete_docs(built, [4, 5])
+    files = sorted(glob.glob(os.path.join(built, "deletes", "*.parquet")))
+    assert len(files) == 2
+    for f in files:
+        assert re.search(r"delete-\d{5}-[0-9a-f]{8}\.parquet$", f), f
+    got = set()
+    for f in files:
+        got |= set(pq.read_table(f).column("doc_id").to_pylist())
+    assert got == {1, 2, 3, 4, 5}
+    s = IndexSearcher(built)
+    assert not ({1, 2, 3, 4, 5} &
+                {d for d, _ in s.search(list(REFERENCE_QUERIES.values())[0],
+                                        k=N_DOCS)})
+
+
+def test_streaming_flush_retries_same_spool_file(ray_session, tmp_path_factory):
+    """A failed append must be retried with the SAME spool file (append's
+    crash-resume keys on the input path); rows buffered meanwhile flush
+    afterwards without loss or duplication."""
+    import pyarrow.parquet as pq
+
+    import news_information_retrieval_system_ray.pipelines.index_build as ib
+
+    d = tmp_path_factory.mktemp("pages_retry")
+    paths = generate_pages(str(d), n_docs=120, seed=53, n_files=2)
+    idx = str(tmp_path_factory.mktemp("index_retry"))
+    build_index(paths[:1], idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2, resume=False)
+    base = IndexSearcher(idx).n_docs
+    rows = pq.read_table(paths[1]).to_pylist()
+    spool = str(tmp_path_factory.mktemp("spool_retry"))
+    ing = ib.StreamingIndexer(idx, flush_every=1000, spool_dir=spool)
+    ing.add(rows[:20])
+
+    real_append = ib.append_index
+    calls = {"n": 0}
+
+    def flaky(index_dir, inputs, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            calls["first_input"] = list(inputs)
+            raise RuntimeError("injected transient append failure")
+        calls.setdefault("retry_input", list(inputs))
+        return real_append(index_dir, inputs, **kw)
+
+    ib.append_index = flaky
+    try:
+        with pytest.raises(RuntimeError):
+            ing.flush()
+        assert ing._pending is not None  # same file armed for retry
+        ing.add(rows[20:30])  # rows arriving between failure and retry
+        res = ing.flush()
+    finally:
+        ib.append_index = real_append
+    assert calls["retry_input"] == calls["first_input"]  # SAME path
+    # the retried file held the first 20 rows; the next 10 flushed after
+    assert res.n_docs == base + 30
+    assert ing._pending is None and not ing._buf

@@ -193,3 +193,40 @@ def test_decoder_survives_truncation_and_corruption():
         except Exception as e:
             assert isinstance(e, (ValueError, KeyError, IndexError)), \
                 (pos, type(e))
+
+
+def test_crafted_sof_sampling_zero_raises_valueerror():
+    """A SOF with a 0 h/v sampling nibble must stay inside the
+    malformed-payload ValueError contract, not ZeroDivisionError."""
+    img = _gradient_img(16, 16, seed=3)
+    payload = bytearray(encode_jpeg(img, quality=70))
+    sof = payload.find(b"\xff\xc0")
+    assert sof >= 0
+    # marker(2) + len(2) + prec(1) + h(2) + w(2) + nc(1) + cid(1) -> hv
+    hv_off = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    for bad in (0x01, 0x10, 0x00):  # h=0 / v=0 / both
+        mutated = bytearray(payload)
+        mutated[hv_off] = bad
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(mutated))
+
+
+def test_truncated_strf_raises_valueerror():
+    """A strf chunk shorter than BITMAPINFOHEADER must raise ValueError,
+    not struct.error (the malformed-payload contract)."""
+    import struct
+
+    from news_information_retrieval_system_ray.stages.multimodal import decode_avi
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + b"\x00" * (len(data) % 2)
+
+    body = b"AVI " + chunk(b"strf", b"\x00" * 10)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        decode_avi(payload)
+    # truncated strh too
+    body2 = b"AVI " + chunk(b"strh", b"\x00" * 12)
+    payload2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    with pytest.raises(ValueError):
+        decode_avi(payload2)

@@ -331,3 +331,20 @@ def test_borrowed_tier_length_mismatch_raises(built):
                             shard_chunks=tier._shard_chunks)
     finally:
         tier.shutdown()
+
+
+def test_borrowed_tier_rejects_scoring_param_overrides(built):
+    """Attaching to an existing tier with non-default k1/b/delta/compact
+    must raise: scoring runs under the TIER's construction-time params,
+    so accepting overrides would silently score under other settings."""
+    tier = ShardedSearcher(built, n_shards=N_SHARDS)
+    try:
+        with pytest.raises(ValueError, match="construction-time"):
+            ShardedSearcher(built, workers=tier.workers,
+                            shard_chunks=tier._shard_chunks, k1=2.0)
+        # defaults attach fine
+        s = ShardedSearcher(built, workers=tier.workers,
+                            shard_chunks=tier._shard_chunks)
+        assert s.search(list(REFERENCE_QUERIES.values())[0], k=5)
+    finally:
+        tier.shutdown()
