@@ -410,3 +410,73 @@ def test_streaming_flush_retries_same_spool_file(ray_session, tmp_path_factory):
     # the retried file held the first 20 rows; the next 10 flushed after
     assert res.n_docs == base + 30
     assert ing._pending is None and not ing._buf
+
+
+@pytest.mark.parametrize("layout,kw", [
+    ("default", {}),
+    ("positional", {"with_positions": True}),
+    ("chunkband", {"chunkband_partitions": 2}),
+])
+def test_full_lifecycle_per_layout(ray_session, tmp_path_factory, layout, kw):
+    """delete -> query -> compact -> append -> query across every index
+    layout: the tombstone phase preserves survivor order (frozen
+    stats), and the compact+append index is rank/score-identical to a
+    DIRECT build on (survivors + appended docs) with the same ids."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        append_index, compact_index)
+    from news_information_retrieval_system_ray.state.manifest import read_json
+
+    sf = "/root/testdata/sf0.001"
+    common = dict(text_source="text", id_col="doc_id", engine="whitespace",
+                  n_shards=3, chunk_bits=5, resume=False)
+    idx = str(tmp_path_factory.mktemp(f"life_{layout}"))
+    build_index(f"{sf}/documents.parquet", idx, **common, **kw)
+    n0 = int(read_json(os.path.join(idx, "manifest.json"))["stats"]["n_docs"])
+    s0 = IndexSearcher(idx)
+    q = "spark table join"
+    pre = s0.search(q, k=n0, method="wand")
+
+    victims = sorted({d for d, _ in pre[:4]} | {d for d in range(0, n0, 7)})
+    delete_docs(idx, victims)
+    vset = set(victims)
+    post = IndexSearcher(idx).search(q, k=n0, method="wand")
+    assert post == [r for r in pre if r[0] not in vset]  # frozen stats
+
+    assert compact_index(idx)["n_compacted"] == len(victims)
+
+    new_docs = str(tmp_path_factory.mktemp(f"new_{layout}") / "new.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([n0 + i for i in range(8)], pa.int64()),
+        "text": pa.array([f"spark table join window batch epoch {i}"
+                          for i in range(8)]),
+    }), new_docs)
+    append_index(idx, [new_docs])
+
+    # direct-build twin on survivors + the appended docs, same ids
+    surv = _filtered_documents(tmp_path_factory, sf, lambda d: d not in vset)
+    ref_idx = str(tmp_path_factory.mktemp(f"ref_{layout}"))
+    build_index([surv, new_docs], ref_idx, **common, **kw)
+
+    a, b = IndexSearcher(idx), IndexSearcher(ref_idx)
+    assert a.n_docs == b.n_docs == n0 - len(victims) + 8
+    ra = a.search(q, k=a.n_docs, method="wand")
+    rb = b.search(q, k=a.n_docs, method="wand")
+    assert [d for d, _ in ra] == [d for d, _ in rb]
+    np.testing.assert_allclose([x for _, x in ra], [x for _, x in rb],
+                               rtol=0, atol=1e-12)
+    assert any(d >= n0 for d, _ in ra)  # appended docs searchable
+    if layout == "positional":
+        np.testing.assert_array_equal(a.phrase_docs(["spark", "table"]),
+                                      b.phrase_docs(["spark", "table"]))
+    # sharded serving agrees on every layout (chunk universe spans the
+    # sparse id space; banded layout restricts per-shard file IO)
+    sh = ShardedSearcher(idx, n_shards=4)
+    try:
+        assert sh.search(q, k=10) == a.search(q, k=10, method="wand")
+    finally:
+        sh.shutdown()
