@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.codecs import vbyte_encode
+from ..functions.codecs import vbyte_encode, vbyte_encode_with_lengths
 from ..functions.hashing import token_hash64, token_hash_pair
 from ..functions.postings import BOUND_PAIRS, pack_postings, pack_postings_runs
 
@@ -135,37 +135,92 @@ class PackRuns:
         ch = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
         gs = np.concatenate(([0], np.flatnonzero(
             (np.diff(th.view(np.int64)) != 0) | (np.diff(ch) != 0)) + 1))
-        if self.with_positions:
-            # positions carry a per-posting list column -> per-run loop
-            # (non-default path; correctness over speed)
-            out: list[pa.Table] = []
-            ge = np.append(gs[1:], n)
-            for s, e in zip(gs, ge):
-                out.append(self._packer(batch.slice(s, e - s)))
-            return pa.concat_tables(out)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         tfs = batch.column("tf").to_numpy(zero_copy_only=False)
         dls = batch.column("dl").to_numpy(zero_copy_only=False)
+        alt_v = batch.column("alt").to_numpy(zero_copy_only=False) \
+            if has_alt else None
+        if self.with_positions:
+            # per-posting position lists flatten zero-copy into ONE
+            # delta+VByte pass inside _packed_runs_table (this was the
+            # positional layout's per-run Python loop — the dt-era
+            # parity item)
+            pos = batch.column("positions")
+            if isinstance(pos, pa.ChunkedArray):
+                pos = pos.combine_chunks()
+            po = pos.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            po = po - po[0]
+            pv = pos.flatten().to_numpy(zero_copy_only=False)
+            return _packed_runs_table(th, ch, ids, tfs, dls, gs, schema,
+                                      block_size=self.block_size, alt=alt_v,
+                                      pos_values=pv, pos_offsets=po)
         return _packed_runs_table(th, ch, ids, tfs, dls, gs, schema,
-                                  block_size=self.block_size)
+                                  block_size=self.block_size, alt=alt_v)
 
 
 def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
                        tfs: np.ndarray, dls: np.ndarray, gs: np.ndarray,
                        schema: pa.Schema, *, block_size: int,
-                       alt: np.ndarray | None = None) -> pa.Table:
+                       alt: np.ndarray | None = None,
+                       pos_values: np.ndarray | None = None,
+                       pos_offsets: np.ndarray | None = None) -> pa.Table:
     """Vectorized pack of sorted runs -> one Arrow table following
     ``schema`` (zero-copy binary/list columns from offset arrays).
     Only the columns the schema names are computed: the FRAGMENT schema
     (PrePackTokens) skips the whole WAND metadata family — the dominant
     pack cost — which RepackFragments re-derives post-sort.  ``alt``
-    (aligned with ``th``) adds the collision-check passenger column."""
+    (aligned with ``th``) adds the collision-check passenger column.
+    ``pos_values``/``pos_offsets`` (flattened per-posting position
+    lists + int64 posting offsets, len n+1) drive the positional
+    columns: per-posting delta+VByte encoding runs ONCE over the whole
+    flattened stream — bit-identical to the old per-posting loop, since
+    VByte is value-independent and concatenation-associative."""
     names = {f.name for f in schema}
+    if alt is not None and ids.size > 1:
+        # within-run alt uniformity: two distinct terms colliding on
+        # term_hash interleave inside one (term_hash, chunk) run and
+        # would otherwise pack silently into one row — the post-write
+        # _verify_alt_sorted only sees the packed row's single alt
+        changes = np.flatnonzero(np.diff(alt.view(np.int64)) != 0) + 1
+        bad = np.setdiff1d(changes, gs)
+        if bad.size:
+            i = int(bad[0])
+            raise ValueError(
+                "64-bit term-hash collision detected (two distinct terms "
+                f"share term_hash {int(th[i])} within one packed run)")
     r = pack_postings_runs(ids, tfs, dls, gs, block_size=block_size,
                            bounds="block_bound_tf" in names,
                            encode_dls="dls_bytes" in names,
                            combined="dt_bytes" in names)
     ng = gs.size
+    n = ids.size
+    if "positions_bytes" in names:
+        pv = np.ascontiguousarray(pos_values, dtype=np.int64)
+        po = np.ascontiguousarray(pos_offsets, dtype=np.int64)
+        plens = np.diff(po)
+        if pv.size:
+            # positions arrive ascending per posting from the tokenizer;
+            # verify in O(n) and lexsort only if some posting is not
+            # (matches the old path's defensive sorted(pl))
+            d = np.diff(pv)
+            starts_mask = np.zeros(pv.size, dtype=bool)
+            starts_mask[po[:-1][plens > 0]] = True
+            if not (d >= 0)[~starts_mask[1:]].all():
+                post_id = np.repeat(np.arange(n, dtype=np.int64), plens)
+                pv = pv[np.lexsort((pv, post_id))]
+            deltas = np.empty(pv.size, dtype=np.uint64)
+            deltas[0] = np.uint64(pv[0])
+            if pv.size > 1:
+                deltas[1:] = np.diff(pv).astype(np.uint64)
+            ne_starts = po[:-1][plens > 0]
+            deltas[ne_starts] = pv[ne_starts].astype(np.uint64)
+            pos_all, pos_len = vbyte_encode_with_lengths(deltas)
+        else:
+            pos_all, pos_len = b"", np.empty(0, dtype=np.int32)
+        bytecum = np.concatenate(([0], np.cumsum(pos_len, dtype=np.int64)))
+        per_post = (bytecum[po[1:]] - bytecum[po[:-1]]).astype(np.int32)
+        run_post_off = np.append(gs, n)  # posting offsets per run (ng+1)
+        pos_run_off = bytecum[po[run_post_off]]
 
     def _binary(blob: bytes, off: np.ndarray) -> pa.Array:
         if off[-1] < (1 << 31):
@@ -205,6 +260,9 @@ def _packed_runs_table(th: np.ndarray, ch: np.ndarray, ids: np.ndarray,
         "block_min_dl": lambda: _blist(r["block_min_dl"]),
         "block_bound_tf": lambda: _blist(r["block_bound_tf"], poff),
         "block_bound_dl": lambda: _blist(r["block_bound_dl"], poff),
+        "positions_bytes": lambda: _binary(pos_all, pos_run_off),
+        "pos_nbytes": lambda: pa.ListArray.from_arrays(
+            pa.array(run_post_off.astype(np.int32)), pa.array(per_post)),
         "alt": lambda: pa.array(alt[gs]),
     }
     return pa.table({f.name: builders[f.name]().cast(f.type) for f in schema})
@@ -609,7 +667,12 @@ class PackGroups:
             **packed,
         }
         if "alt" in group.column_names:  # collision-check passenger
-            row["alt"] = int(group.column("alt")[0].as_py())
+            alts = group.column("alt").to_numpy(zero_copy_only=False)
+            if alts.size and (alts != alts[0]).any():
+                raise ValueError(
+                    "64-bit term-hash collision detected (two distinct "
+                    "terms share one term_hash within a packed group)")
+            row["alt"] = int(alts[0])
         if term is not None:
             row["term"] = term
         if self.with_positions:

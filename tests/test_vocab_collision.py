@@ -214,3 +214,71 @@ def test_positional_build_alt_layout(ray_session, tmp_path):
     # the positional query path still works on the alt-carrying layout
     s = IndexSearcher(idx)
     assert set(s.phrase_docs(["alpha", "beta"]).tolist()) == {0, 2}
+
+
+def test_packruns_positional_bit_identical_to_packgroups():
+    """The vectorized positional PackRuns (one flattened delta+VByte
+    pass) must emit BIT-identical rows to the per-run PackGroups loop
+    it replaced — including the alt passenger and unsorted-position
+    inputs (the defensive sorted(pl) semantics)."""
+    from news_information_retrieval_system_ray.stages.indexing import (
+        PackGroups, PackRuns)
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for th in (5, 9, 9, 12):
+        for ch in (0, 1):
+            docs = np.sort(rng.choice(1000, size=int(rng.integers(1, 40)),
+                                      replace=False)) + ch * 1000
+            for d in docs:
+                k = int(rng.integers(1, 6))
+                rows.append({"term_hash": th, "chunk": ch, "doc_id": int(d),
+                             "tf": k, "dl": int(rng.integers(10, 200)),
+                             "positions": sorted(
+                                 int(x) for x in rng.integers(0, 500, size=k)),
+                             "alt": th * 7 + 1})
+    rows.sort(key=lambda r: (r["term_hash"], r["chunk"], r["doc_id"]))
+    rows[3]["positions"] = rows[3]["positions"][::-1]  # unsorted input
+    batch = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("term_hash", pa.uint64()), ("chunk", pa.int32()),
+        ("doc_id", pa.int64()), ("tf", pa.int32()), ("dl", pa.int32()),
+        ("positions", pa.list_(pa.int64())), ("alt", pa.uint64())]))
+    new = PackRuns(block_size=8, with_positions=True)(batch)
+    th_a = batch.column("term_hash").to_numpy(zero_copy_only=False)
+    ch_a = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
+    gs = np.concatenate(([0], np.flatnonzero(
+        (np.diff(th_a.view(np.int64)) != 0) | (np.diff(ch_a) != 0)) + 1))
+    pk = PackGroups(8, True)
+    old = pa.concat_tables([pk(batch.slice(s, e - s)) for s, e in
+                            zip(gs, np.append(gs[1:], len(batch)))])
+    old = old.select(new.column_names).cast(new.schema)
+    assert new.num_rows == old.num_rows
+    for c in new.column_names:
+        assert new.column(c).combine_chunks() == old.column(c).combine_chunks(), c
+
+
+def test_packruns_detects_within_run_collision():
+    """Two distinct terms forced onto one 64-bit hash interleave inside
+    one (term_hash, chunk) run; the pack itself must raise — the
+    post-write verify only sees the packed row's single alt value, so
+    this is where the positional layout's collision net closes.  Both
+    the vectorized PackRuns and the per-group PackGroups check."""
+    from news_information_retrieval_system_ray.stages.indexing import (
+        PackGroups, PackRuns)
+
+    batch = pa.Table.from_pylist([
+        {"term_hash": 777, "chunk": 0, "doc_id": 0, "tf": 1, "dl": 4,
+         "positions": [1], "alt": 1},
+        {"term_hash": 777, "chunk": 0, "doc_id": 1, "tf": 1, "dl": 4,
+         "positions": [2], "alt": 2},  # same hash, different term
+    ], schema=pa.schema([
+        ("term_hash", pa.uint64()), ("chunk", pa.int32()),
+        ("doc_id", pa.int64()), ("tf", pa.int32()), ("dl", pa.int32()),
+        ("positions", pa.list_(pa.int64())), ("alt", pa.uint64())]))
+    with pytest.raises(ValueError, match="collision"):
+        PackRuns(block_size=8, with_positions=True)(batch)
+    with pytest.raises(ValueError, match="collision"):
+        PackRuns(block_size=8, with_positions=False)(
+            batch.drop_columns(["positions"]))
+    with pytest.raises(ValueError, match="collision"):
+        PackGroups(8, True)(batch)
