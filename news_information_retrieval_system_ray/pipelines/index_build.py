@@ -859,9 +859,14 @@ def _segments_pipeline(tokens_path: str, tmp_seg: str, *,
         )
         # One sort shuffle, then the vectorized multi-run packer per
         # BATCH — batch-edge fragments have disjoint increasing doc
-        # ranges, which the query-side merge already handles
+        # ranges, which the query-side merge already handles.  fmt="dt":
+        # positional builds write the same combined delta+tf stream +
+        # doc-length sidecar the default layout uses (measured −35%
+        # stream bytes), with positions alongside; the reader detects
+        # the format per row.
         packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
-            PackRuns(block_size=block_size, with_positions=with_positions),
+            PackRuns(block_size=block_size, with_positions=with_positions,
+                     fmt="dt"),
             batch_format="pyarrow", batch_size=None,
         )
     # small row groups -> fine-grained predicate pushdown: a cold term
@@ -1300,13 +1305,27 @@ def append_index(
 
             packed = packed.map_batches(_add_band_app, batch_format="pyarrow")
     else:
+        # match the BASE's positional byte layout (dt-combined vs the
+        # classic split streams) — merge_packed refuses mixed layouts
+        # for one term's rows
+        import glob as _pglob
+
+        import pyarrow.parquet as _ppq
+
+        seg_files = _pglob.glob(os.path.join(index_dir, "segments", "**",
+                                             "*.parquet"), recursive=True)
+        base_names = set(_ppq.read_schema(sorted(seg_files)[0]).names) \
+            if seg_files else set()
+        pos_fmt = "dt" if ("dt_bytes" in base_names or not base_names) \
+            else "classic"
         exploded = rd.read_parquet(dst, columns=tok_cols).map_batches(
             ExplodeTokens(chunk_bits=eff_chunk_bits, with_positions=with_positions,
                           emit_term=False, emit_alt=state.get("alt_layout", False)),
             batch_format="pyarrow",
         )
         packed = exploded.sort(["term_hash", "chunk", "doc_id"]).map_batches(
-            PackRuns(block_size=config["block_size"], with_positions=with_positions),
+            PackRuns(block_size=config["block_size"], with_positions=with_positions,
+                     fmt=pos_fmt),
             batch_format="pyarrow", batch_size=None)
     tmp_seg = os.path.join(index_dir, ".tmp_append_seg")
     shutil.rmtree(tmp_seg, ignore_errors=True)

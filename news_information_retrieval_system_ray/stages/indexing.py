@@ -117,17 +117,27 @@ class PackRuns:
     offset arrays (``pa.Array.from_buffers`` / ``ListArray.from_arrays``).
     """
 
-    def __init__(self, block_size: int = 32, with_positions: bool = False):
+    def __init__(self, block_size: int = 32, with_positions: bool = False,
+                 fmt: str = "classic"):
+        """``fmt="dt"`` (positional builds): emit the combined
+        delta+tf stream and NO dls stream (doc-length sidecar) — the
+        same dt-era byte layout the default build writes — with the
+        positional columns alongside.  ``"classic"`` keeps the split
+        docs/tfs/dls streams (pre-dt positional bases, appends)."""
         self.block_size = block_size
         self.with_positions = with_positions
-        self._packer = PackGroups(block_size, with_positions) if with_positions else None
-        self._out_schema = PackGroups(block_size, with_positions)._schema(with_term=False)
+        self.fmt = fmt
+
+    def _schema(self, has_alt: bool) -> pa.Schema:
+        if self.fmt == "dt":
+            return segment_schema_dt(with_alt=has_alt,
+                                     with_positions=self.with_positions)
+        return PackGroups(self.block_size, self.with_positions)._schema(
+            with_term=False, with_alt=has_alt)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         has_alt = "alt" in batch.column_names
-        schema = self._out_schema if not has_alt else \
-            PackGroups(self.block_size, self.with_positions)._schema(
-                with_term=False, with_alt=True)
+        schema = self._schema(has_alt)
         n = len(batch)
         if n == 0:
             return schema.empty_table()
@@ -309,8 +319,11 @@ def fragment_schema(with_alt: bool = True, fmt: str = "dt") -> pa.Schema:
     return pa.schema(fields)
 
 
-def segment_schema_dt(with_alt: bool = False) -> pa.Schema:
-    """Final segment schema for the combined-stream ("dt") layout."""
+def segment_schema_dt(with_alt: bool = False,
+                      with_positions: bool = False) -> pa.Schema:
+    """Final segment schema for the combined-stream ("dt") layout;
+    ``with_positions`` adds the positional columns (the dt-era
+    positional layout — same byte format, positions alongside)."""
     fields = [
         ("term_hash", pa.uint64()),
         ("chunk", pa.int32()),
@@ -328,6 +341,9 @@ def segment_schema_dt(with_alt: bool = False) -> pa.Schema:
         ("block_bound_tf", pa.list_(pa.int32())),
         ("block_bound_dl", pa.list_(pa.int32())),
     ]
+    if with_positions:
+        fields += [("positions_bytes", pa.binary()),
+                   ("pos_nbytes", pa.list_(pa.int32()))]
     if with_alt:
         fields.append(("alt", pa.uint64()))
     return pa.schema(fields)
