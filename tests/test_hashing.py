@@ -81,3 +81,48 @@ def test_winnow_fingerprints_subset_stability():
     assert np.array_equal(fp1, fp2)
     assert fp1.size > 0
     assert winnow_fingerprints(["a"], k=5, window=4).size == 1
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _naive_shingle_hashes(token_hashes, n):
+    """Reference Horner fold, one posting at a time."""
+    from news_information_retrieval_system_ray.functions.hashing import SHINGLE_K
+
+    K = int(SHINGLE_K)
+    M = 1 << 64
+
+    def fold(seq):
+        h = 0
+        for i, t in enumerate(seq):
+            h = t if i == 0 else (h * K + t) % M
+        return h
+
+    if not token_hashes:
+        return []
+    if len(token_hashes) < n:
+        return [fold(token_hashes)]
+    return [fold(token_hashes[i:i + n])
+            for i in range(len(token_hashes) - n + 1)]
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                         max_size=20), max_size=12),
+       st.integers(min_value=2, max_value=5))
+@settings(max_examples=200, deadline=None)
+def test_shingle_hashes_flat_matches_naive(docs, n):
+    """The one-pass flattened kernel equals the per-doc Horner fold for
+    every doc-length mix (empty docs, short docs, window docs)."""
+    from news_information_retrieval_system_ray.functions.hashing import (
+        shingle_hashes_flat)
+
+    th = np.array([t for d in docs for t in d], dtype=np.uint64)
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    got_h, got_c = shingle_hashes_flat(th, lens, n)
+    exp = [_naive_shingle_hashes(d, n) for d in docs]
+    assert got_c.tolist() == [len(e) for e in exp]
+    assert got_h.tolist() == [h for e in exp for h in e]

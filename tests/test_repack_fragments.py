@@ -128,3 +128,80 @@ def test_sidecar_block_metadata_matches_inline():
     split_stream = int(pc.sum(pc.binary_length(sidecar.column("docs_bytes"))).as_py()) \
         + int(pc.sum(pc.binary_length(sidecar.column("tfs_bytes"))).as_py())
     assert dt_stream < split_stream
+
+
+# ------------------------------------------------- positional PackRuns prop
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _sorted_positional_batch(draw):
+    import pyarrow as pa
+
+    rows = []
+    n_keys = draw(st.integers(min_value=1, max_value=5))
+    for ki in range(n_keys):
+        th = (ki + 1) * 97
+        for ch in range(draw(st.integers(min_value=1, max_value=2))):
+            nd = draw(st.integers(min_value=1, max_value=12))
+            docs = sorted(draw(st.sets(
+                st.integers(min_value=0, max_value=400),
+                min_size=nd, max_size=nd)))
+            for d in docs:
+                k = draw(st.integers(min_value=1, max_value=4))
+                pos = draw(st.lists(st.integers(min_value=0, max_value=300),
+                                    min_size=k, max_size=k))
+                rows.append({"term_hash": th, "chunk": ch,
+                             "doc_id": int(d) + ch * 1000, "tf": k,
+                             "dl": draw(st.integers(min_value=1, max_value=99)),
+                             "positions": pos, "alt": th + 1})
+    schema = pa.schema([
+        ("term_hash", pa.uint64()), ("chunk", pa.int32()),
+        ("doc_id", pa.int64()), ("tf", pa.int32()), ("dl", pa.int32()),
+        ("positions", pa.list_(pa.int64())), ("alt", pa.uint64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+@given(_sorted_positional_batch(), st.integers(min_value=2, max_value=9))
+@settings(max_examples=60, deadline=None)
+def test_packruns_positional_property_parity(batch, block_size):
+    """Random sorted positional batches: the vectorized PackRuns equals
+    the per-run PackGroups loop bit for bit (classic AND dt formats
+    decode back to the same postings+positions)."""
+    import pyarrow as pa
+
+    from news_information_retrieval_system_ray.functions.codecs import vbyte_decode
+    from news_information_retrieval_system_ray.stages.indexing import (
+        PackGroups, PackRuns)
+
+    th = batch.column("term_hash").to_numpy(zero_copy_only=False)
+    ch = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
+    gs = np.concatenate(([0], np.flatnonzero(
+        (np.diff(th.view(np.int64)) != 0) | (np.diff(ch) != 0)) + 1))
+    ge = np.append(gs[1:], len(batch))
+    new = PackRuns(block_size=block_size, with_positions=True)(batch)
+    pk = PackGroups(block_size, True)
+    old = pa.concat_tables([pk(batch.slice(s, e - s)) for s, e in zip(gs, ge)])
+    old = old.select(new.column_names).cast(new.schema)
+    for c in new.column_names:
+        assert new.column(c).combine_chunks() == old.column(c).combine_chunks(), c
+    # dt format: same postings + identical positions stream
+    dt = PackRuns(block_size=block_size, with_positions=True, fmt="dt")(batch)
+    assert dt.column("positions_bytes").combine_chunks() == \
+        new.column("positions_bytes").combine_chunks()
+    assert dt.column("pos_nbytes").combine_chunks() == \
+        new.column("pos_nbytes").combine_chunks()
+    from news_information_retrieval_system_ray.functions.postings import decode_dt
+
+    for i in range(dt.num_rows):
+        deltas, tfs = decode_dt(dt.column("dt_bytes")[i].as_py(),
+                                dt.column("esc_bytes")[i].as_py())
+        ids = np.cumsum(deltas.astype(np.int64))
+        # classic row decodes to the same ids/tfs
+        crow = new.slice(i, 1).to_pylist()[0]
+        cids = np.cumsum(vbyte_decode(crow["docs_bytes"]).astype(np.int64))
+        np.testing.assert_array_equal(ids, cids)
+        np.testing.assert_array_equal(
+            tfs.astype(np.int64), vbyte_decode(crow["tfs_bytes"]).astype(np.int64))
