@@ -209,6 +209,20 @@ def _df_ds(sf_dir: str):
     return _memo(("df_ds", sf_dir), build)
 
 
+def _ex_df_ds(sf_dir: str):
+    """Exploded postings hash-joined with the df table, materialized
+    once per sf_dir — several battery entries (tfidf/vsm/rocchio, the
+    content recommenders, the weights stream) score per-(doc,term) with
+    idf, and each would otherwise re-run the same join."""
+
+    def build():
+        return _exploded_ds(sf_dir).join(
+            _df_ds(sf_dir), "inner", num_partitions=8,
+            on=("term",)).materialize()
+
+    return _memo(("ex_df", sf_dir), build)
+
+
 def _df_for_terms(sf_dir: str, terms) -> dict[str, int]:
     """df for a BOUNDED term collection (query terms, a few docs'
     vocabulary): an is_in-pruned scan of the distributed df table.
@@ -626,8 +640,7 @@ def _tfidf_scores_for(sf_dir: str, qvecs: dict[str, dict[str, float]],
     n_docs, _ = _corpus_stats(sf_dir)
     if idf_vec is None:
         idf_vec = _app_idf_vec(n_docs)
-    ex = _exploded_ds(sf_dir).join(_df_ds(sf_dir), "inner",
-                                   num_partitions=8, on=("term",))
+    ex = _ex_df_ds(sf_dir)
 
     def doc_scores(group: pd.DataFrame) -> pd.DataFrame:
         tfs = group["tf"].to_numpy(dtype=np.float64)
@@ -2788,8 +2801,7 @@ def _tfidf_weights_ds(sf_dir: str):
                          "w": pa.array(w, pa.float64())})
 
     def build():
-        un = _exploded_ds(sf_dir) \
-            .join(_df_ds(sf_dir), "inner", num_partitions=8, on=("term",)) \
+        un = _ex_df_ds(sf_dir) \
             .map_batches(unnorm, batch_format="pyarrow").materialize()
         norms = _sum_by(un.select_columns(["doc_id", "w2"]),
                         ("doc_id",), ("w2",))

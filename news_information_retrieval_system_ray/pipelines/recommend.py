@@ -46,8 +46,6 @@ from .analytics import (
     FIXED_QUERIES,  # noqa: F401  (shared query-surface conventions)
     _app_idf_vec,
     _corpus_stats,
-    _df_ds,
-    _exploded_ds,
     _memo,
     _sum_by,
     round4,
@@ -281,9 +279,9 @@ def _doc_tfidf_parts(sf_dir: str):
     recommenders: per-(doc,term) df rides each row via the distributed
     hash join against the df table — no driver vocab dict."""
     n_docs, _ = _corpus_stats(sf_dir)
-    ex = _exploded_ds(sf_dir).join(_df_ds(sf_dir), "inner",
-                                   num_partitions=8, on=("term",))
-    return ex, _app_idf_vec(n_docs)
+    from .analytics import _ex_df_ds
+
+    return _ex_df_ds(sf_dir), _app_idf_vec(n_docs)
 
 
 def recommend_similar(sf_dir: str, seeds: tuple[int, ...] = SEED_DOCS,

@@ -74,10 +74,20 @@ def _make_shard_worker():
             return self.s.search_weighted(tw, k, method=method, theta0=theta0)
 
         def search_weighted_packed(self, args):
-            """Single-argument form for the compiled-graph fan-out
-            (ray.dag InputNode carries one value per execution)."""
-            tw, k, method, theta0 = args
-            return self.s.search_weighted(tw, k, method=method, theta0=theta0)
+            """Single-argument dispatch for the compiled-graph channel
+            (ray.dag InputNode carries one value per execution; an actor
+            set supports only ONE compiled graph, so the one graph
+            serves BOTH the latency path and the bulk path):
+            ``("one", tw, k, method, theta0)`` -> one weighted search;
+            ``("many", tws, k, method)`` -> a group of unseeded ones."""
+            if args[0] == "one":
+                _, tw, k, method, theta0 = args
+                return self.s.search_weighted(tw, k, method=method,
+                                              theta0=theta0)
+            _, tws, k, method = args
+            return [self.s.search_weighted(tw, k, method=method,
+                                           theta0=float("-inf"))
+                    for tw in tws]
 
         def search_weighted_many(self, tws: list, k: int, method: str):
             """Batched form: one RPC covers a GROUP of weighted queries,
@@ -264,6 +274,24 @@ class ShardedSearcher:
         self._lru_touch(terms)
         return dfs, mass
 
+    def _ensure_cdag(self):
+        """Compile (once) the all-shard dispatch graph; None when this
+        facade must use classic RPCs (borrowed tier / no support)."""
+        if not self._owns_workers or self._cdag is False:
+            return None
+        if self._cdag is None:
+            try:
+                from ray.dag import InputNode, MultiOutputNode
+
+                with InputNode() as inp:
+                    self._cdag = MultiOutputNode(
+                        [w.search_weighted_packed.bind(inp)
+                         for w in self.workers]).experimental_compile()
+            except Exception:
+                self._cdag = False
+                return None
+        return self._cdag
+
     def _fanout(self, tw, k: int, method: str, theta0: float
                 ) -> list[list[tuple[int, float]]]:
         """One all-shard ``search_weighted`` round.  Owned tiers go
@@ -272,19 +300,9 @@ class ShardedSearcher:
         RPC fan-out."""
         import ray
 
-        if self._owns_workers and self._cdag is not False:
-            if self._cdag is None:
-                try:
-                    from ray.dag import InputNode, MultiOutputNode
-
-                    with InputNode() as inp:
-                        self._cdag = MultiOutputNode(
-                            [w.search_weighted_packed.bind(inp)
-                             for w in self.workers]).experimental_compile()
-                except Exception:
-                    self._cdag = False
-            if self._cdag:
-                return ray.get(self._cdag.execute((tw, k, method, theta0)))
+        cdag = self._ensure_cdag()
+        if cdag:
+            return ray.get(cdag.execute(("one", tw, k, method, theta0)))
         return ray.get([w.search_weighted.remote(tw, k, method, theta0)
                         for w in self.workers])
 
@@ -388,19 +406,28 @@ class ShardedSearcher:
                 live_idx.append(i)
                 tws.append(tw)
 
-        def _finish(idxs: list[int], futs: list) -> None:
+        def _finish(idxs: list[int], futs) -> None:
             per_shard = ray.get(futs)  # [shard][query in group] -> topk
             for j, qi in enumerate(idxs):
                 merged = [r for part in per_shard for r in part[j]]
                 merged.sort(key=lambda r: (-r[1], r[0]))
                 results[qi] = merged[:k]
 
-        pending: list[tuple[list[int], list]] = []
+        # owned tiers dispatch each GROUP through the compiled graph
+        # (one sub-ms channel round per group instead of n_shards
+        # classic RPCs); pipelining keeps up to max_inflight_groups
+        # executions in flight either way
+        cdag = self._ensure_cdag()
+        pending: list[tuple[list[int], object]] = []
         for g in range(0, len(tws), group_size):
             grp = tws[g:g + group_size]
             idxs = live_idx[g:g + group_size]
-            pending.append((idxs, [w.search_weighted_many.remote(
-                grp, k, method) for w in self.workers]))
+            if cdag:
+                futs = cdag.execute(("many", grp, k, method))
+            else:
+                futs = [w.search_weighted_many.remote(grp, k, method)
+                        for w in self.workers]
+            pending.append((idxs, futs))
             if len(pending) >= max_inflight_groups:
                 _finish(*pending.pop(0))
         for idxs, futs in pending:
