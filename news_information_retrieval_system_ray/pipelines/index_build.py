@@ -1072,12 +1072,26 @@ class StreamingIndexer:
     ``IndexSearcher.refresh()`` — the Lucene NRT shape: writer buffers,
     segment-granular commits, cheap reader reopen.
 
+    ``dedup=True`` adds exact dedup-on-ingest (the web-crawl shape:
+    refetches and mirror pages dominate a stream): each incoming doc's
+    content MD5 is checked against the hashes this spool has already
+    accepted — duplicates are dropped BEFORE they cost tokenize/index
+    work, accepted hashes persist as a parquet sidecar next to the
+    spool files (reloaded on restart, same crash-resume contract as the
+    spool sequence), and ``seed_hashes`` pre-loads hashes from an
+    existing corpus (e.g. ``exact_dedup_groups``'s content_hash column)
+    so the stream also dedups against the base index.  At web scale one
+    StreamingIndexer owns one hash-partition of the stream, so its seen
+    set is the partition's hash range, not the corpus (replace the set
+    with a bloom filter when even that slice outgrows memory).
+
     Scale shape: one StreamingIndexer per ingest partition (an actor),
     each flushing its own append shard; flushes are the existing
     resumable append path, so a crashed flush re-runs."""
 
     def __init__(self, index_dir: str, flush_every: int = 1000,
-                 spool_dir: str | None = None):
+                 spool_dir: str | None = None, dedup: bool = False,
+                 seed_hashes=None):
         import tempfile
 
         from ..state.manifest import read_json
@@ -1087,6 +1101,11 @@ class StreamingIndexer:
             raise FileNotFoundError(f"no completed index manifest in {index_dir}")
         self.index_dir = index_dir
         self.flush_every = int(flush_every)
+        cfg = m["config"]
+        self._text_col = "html" if cfg["text_source"] == "html" \
+            else cfg["text_source"]
+        self.dedup = bool(dedup)
+        self.n_dropped = 0
         if spool_dir:
             os.makedirs(spool_dir, exist_ok=True)
             self.spool_dir = spool_dir
@@ -1113,11 +1132,43 @@ class StreamingIndexer:
         # duplicate docs (r4 ADVICE)
         self._pending: str | None = None
         self._pending_rows = 0
+        self._seen: set[str] = set()
+        if self.dedup:
+            import pyarrow.parquet as _spq
+
+            for f in sorted(_glob.glob(os.path.join(
+                    self.spool_dir, "dedup-hashes-*.parquet"))):
+                self._seen.update(
+                    _spq.read_table(f, columns=["content_hash"])
+                    .column("content_hash").to_pylist())
+            if seed_hashes is not None:
+                self._seen.update(seed_hashes)
+        # hashes of the rows currently buffered (aligned decisions: a
+        # buffered doc must also block its own in-stream duplicates)
+        self._buf_hashes: list[str] = []
+
+    def _content_hash(self, row: dict) -> str:
+        import hashlib
+
+        return hashlib.md5(
+            str(row.get(self._text_col) or "").encode("utf-8")).hexdigest()
 
     def add(self, rows) -> "IndexBuildResult | None":
         """Buffer rows; auto-flush at ``flush_every``.  Returns the
-        flush result when one happened, else None."""
-        self._buf.extend(dict(r) for r in rows)
+        flush result when one happened, else None.  With ``dedup=True``
+        exact duplicates (by content MD5) are dropped here — before any
+        spool/tokenize/index cost — and counted in ``n_dropped``."""
+        if self.dedup:
+            for r in rows:
+                h = self._content_hash(r)
+                if h in self._seen:
+                    self.n_dropped += 1
+                    continue
+                self._seen.add(h)
+                self._buf.append(dict(r))
+                self._buf_hashes.append(h)
+        else:
+            self._buf.extend(dict(r) for r in rows)
         if len(self._buf) >= self.flush_every:
             return self.flush()
         return None
@@ -1142,6 +1193,17 @@ class StreamingIndexer:
         # file is re-submitted next flush so append's resumability
         # contract (same input re-run) holds
         res = append_index(self.index_dir, [self._pending])
+        if self.dedup and self._pending_rows:
+            # persist the accepted hashes only AFTER the append lands:
+            # a crash in between re-admits duplicates of this one batch
+            # on restart (at-least-once), never silently drops docs
+            # that were hashed but never indexed
+            hpath = self._pending.replace("stream-", "dedup-hashes-")
+            htmp = hpath + ".tmp"
+            pq.write_table(pa.table({"content_hash": pa.array(
+                self._buf_hashes[:self._pending_rows], pa.string())}), htmp)
+            os.replace(htmp, hpath)
+            del self._buf_hashes[:self._pending_rows]
         del self._buf[:self._pending_rows]
         self._pending = None
         self._pending_rows = 0

@@ -480,3 +480,54 @@ def test_full_lifecycle_per_layout(ray_session, tmp_path_factory, layout, kw):
         assert sh.search(q, k=10) == a.search(q, k=10, method="wand")
     finally:
         sh.shutdown()
+
+
+def test_streaming_dedup_on_ingest(ray_session, tmp_path_factory):
+    """dedup=True drops exact duplicates before they cost any index
+    work — within a batch, across flushes, and across a RESTART over
+    the same spool dir (hash sidecar reload); seed_hashes blocks
+    base-corpus duplicates too."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        StreamingIndexer)
+
+    d = tmp_path_factory.mktemp("pages_dedup")
+    paths = generate_pages(str(d), n_docs=160, seed=61, n_files=2)
+    idx = str(tmp_path_factory.mktemp("index_dedup"))
+    build_index(paths[:1], idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2, resume=False)
+    base = IndexSearcher(idx).n_docs
+    rows = pq.read_table(paths[1]).to_pylist()
+    spool = str(tmp_path_factory.mktemp("spool_dedup"))
+
+    seed = {hashlib.md5(str(rows[0]["html"]).encode()).hexdigest()}
+    ing = StreamingIndexer(idx, flush_every=1000, spool_dir=spool,
+                           dedup=True, seed_hashes=seed)
+    # rows[0] blocked by the seed; rows[1] duplicated in-batch
+    ing.add([rows[0], rows[1], dict(rows[1]), rows[2]])
+    assert ing.n_dropped == 2
+    ing.flush()
+    assert IndexSearcher(idx).n_docs == base + 2
+
+    # duplicate across flushes
+    ing.add([dict(rows[2]), rows[3]])
+    ing.flush()
+    assert ing.n_dropped == 3
+    assert IndexSearcher(idx).n_docs == base + 3
+
+    # restart over the same spool: sidecar reload keeps blocking
+    ing2 = StreamingIndexer(idx, flush_every=1000, spool_dir=spool,
+                            dedup=True)
+    ing2.add([dict(rows[1]), dict(rows[3]), rows[4]])
+    assert ing2.n_dropped == 2
+    ing2.flush()
+    s = IndexSearcher(idx)
+    assert s.n_docs == base + 4
+    # everything indexed exactly once: no doc id duplicated
+    hits = s.search(list(REFERENCE_QUERIES.values())[0], k=base + 10,
+                    method="wand")
+    ids = [doc for doc, _ in hits]
+    assert len(ids) == len(set(ids))
