@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": A.ann_lsh,
         "ann_lsh_bucketed": A.ann_lsh_bucketed,
         "ann_ivf": A.ann_ivf,
+        "ann_ivfpq": A.ann_ivfpq,
         "embedding_nn_within_label": A.embedding_nn_within_label,
         "embedding_kmeans": A.embedding_kmeans,
         "doc_hac_clusters": A.doc_hac_clusters,

@@ -4075,6 +4075,30 @@ def ann_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)
 
 
+def ann_ivfpq(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """IVF-PQ ANN — the MEMORY scale path: inverted lists from the
+    coarse quantizer plus 8-byte product-quantized residual codes per
+    vector (~64x smaller than the float rows), scored by asymmetric
+    distance (per-query LUT + uint8 gather — no float vectors are read
+    at query time).  Rows-only driver check; recall vs brute force and
+    layout determinism asserted in unit tests."""
+    import ray.data as rd
+
+    from ..stages.ann import ivfpq_build, ivfpq_topk
+
+    q, qids = _query_vectors(sf_dir, 5)
+    layout = f"/tmp/nirs_ivfpq_{abs(hash(sf_dir)) % (1 << 32)}"
+    if not os.path.isdir(layout):
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        ivfpq_build(ds, layout, dim=q.shape[1], n_lists=16,
+                    m_sub=8, n_iter=8)
+    out = ivfpq_topk(layout, q, k=k, nprobe=6)
+    out["qid"] = out["qid"].map(dict(enumerate(qids))).astype(np.int64)
+    out["score"] = out["score"].map(round4)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
 # --------------------------------------------- PAT-tree keyword extraction
 
 PAT_MIN_FREQ = 2        # extract_keywords default (pat_tree.py:302)

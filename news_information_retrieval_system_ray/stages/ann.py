@@ -395,3 +395,190 @@ def ivf_topk(out_dir: str, queries: np.ndarray, k: int = 10, *,
                              "score": pd.Series(dtype=np.float64)})
     cand = rd.read_parquet(paths, columns=[id_col, vec_col])
     return brute_force_topk(cand, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+# --------------------------------------------------------------- IVF-PQ
+
+def _pq_train_codebooks(sample: np.ndarray, m_sub: int, n_codes: int,
+                        n_iter: int = 12, seed: int = 17) -> np.ndarray:
+    """(m_sub, n_codes, dim/m_sub) product-quantizer codebooks via
+    per-subspace Lloyd k-means on a TRAINING SAMPLE (the standard PQ
+    recipe — Jegou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011: codebooks train on a corpus sample, never the
+    full collection).  Deterministic seeded init per subspace."""
+    n, dim = sample.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    k = min(n_codes, n)
+    books = np.empty((m_sub, k, dsub), dtype=np.float64)
+    for m in range(m_sub):
+        x = sample[:, m * dsub:(m + 1) * dsub]
+        rng = np.random.default_rng(seed * 10_007 + m)
+        cent = x[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    cent[j] = x[mask].mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def _pq_encode(residual: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m_sub) uint8 codes: per-subspace nearest codeword."""
+    n, dim = residual.shape
+    m_sub, k, dsub = books.shape
+    codes = np.empty((n, m_sub), dtype=np.uint8)
+    for m in range(m_sub):
+        x = residual[:, m * dsub:(m + 1) * dsub]
+        d2 = ((x[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def ivfpq_build(ds, out_dir: str, *, dim: int, n_lists: int = 16,
+                m_sub: int = 8, n_codes: int = 256, train_sample: int = 4096,
+                n_iter: int = 8, seed: int = 17,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    """Materialize the IVF-PQ layout — the MEMORY scale path: the coarse
+    quantizer partitions rows into inverted lists (hive dirs, like
+    :func:`ivf_build`), and each row stores only ``m_sub`` BYTES of PQ
+    codes over its residual (x - centroid) instead of ``dim`` float64s
+    — a 64x shrink at dim=64/m_sub=8, which is what lets a 10^11-vector
+    collection's candidate lists stream through workers.  Codebooks
+    train on a bounded sample (driver-side numpy, documented PQ
+    practice); centroids + codebooks persist as sidecars."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    centroids, _ = kmeans(ds, k=n_lists, dim=dim, n_iter=n_iter, seed=seed,
+                          vec_col=vec_col, id_col=id_col)
+    sample_rows = ds.limit(int(train_sample)).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    d2s = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    books = _pq_train_codebooks(sample - centroids[d2s.argmin(axis=1)],
+                                m_sub, n_codes, seed=seed)
+    cref = ray.put((centroids, books))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c, b = ray.get(cref)
+        m = vecs_from_column(batch.column(vec_col))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lists = d2.argmin(axis=1)
+        codes = _pq_encode(m - c[lists], b)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "pq_code": pa.array(list(codes.tobytes()[i * codes.shape[1]:
+                                                     (i + 1) * codes.shape[1]]
+                                     for i in range(codes.shape[0])),
+                                pa.binary()),
+            "ivf_list": pa.array(lists.astype(np.int64)),
+        })
+
+    ds.map_batches(encode, batch_format="pyarrow") \
+      .write_parquet(out_dir, partition_cols=["ivf_list"])
+    _pq.write_table(
+        pa.table({"list_id": pa.array(np.arange(centroids.shape[0],
+                                                dtype=np.int64)),
+                  "centroid": pa.array(centroids.tolist(),
+                                       pa.list_(pa.float64()))}),
+        _os.path.join(out_dir, "_centroids.parquet"))
+    _pq.write_table(
+        pa.table({"m": pa.array(np.repeat(np.arange(books.shape[0]),
+                                          books.shape[1]).astype(np.int64)),
+                  "code": pa.array(np.tile(np.arange(books.shape[1]),
+                                           books.shape[0]).astype(np.int64)),
+                  "codeword": pa.array(
+                      books.reshape(-1, books.shape[2]).tolist(),
+                      pa.list_(pa.float64()))}),
+        _os.path.join(out_dir, "_codebooks.parquet"))
+    return out_dir
+
+
+def ivfpq_topk(out_dir: str, queries: np.ndarray, k: int = 10, *,
+               nprobe: int = 4, id_col: str = "vec_id") -> pd.DataFrame:
+    """Query the IVF-PQ layout with asymmetric distance computation:
+    per (query, probed list) the score is the inner product
+    ``q . centroid + sum_m LUT[m, code_m]`` where
+    ``LUT[m, c] = q_sub_m . codeword[m, c]`` — one tiny table per
+    query, then candidate scoring is ONE uint8 gather + sum per batch
+    (no float vectors are ever read back).  Candidates stream from only
+    the probed hive partitions; per-batch partial top-k, driver merge.
+    Approximate by construction — recall vs exhaustive is asserted in
+    tests; ranking key is (-score, vec_id) like the exact kernels."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    cent_tbl = _pq.read_table(_os.path.join(out_dir, "_centroids.parquet"))
+    centroids = vecs_from_column(cent_tbl.column("centroid"))
+    cb = _pq.read_table(_os.path.join(out_dir, "_codebooks.parquet"))
+    m_sub = int(cb.column("m").to_numpy().max()) + 1
+    n_codes = int(cb.column("code").to_numpy().max()) + 1
+    books = vecs_from_column(cb.column("codeword")).reshape(
+        m_sub, n_codes, -1)
+    dsub = books.shape[2]
+    q = np.asarray(queries, dtype=np.float64)
+    nq = q.shape[0]
+    d2 = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    nprobe = min(nprobe, centroids.shape[0])
+    probes = np.argsort(d2, axis=1)[:, :nprobe]          # (nq, nprobe)
+    # per-query ADC tables: (nq, m_sub, n_codes)
+    luts = np.einsum("qmd,mcd->qmc",
+                     q.reshape(nq, m_sub, dsub), books)
+    qdotc = q @ centroids.T                              # (nq, n_lists)
+
+    out = []
+    for b in np.unique(probes).tolist():
+        paths = sorted(_glob.glob(
+            _os.path.join(out_dir, f"ivf_list={b}", "*.parquet")))
+        if not paths:
+            continue
+        qids = np.flatnonzero((probes == b).any(axis=1))
+        cand = rd.read_parquet(paths, columns=[id_col, "pq_code"])
+
+        def score(t: pa.Table, _b=b, _qids=qids) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            code_col = t.column("pq_code")
+            if isinstance(code_col, pa.ChunkedArray):
+                code_col = code_col.combine_chunks()
+            codes = np.frombuffer(
+                b"".join(code_col.to_pylist()),
+                dtype=np.uint8).reshape(ids.size, m_sub)
+            # one gather+sum for ALL probing queries at once:
+            # (nq_b, n_cand) = centroid dot + per-subspace LUT sums
+            s = qdotc[_qids, _b][:, None] \
+                + luts[_qids][:, np.arange(m_sub)[None, :], codes].sum(axis=2)
+            kk = min(k, ids.size)
+            # partial top-k per query, canonical (-score, id) order
+            part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+            o_q, o_id, o_s = [], [], []
+            for row, qi in enumerate(_qids.tolist()):
+                sel = part[row]
+                order = sel[np.lexsort((ids[sel], -s[row, sel]))]
+                o_q += [qi] * kk
+                o_id += ids[order].astype(np.int64).tolist()
+                o_s += s[row, order].tolist()
+            return pa.table({"qid": pa.array(o_q, pa.int64()),
+                             "vec_id": pa.array(o_id, pa.int64()),
+                             "score": pa.array(o_s, pa.float64())})
+
+        out.append(cand.map_batches(score, batch_format="pyarrow").to_pandas())
+    if not out:
+        return pd.DataFrame({"qid": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int64),
+                             "vec_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    allp = pd.concat(out, ignore_index=True)
+    allp = allp.sort_values(["qid", "score", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    allp = allp.groupby("qid", group_keys=False).head(k).copy()
+    allp["rank"] = allp.groupby("qid").cumcount() + 1
+    return allp.reset_index(drop=True)[["qid", "rank", "vec_id", "score"]]

@@ -467,3 +467,54 @@ def test_simhash_distributed_verify_matches_driver(pages_ds):
     b = simhash_pairs(pages_ds, engine="cjk_bigram", driver_verify_limit=0)
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_ivfpq_recall_and_layout(ray_session, tmp_path_factory):
+    """IVF-PQ: deterministic layout, 8-byte codes per vector, and
+    recall@10 vs exhaustive search clearing the lossy-codec bar at
+    nprobe=6 (the memory scale path trades recall for a ~64x shrink)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from news_information_retrieval_system_ray.stages.ann import (
+        brute_force_topk, ivfpq_build, ivfpq_topk, vecs_from_column)
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+    dim = len(t.column("embedding")[0].as_py())
+    q = vecs_from_column(t.column("embedding"))[:6]
+    out_dir = str(tmp_path_factory.mktemp("ivfpq"))
+    ivfpq_build(rd.read_parquet(src, columns=["vec_id", "embedding"]),
+                out_dir, dim=dim, n_lists=8, m_sub=8)
+    # 8 bytes of code per vector, every vector stored exactly once
+    parts = glob.glob(os.path.join(out_dir, "ivf_list=*", "*.parquet"))
+    rows = pq.read_table(parts)
+    assert rows.num_rows == t.num_rows
+    assert all(len(c) == 8 for c in rows.column("pq_code").to_pylist())
+
+    got = ivfpq_topk(out_dir, q, k=10, nprobe=4)
+    exact = brute_force_topk(
+        rd.read_parquet(src, columns=["vec_id", "embedding"]), q, k=10)
+    hits = tot = 0
+    for qi in range(len(q)):
+        e = set(exact[exact["qid"] == qi]["vec_id"])
+        g = set(got[got["qid"] == qi]["vec_id"])
+        hits += len(e & g)
+        tot += len(e)
+        # the query vector IS row qi: its self-match must survive PQ
+        assert int(got[got["qid"] == qi].iloc[0]["vec_id"]) == \
+            int(exact[exact["qid"] == qi].iloc[0]["vec_id"])
+    assert hits / tot >= 0.55, hits / tot
+
+    # deterministic rebuild -> identical results
+    out2 = str(tmp_path_factory.mktemp("ivfpq2"))
+    ivfpq_build(rd.read_parquet(src, columns=["vec_id", "embedding"]),
+                out2, dim=dim, n_lists=8, m_sub=8)
+    got2 = ivfpq_topk(out2, q, k=10, nprobe=4)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  got2.reset_index(drop=True))
