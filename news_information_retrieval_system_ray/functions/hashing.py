@@ -83,6 +83,31 @@ def simhash64(tokens: list[str]) -> int:
     return out
 
 
+def simhash64_batch(th: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`simhash64` over a flattened per-doc token-hash
+    stream (uint64 hashes concatenated doc-major + per-doc counts).
+
+    Identical bit-for-bit: tf-weighted votes over unique tokens equal
+    the plain sum of per-OCCURRENCE votes, so no per-doc unique is
+    needed — one unpackbits + one segmented reduce for the whole batch.
+    Empty docs get signature 0 (simhash64's no-token contract)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    n = lens.size
+    sums = np.zeros((n, 64), dtype=np.int64)
+    if th.size:
+        th = np.ascontiguousarray(th, dtype=np.uint64)
+        bits = np.unpackbits(
+            th.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1).astype(np.int64)
+        votes = bits * 2 - 1
+        ne = lens > 0
+        starts = (np.concatenate(([0], np.cumsum(lens)))[:-1])[ne]
+        # nonempty docs' token ranges tile the stream, so consecutive
+        # nonempty starts are exactly the reduceat segment boundaries
+        sums[ne] = np.add.reduceat(votes, starts, axis=0)
+    packed = np.packbits(sums > 0, axis=1)  # MSB-first bytes
+    return packed[:, ::-1].copy().view(np.uint64).reshape(-1)
+
+
 def hamming64(a: int, b: int) -> int:
     return int(bin(a ^ b).count("1"))
 

@@ -93,18 +93,38 @@ class SimHashStage:
         self.n_bands = n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs, bands = [], []
-        for t in batch.column(self.text_col).to_pylist():
-            # reference hashes whitespace-lowercased tokens (deduplication.py:85-110)
-            sig = simhash64(self.tokenize(normalize_text(t or "")))
-            sigs.append(sig)
-            bands.append(simhash_bands(sig, self.n_bands))
+        # reference hashes whitespace-lowercased tokens
+        # (deduplication.py:85-110); batch-vectorized like MinHashStage:
+        # factorize the flattened token stream (MD5 once per unique
+        # token), then ONE unpackbits + segmented-reduce signature pass
+        # (simhash64_batch — bit-identical to the per-doc kernel)
+        import pandas as pd
+
+        from ..functions.hashing import simhash64_batch, token_hash64
+
+        texts = batch.column(self.text_col).to_pylist()
+        lens = np.empty(len(texts), dtype=np.int64)
+        all_toks: list[str] = []
+        for i, t in enumerate(texts):
+            toks = self.tokenize(normalize_text(t or ""))
+            lens[i] = len(toks)
+            all_toks += toks
+        if all_toks:
+            codes, uniq = pd.factorize(np.asarray(all_toks, dtype=object))
+            uh = np.fromiter((token_hash64(s) for s in uniq),
+                             dtype=np.uint64, count=len(uniq))
+            th = uh[codes]
+        else:
+            th = np.empty(0, dtype=np.uint64)
+        sigs = simhash64_batch(th, lens)
+        width = 64 // self.n_bands
+        mask = np.uint64((1 << width) - 1)
         out = {
             "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+            "simhash": pa.array(sigs),
         }
         for i in range(self.n_bands):
-            out[f"band_{i}"] = pa.array(np.array([b[i] for b in bands], dtype=np.uint64))
+            out[f"band_{i}"] = pa.array((sigs >> np.uint64(width * i)) & mask)
         return pa.table(out)
 
 
@@ -175,8 +195,9 @@ def simhash_pairs(ds, engine: str = DEFAULT_ENGINE, text_col: str = "text",
 
     empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
         {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
-    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
-    counts = _sum_by(exploded.select_columns(["band_key"]),
+    sigs = sigs.materialize()
+    counts = _sum_by(sigs.map_batches(explode_bands, batch_format="pyarrow")
+                         .select_columns(["band_key"]),
                      ("band_key",), (), counts=("n",))
     multi = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t.column("n"), 1)),
@@ -185,26 +206,60 @@ def simhash_pairs(ds, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     if not multi:
         return empty
     n_cand = sum(int(row["n"]) for row in multi)
-    mset = pa.array(np.array(sorted(row["band_key"] for row in multi), dtype=np.int64))
-    cand_ds = exploded.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column("band_key"), value_set=mset)),
-        batch_format="pyarrow",
-    )
+    mset_np = np.array(sorted(row["band_key"] for row in multi), dtype=np.int64)
+
+    def cand_batch(t: pa.Table) -> pa.Table:
+        # fused candidate scan (the minhash_pairs shape): recompute the
+        # four band keys per row — a handful of shifts — and emit only
+        # hits in multi-occupant buckets, signature alongside
+        hit_t = explode_bands(t)
+        return hit_t.filter(pa.compute.is_in(
+            hit_t.column("band_key"), value_set=pa.array(mset_np)))
+
+    cand_ds = sigs.map_batches(cand_batch, batch_format="pyarrow")
     if n_cand <= driver_verify_limit:
         cand = cand_ds.to_pandas()
-        allp = cand.groupby("band_key", sort=True, group_keys=False)[
-            ["doc_id", "simhash"]].apply(bucket_pairs)
+        if cand.empty:
+            return empty
+        bk = cand["band_key"].to_numpy()
+        ids = cand["doc_id"].to_numpy()
+        sh = cand["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, bk))
+        bk, ids, sh = bk[order], ids[order], sh[order]
+        gidx = np.concatenate(([0], np.flatnonzero(np.diff(bk) != 0) + 1))
+        sizes = np.diff(np.concatenate((gidx, [bk.size])))
+        ai_l: list[np.ndarray] = []
+        bi_l: list[np.ndarray] = []
+        for s in np.unique(sizes[sizes >= 2]):
+            g0 = gidx[sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            ai_l.append((g0[:, None] + iu[None, :]).ravel())
+            bi_l.append((g0[:, None] + ju[None, :]).ravel())
+        if not ai_l:
+            return empty
+        ai = np.concatenate(ai_l)
+        bi = np.concatenate(bi_l)
+        x = np.bitwise_xor(sh[ai], sh[bi])
+        hams = np.unpackbits(x.view(np.uint8).reshape(x.size, 8),
+                             axis=1).sum(axis=1).astype(np.int64)
+        keep = hams <= max_hamming
+        if not keep.any():
+            return empty
+        da, db = ids[ai[keep]], ids[bi[keep]]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        out = pd.DataFrame({"doc_a": lo.astype(np.int64),
+                            "doc_b": hi.astype(np.int64),
+                            "hamming": hams[keep]})
     else:
-        # distributed verify: the exploded rows already carry the 8-byte
-        # signature, so each bucket task has everything it needs
-        allp = cand_ds.groupby("band_key") \
-                      .map_groups(bucket_pairs, batch_format="pandas") \
-                      .to_pandas()  # verified PAIRS only (the result)
-    if allp.empty:
+        # distributed verify: the candidate rows already carry the
+        # 8-byte signature, so each bucket task has everything it needs
+        out = cand_ds.groupby("band_key") \
+                     .map_groups(bucket_pairs, batch_format="pandas") \
+                     .to_pandas()  # verified PAIRS only (the result)
+    if out.empty:
         return empty
-    out = allp.drop_duplicates(["doc_a", "doc_b"]) \
+    out = out.drop_duplicates(["doc_a", "doc_b"]) \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    # pandas groupby.apply upcasts to float when some groups are empty;
     # pin the schema (int64, matching the BIGINT oracle) in both paths
     return out.astype({"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
 

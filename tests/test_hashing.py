@@ -126,3 +126,19 @@ def test_shingle_hashes_flat_matches_naive(docs, n):
     exp = [_naive_shingle_hashes(d, n) for d in docs]
     assert got_c.tolist() == [len(e) for e in exp]
     assert got_h.tolist() == [h for e in exp for h in e]
+
+
+@given(st.lists(st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=4),
+                         max_size=15), max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_simhash64_batch_matches_per_doc(docs):
+    """The batched unpackbits+reduceat simhash equals the per-doc kernel
+    bit for bit, including empty docs (signature 0)."""
+    from news_information_retrieval_system_ray.functions.hashing import (
+        simhash64, simhash64_batch, token_hash64)
+
+    th = np.array([token_hash64(t) for d in docs for t in d], dtype=np.uint64)
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    got = simhash64_batch(th, lens)
+    exp = np.array([simhash64(d) for d in docs], dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
