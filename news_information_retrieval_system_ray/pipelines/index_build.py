@@ -1085,13 +1085,24 @@ class StreamingIndexer:
     set is the partition's hash range, not the corpus (replace the set
     with a bloom filter when even that slice outgrows memory).
 
+    ``near_dup_threshold=0.8`` adds FUZZY dedup-on-ingest: each
+    incoming doc's MinHash signature is banded into the partition's
+    in-memory LSH buckets and dropped when its signature-estimated
+    Jaccard against any bucket-mate clears the threshold (the
+    minhash_pairs math, applied online).  Accepted signatures persist
+    per flush as a ``dedup-sigs-*`` sidecar and the buckets re-derive
+    on restart.  MinHash parameters must stay FIXED for the life of a
+    spool (sidecar signatures replay under them).
+
     Scale shape: one StreamingIndexer per ingest partition (an actor),
     each flushing its own append shard; flushes are the existing
     resumable append path, so a crashed flush re-runs."""
 
     def __init__(self, index_dir: str, flush_every: int = 1000,
                  spool_dir: str | None = None, dedup: bool = False,
-                 seed_hashes=None):
+                 seed_hashes=None, near_dup_threshold: float | None = None,
+                 num_perm: int = 128, n_bands: int = 16, shingle_n: int = 3,
+                 minhash_seed: int = 1729):
         import tempfile
 
         from ..state.manifest import read_json
@@ -1146,27 +1157,101 @@ class StreamingIndexer:
         # hashes of the rows currently buffered (aligned decisions: a
         # buffered doc must also block its own in-stream duplicates)
         self._buf_hashes: list[str] = []
+        # fuzzy (MinHash-LSH) dedup-on-ingest: band buckets + accepted
+        # signatures live in this partition's memory (its slice of the
+        # stream's hash space), persisted per flush as a signature
+        # sidecar and re-derived on restart.  At true web scale replace
+        # the in-memory buckets with an LRU or bloom layer per band.
+        self.near_dup_threshold = near_dup_threshold
+        self.n_near_dropped = 0
+        self._mh_params = (num_perm, n_bands, shingle_n, minhash_seed)
+        if near_dup_threshold is not None:
+            import numpy as _np
+            import pyarrow.parquet as _spq
+
+            from ..stages.dedup import MinHashStage, band_keys_for_sigs
+
+            self._mh_stage = MinHashStage(
+                engine=cfg["engine"], text_col=self._text_col,
+                num_perm=num_perm, shingle_n=shingle_n, seed=minhash_seed)
+            self._sig_rows: list[_np.ndarray] = []
+            self._buckets: dict[int, list[int]] = {}
+            for f in sorted(_glob.glob(os.path.join(
+                    self.spool_dir, "dedup-sigs-*.parquet"))):
+                for blob in _spq.read_table(f, columns=["sig"]) \
+                                .column("sig").to_pylist():
+                    self._register_sig(
+                        _np.frombuffer(blob, dtype=_np.uint64))
+            self._buf_sigs: list[_np.ndarray] = []
+
+    def _register_sig(self, sig) -> None:
+        import numpy as np
+
+        from ..stages.dedup import band_keys_for_sigs
+
+        idx = len(self._sig_rows)
+        self._sig_rows.append(sig)
+        for key in band_keys_for_sigs(sig[None, :],
+                                      self._mh_params[1])[0].tolist():
+            self._buckets.setdefault(int(key), []).append(idx)
+
+    def _near_dup(self, row: dict) -> bool:
+        """True iff the row's signature-estimated Jaccard against any
+        already-accepted doc sharing an LSH band clears the threshold."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ..stages.dedup import band_keys_for_sigs
+
+        out = self._mh_stage(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            self._text_col: pa.array([self._text_of(row)])}))
+        sig = np.frombuffer(out.column("sig")[0].as_py(), dtype=np.uint64)
+        cands: set[int] = set()
+        for key in band_keys_for_sigs(sig[None, :],
+                                      self._mh_params[1])[0].tolist():
+            cands.update(self._buckets.get(int(key), ()))
+        for ci in cands:
+            if float((self._sig_rows[ci] == sig).mean()) \
+                    >= self.near_dup_threshold:
+                self.n_near_dropped += 1
+                return True
+        self._register_sig(sig)
+        self._buf_sigs.append(sig)
+        return False
+
+    def _text_of(self, row: dict) -> str:
+        v = row.get(self._text_col)
+        if v is None:
+            return ""
+        if isinstance(v, (bytes, bytearray)):  # html payloads are bytes
+            return bytes(v).decode("utf-8", errors="replace")
+        return str(v)
 
     def _content_hash(self, row: dict) -> str:
         import hashlib
 
-        return hashlib.md5(
-            str(row.get(self._text_col) or "").encode("utf-8")).hexdigest()
+        return hashlib.md5(self._text_of(row).encode("utf-8")).hexdigest()
 
     def add(self, rows) -> "IndexBuildResult | None":
         """Buffer rows; auto-flush at ``flush_every``.  Returns the
         flush result when one happened, else None.  With ``dedup=True``
         exact duplicates (by content MD5) are dropped here — before any
         spool/tokenize/index cost — and counted in ``n_dropped``."""
-        if self.dedup:
+        if self.dedup or self.near_dup_threshold is not None:
             for r in rows:
-                h = self._content_hash(r)
-                if h in self._seen:
-                    self.n_dropped += 1
+                if self.dedup:
+                    h = self._content_hash(r)
+                    if h in self._seen:
+                        self.n_dropped += 1
+                        continue
+                if self.near_dup_threshold is not None \
+                        and self._near_dup(r):
                     continue
-                self._seen.add(h)
+                if self.dedup:
+                    self._seen.add(h)
+                    self._buf_hashes.append(h)
                 self._buf.append(dict(r))
-                self._buf_hashes.append(h)
         else:
             self._buf.extend(dict(r) for r in rows)
         if len(self._buf) >= self.flush_every:
@@ -1204,6 +1289,14 @@ class StreamingIndexer:
                 self._buf_hashes[:self._pending_rows], pa.string())}), htmp)
             os.replace(htmp, hpath)
             del self._buf_hashes[:self._pending_rows]
+        if self.near_dup_threshold is not None and self._pending_rows:
+            spath = self._pending.replace("stream-", "dedup-sigs-")
+            stmp = spath + ".tmp"
+            pq.write_table(pa.table({"sig": pa.array(
+                [s.tobytes() for s in self._buf_sigs[:self._pending_rows]],
+                pa.binary())}), stmp)
+            os.replace(stmp, spath)
+            del self._buf_sigs[:self._pending_rows]
         del self._buf[:self._pending_rows]
         self._pending = None
         self._pending_rows = 0

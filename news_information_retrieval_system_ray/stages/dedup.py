@@ -264,6 +264,28 @@ def simhash_pairs(ds, engine: str = DEFAULT_ENGINE, text_col: str = "text",
     return out.astype({"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
 
 
+def band_keys_for_sigs(mat: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n, num_perm) signature matrix -> (n, n_bands) int64 band keys.
+
+    Vectorized FNV-style mixing over the (n, n_bands, r) signature
+    cube; only key EQUALITY matters, so any good 64-bit mix is
+    equivalent (uint64 wraps mod 2^64).  int64 bit-cast: Ray
+    hash-shuffle aggregates mishandle uint64 keys > 2^63 (see
+    index_build.vocab_uniq_terms)."""
+    n, num_perm = mat.shape
+    r = num_perm // n_bands
+    cube = mat.reshape(n, n_bands, r)
+    prime = np.uint64(0x100000001B3)
+    key = (np.uint64(0xCBF29CE484222325)
+           ^ (np.arange(n_bands, dtype=np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15)))[None, :]
+    key = np.broadcast_to(key, (n, n_bands)).copy()
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            key = (key ^ cube[:, :, j]) * prime
+    return key.view(np.int64)
+
+
 class MinHashStage:
     """text -> (doc_id, signature list<uint64>, band keys exploded later)."""
 
@@ -375,24 +397,9 @@ def minhash_pairs(ds, *, engine: str = DEFAULT_ENGINE, text_col: str = "text",
                      shingle_n=shingle_n, seed=seed),
         batch_format="pyarrow",
     ).materialize()
-    r = num_perm // n_bands
 
     def _band_keys(mat: np.ndarray) -> np.ndarray:
-        # (n, n_bands) int64 band keys.  Vectorized FNV-style mixing
-        # over the (n, n_bands, r) signature cube; only key EQUALITY
-        # matters, so any good 64-bit mix is equivalent (uint64 wraps
-        # mod 2^64).  int64 bit-cast: Ray hash-shuffle aggregates
-        # mishandle uint64 keys > 2^63 (see index_build.vocab_uniq_terms)
-        n = mat.shape[0]
-        cube = mat.reshape(n, n_bands, r)
-        prime = np.uint64(0x100000001B3)
-        key = (np.uint64(0xCBF29CE484222325)
-               ^ (np.arange(n_bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)))[None, :]
-        key = np.broadcast_to(key, (n, n_bands)).copy()
-        with np.errstate(over="ignore"):
-            for j in range(r):
-                key = (key ^ cube[:, :, j]) * prime
-        return key.view(np.int64)
+        return band_keys_for_sigs(mat, n_bands)
 
     def explode_keys(batch: pa.Table) -> pa.Table:
         # (band_key, doc_id) ONLY — the 1 KB signatures never enter the

@@ -503,7 +503,7 @@ def test_streaming_dedup_on_ingest(ray_session, tmp_path_factory):
     rows = pq.read_table(paths[1]).to_pylist()
     spool = str(tmp_path_factory.mktemp("spool_dedup"))
 
-    seed = {hashlib.md5(str(rows[0]["html"]).encode()).hexdigest()}
+    seed = {hashlib.md5(bytes(rows[0]["html"]).decode("utf-8", errors="replace").encode("utf-8")).hexdigest()}
     ing = StreamingIndexer(idx, flush_every=1000, spool_dir=spool,
                            dedup=True, seed_hashes=seed)
     # rows[0] blocked by the seed; rows[1] duplicated in-batch
@@ -531,3 +531,41 @@ def test_streaming_dedup_on_ingest(ray_session, tmp_path_factory):
                     method="wand")
     ids = [doc for doc, _ in hits]
     assert len(ids) == len(set(ids))
+
+
+def test_streaming_near_dup_on_ingest(ray_session, tmp_path_factory):
+    """near_dup_threshold drops FUZZY duplicates at ingest (one-word
+    edits of an accepted doc), keeps genuinely distinct docs, and the
+    signature sidecar keeps blocking across a restart."""
+    import pyarrow.parquet as pq
+
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        StreamingIndexer)
+
+    d = tmp_path_factory.mktemp("pages_neardup")
+    paths = generate_pages(str(d), n_docs=120, seed=67, n_files=2)
+    idx = str(tmp_path_factory.mktemp("index_neardup"))
+    build_index(paths[:1], idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2, resume=False)
+    base = IndexSearcher(idx).n_docs
+    rows = pq.read_table(paths[1]).to_pylist()
+    spool = str(tmp_path_factory.mktemp("spool_neardup"))
+
+    ing = StreamingIndexer(idx, flush_every=1000, spool_dir=spool,
+                           near_dup_threshold=0.8)
+    near = dict(rows[0])
+    near["html"] = rows[0]["html"].replace(b"the", b"thy", 1)  # tiny edit
+    ing.add([rows[0], near, rows[1]])
+    assert ing.n_near_dropped == 1
+    ing.flush()
+    assert IndexSearcher(idx).n_docs == base + 2
+
+    # restart: sidecar signatures still block near-dups of flushed docs
+    ing2 = StreamingIndexer(idx, flush_every=1000, spool_dir=spool,
+                            near_dup_threshold=0.8)
+    near2 = dict(rows[1])
+    near2["html"] = rows[1]["html"].replace(b"a", b"o", 1)
+    ing2.add([near2, rows[2]])
+    assert ing2.n_near_dropped == 1
+    ing2.flush()
+    assert IndexSearcher(idx).n_docs == base + 3
