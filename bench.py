@@ -10,7 +10,7 @@ over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) running
     VByte/block-max segments) -> the 15-query reference set via
     block-max WAND, and
   * the headline sf-dir analytics queries (term_stats, bm25_topk,
-    dedup_minhash, ann_topk, events_windowed).
+    dedup_minhash, dedup_simhash, ann_topk, events_windowed).
 
 Prints ONE JSON line: {"metric", "value", "unit":"sec", "queries",
 "sf", "num_cpus", ...extras (docs_per_sec, query p50/p99 ms)}.
@@ -326,6 +326,7 @@ def run_sf_queries(sf_dir: str) -> dict[str, float]:
         ("term_stats", A.term_stats),
         ("bm25_topk", A.bm25_topk),
         ("dedup_minhash", A.dedup_minhash),
+        ("dedup_simhash", A.dedup_simhash),   # r5: batched bit-vote sigs
         ("ann_topk", A.ann_topk),
         ("events_windowed", A.events_windowed),
     ]:

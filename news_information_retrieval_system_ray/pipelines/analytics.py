@@ -195,6 +195,29 @@ def _sum_by(ds, keys: tuple[str, ...], vals: tuple[str, ...],
                  .map_batches(finish, batch_size=None, batch_format="pyarrow"))
 
 
+def _stable_key(s: str) -> str:
+    """Process-stable 8-hex key for /tmp layout caches (Python's str
+    hash is salted per process, so abs(hash(...)) never matched across
+    runs — every fresh process silently rebuilt the layout and leaked a
+    new /tmp dir)."""
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()[:8]
+
+
+def _layout_key(sf_dir: str, src: str = "embeddings.parquet") -> str:
+    """Cache key for derived /tmp layouts: path + the source parquet's
+    (mtime, size) identity, so a REGENERATED dataset under the same
+    path invalidates the cache instead of silently serving stale
+    partitions."""
+    try:
+        st = os.stat(os.path.join(sf_dir, src))
+        ident = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    return _stable_key(ident)
+
+
 def _df_ds(sf_dir: str):
     """(term, df) document-frequency table as a materialized DATASET —
     the vocab never collects on the driver.  Full-vocab consumers
@@ -3769,7 +3792,7 @@ def ann_lsh_bucketed(sf_dir: str, k: int = 10) -> pd.DataFrame:
     from ..stages.ann import lsh_build_bucketed, lsh_topk_bucketed
 
     q, qids = _query_vectors(sf_dir, 5)
-    layout = f"/tmp/nirs_lsh_bucketed_{abs(hash(sf_dir)) % (1 << 32)}"
+    layout = f"/tmp/nirs_lsh_bucketed_{_layout_key(sf_dir)}"
     if not os.path.isdir(layout):
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
@@ -4065,7 +4088,7 @@ def ann_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
     from ..stages.ann import ivf_build, ivf_topk
 
     q, qids = _query_vectors(sf_dir, 5)
-    layout = f"/tmp/nirs_ivf_{abs(hash(sf_dir)) % (1 << 32)}"
+    layout = f"/tmp/nirs_ivf_{_layout_key(sf_dir)}"
     if not os.path.isdir(layout):
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
@@ -4087,7 +4110,7 @@ def ann_ivfpq(sf_dir: str, k: int = 10) -> pd.DataFrame:
     from ..stages.ann import ivfpq_build, ivfpq_topk
 
     q, qids = _query_vectors(sf_dir, 5)
-    layout = f"/tmp/nirs_ivfpq_{abs(hash(sf_dir)) % (1 << 32)}"
+    layout = f"/tmp/nirs_ivfpq_{_layout_key(sf_dir)}"
     if not os.path.isdir(layout):
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
