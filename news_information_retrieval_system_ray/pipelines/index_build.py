@@ -1606,3 +1606,128 @@ def _count_rows(parquet_dir: str) -> int:
     import pyarrow.parquet as pq
 
     return sum(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(os.path.join(parquet_dir, "**", "*.parquet"), recursive=True))
+
+
+def verify_index(index_dir: str, *, sample_frac: float = 1.0) -> dict:
+    """Distributed index integrity audit (an ops tool, not a query
+    path): every segment row's streams decode and their metadata is
+    consistent — per-row df == decoded posting count == block_len sum,
+    doc ids strictly increasing with block_last_doc matching the
+    decoded block tails, positional sidecars aligned byte-for-byte —
+    plus manifest-level checks (stats present, tombstones inside the id
+    space, doc-count parity between the tokens table and the stats).
+
+    Runs as one ``map_batches`` over the segment files (per-row decode
+    is the point of an auditor; ``sample_frac`` hash-samples rows for a
+    cheaper spot check at scale).  Returns ``{"ok", "errors"[:20],
+    "rows_checked", "postings", "n_docs", ...}`` — it reports, never
+    repairs."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.codecs import vbyte_decode
+    from ..functions.postings import unpack_postings
+    from ..state.manifest import read_json
+
+    manifest = read_json(os.path.join(index_dir, "manifest.json"))
+    errors: list[str] = []
+    if manifest is None or manifest.get("stats") is None \
+            or not manifest.get("segments_done"):
+        return {"ok": False, "errors": ["no completed index manifest"],
+                "rows_checked": 0, "postings": 0}
+    n_docs = int(manifest["stats"]["n_docs"])
+    id_bound = int(manifest.get("id_space") or n_docs)
+
+    def check(t: pa.Table) -> pa.Table:
+        errs: list[str] = []
+        rows = 0
+        postings = 0
+        tbl = t.to_pylist()
+        for row in tbl:
+            if sample_frac < 1.0 and \
+                    (hash((row["term_hash"], row["chunk"])) % 1000) \
+                    >= sample_frac * 1000:
+                continue
+            rows += 1
+            th = int(row["term_hash"])
+            try:
+                ids, tfs, dls = unpack_postings(row)
+            except Exception as e:
+                errs.append(f"term_hash {th}: stream decode failed: {e}")
+                continue
+            postings += ids.size
+            bl = np.asarray(row["block_len"], dtype=np.int64)
+            if int(row["df"]) != ids.size or int(bl.sum()) != ids.size:
+                errs.append(f"term_hash {th}: df {row['df']} != decoded "
+                            f"{ids.size} (block_len sum {int(bl.sum())})")
+                continue
+            if int(row["cf"]) != int(tfs.sum()):
+                errs.append(f"term_hash {th}: cf mismatch")
+            ends = np.cumsum(bl) - 1
+            last = np.asarray(row["block_last_doc"], dtype=np.int64)
+            if not np.array_equal(ids[ends], last):
+                errs.append(f"term_hash {th}: block_last_doc mismatch")
+            starts = np.concatenate(([0], np.cumsum(bl)[:-1]))
+            within = np.ones(ids.size, dtype=bool)
+            within[starts] = False
+            if ids.size > 1 and not (np.diff(ids) > 0)[within[1:]].all():
+                errs.append(f"term_hash {th}: doc ids not strictly "
+                            "increasing within blocks")
+            if ids.size and (ids[0] < 0 or ids[-1] >= id_bound):
+                errs.append(f"term_hash {th}: doc id outside "
+                            f"[0, {id_bound})")
+            if row.get("positions_bytes") is not None:
+                nb = np.asarray(row["pos_nbytes"], dtype=np.int64)
+                if nb.size != ids.size:
+                    errs.append(f"term_hash {th}: pos_nbytes count != df")
+                elif int(nb.sum()) != len(row["positions_bytes"]):
+                    errs.append(f"term_hash {th}: positions byte total "
+                                "mismatch")
+                else:
+                    off = np.concatenate(([0], np.cumsum(nb)))
+                    buf = row["positions_bytes"]
+                    for i in range(ids.size):
+                        try:
+                            p = vbyte_decode(buf[off[i]:off[i + 1]])
+                        except Exception as e:
+                            errs.append(f"term_hash {th}: positions "
+                                        f"decode failed: {e}")
+                            break
+                        if p.size != int(tfs[i]):
+                            errs.append(f"term_hash {th}: position count "
+                                        f"{p.size} != tf {int(tfs[i])}")
+                            break
+        return pa.table({"rows": pa.array([rows], pa.int64()),
+                         "postings": pa.array([postings], pa.int64()),
+                         "errors": pa.array([errs[:5]],
+                                            pa.list_(pa.string()))})
+
+    seg_files = sorted(_glob.glob(os.path.join(index_dir, "segments", "**",
+                                               "*.parquet"), recursive=True))
+    parts = rd.read_parquet(seg_files).map_batches(
+        check, batch_format="pyarrow").to_pandas()
+    rows_checked = int(parts["rows"].sum())
+    postings = int(parts["postings"].sum())
+    for el in parts["errors"]:
+        errors.extend(el)
+    # manifest-level checks
+    tomb = sorted(_glob.glob(os.path.join(index_dir, "deletes", "*.parquet")))
+    if tomb:
+        import pyarrow.parquet as _vpq
+
+        t_ids = np.concatenate([
+            _vpq.read_table(f, columns=["doc_id"]).column("doc_id")
+            .to_numpy(zero_copy_only=False) for f in tomb])
+        if t_ids.size and (t_ids.min() < 0 or t_ids.max() >= id_bound):
+            errors.append("tombstone doc id outside the id space")
+    tok_n = rd.read_parquet(os.path.join(index_dir, "tokens"),
+                            columns=["doc_id"]).count()
+    if tok_n != n_docs:
+        errors.append(f"tokens table has {tok_n} docs, stats say {n_docs}")
+    return {"ok": not errors, "errors": errors[:20],
+            "rows_checked": rows_checked, "postings": postings,
+            "n_docs": n_docs, "id_space": id_bound,
+            "n_tombstones": int(len(tomb))}

@@ -5,6 +5,7 @@ build_indexes.py / build_incremental_index.py / run_test_queries.py).
   python scripts/nirs_cli.py append --input DIR --index DIR
   python scripts/nirs_cli.py search --index DIR --query "..." [--method auto] [-k 10]
   python scripts/nirs_cli.py bool   --index DIR --query "a AND (b OR c)"
+  python scripts/nirs_cli.py verify --index DIR [--sample-frac F]
   python scripts/nirs_cli.py corpus --input RAW --out DIR [--max-docs N] [--cap-per-source N]
 
 Owns its Ray session (guarded init; the library never calls ray.init).
@@ -72,6 +73,10 @@ def main() -> int:
                                         "tombstoned docs (stats recomputed)")
     cp.add_argument("--index", required=True)
 
+    v = sub.add_parser("verify", help="distributed index integrity audit")
+    v.add_argument("--index", required=True)
+    v.add_argument("--sample-frac", type=float, default=1.0)
+
     c = sub.add_parser("corpus", help="unified-corpus ETL (normalize, dedup, caps)")
     c.add_argument("--input", required=True, help="raw crawler records parquet (file or dir)")
     c.add_argument("--out", required=True)
@@ -114,6 +119,13 @@ def main() -> int:
 
         r = compact_index(args.index)
         print(json.dumps(r if r is not None else {"noop": True}))
+    elif args.cmd == "verify":
+        _ray_init()
+        from news_information_retrieval_system_ray.pipelines.index_build import verify_index
+
+        r = verify_index(args.index, sample_frac=args.sample_frac)
+        print(json.dumps(r))
+        return 0 if r["ok"] else 1
     elif args.cmd == "corpus":
         _ray_init()
         from news_information_retrieval_system_ray.pipelines.corpus_build import (

@@ -569,3 +569,45 @@ def test_streaming_near_dup_on_ingest(ray_session, tmp_path_factory):
     assert ing2.n_near_dropped == 1
     ing2.flush()
     assert IndexSearcher(idx).n_docs == base + 3
+
+
+def test_verify_index_clean_and_corrupt(ray_session, tmp_path_factory):
+    """verify_index passes a healthy index (default and positional
+    layouts, with tombstones) and pinpoints a corrupted segment row."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_information_retrieval_system_ray.pipelines.index_build import (
+        verify_index)
+
+    d = tmp_path_factory.mktemp("pages_verify")
+    paths = generate_pages(str(d), n_docs=150, seed=71, n_files=2)
+    idx = str(tmp_path_factory.mktemp("index_verify"))
+    build_index(paths, idx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2, resume=False)
+    delete_docs(idx, [3, 7])
+    r = verify_index(idx)
+    assert r["ok"] and r["n_tombstones"] == 1 and r["postings"] > 0
+
+    pidx = str(tmp_path_factory.mktemp("index_verify_pos"))
+    build_index(paths, pidx, text_source="html", engine="cjk_bigram",
+                block_size=16, chunk_bits=5, n_shards=2, resume=False,
+                with_positions=True)
+    rp = verify_index(pidx)
+    assert rp["ok"] and rp["postings"] == r["postings"]
+
+    # corrupt one row's df -> the audit must localize it
+    f = sorted(glob.glob(os.path.join(idx, "segments", "**", "*.parquet"),
+                         recursive=True))[0]
+    t = pq.read_table(f)
+    df = t.column("df").to_pylist()
+    df[0] += 1
+    t = t.set_column(t.schema.get_field_index("df"), "df",
+                     pa.array(df, t.schema.field("df").type))
+    pq.write_table(t, f, row_group_size=2048)
+    bad = verify_index(idx)
+    assert not bad["ok"]
+    assert any("df" in e for e in bad["errors"])
