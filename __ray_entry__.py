@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_bucketed": A.ann_lsh_bucketed,
         "ann_ivf": A.ann_ivf,
         "ann_ivfpq": A.ann_ivfpq,
+        "index_audit": A.index_audit,
         "embedding_nn_within_label": A.embedding_nn_within_label,
         "embedding_kmeans": A.embedding_kmeans,
         "doc_hac_clusters": A.doc_hac_clusters,
@@ -4091,6 +4092,10 @@ def oracle_sql() -> dict[str, str]:
             FROM srank WHERE rank <= 6 ORDER BY cluster_id, rank""",
         # IVF ANN: unrolled-kmeans quantizer + nprobe-union + cosine rerank
         "ann_ivf": _ann_ivf_sql(),
+        "index_audit": _CTE + """
+            SELECT 1::BIGINT AS ok,
+                   (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                   (SELECT count(*) FROM tf)::BIGINT AS postings""",
         "embedding_nn_within_label": """
             WITH sims AS (SELECT a.vec_id, b.vec_id AS nn_vec_id,
                                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score

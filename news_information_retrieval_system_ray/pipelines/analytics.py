@@ -499,6 +499,34 @@ def bm25_wand_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "score"])
 
 
+def index_audit(sf_dir: str) -> pd.DataFrame:
+    """End-to-end index-format audit, ORACLE-CHECKED: build an index
+    over the documents table, run the distributed integrity auditor
+    (index_build.verify_index — every posting row decoded and
+    cross-checked against its own metadata), and return the decoded
+    posting total — which must equal SQL's count of distinct
+    (doc, term) pairs, proving the packed VByte/block-max format holds
+    exactly the token stream and nothing else."""
+    import tempfile
+
+    from .index_build import build_index, verify_index
+
+    def build():
+        idx = tempfile.mkdtemp(prefix="nirs_audit_idx_")
+        build_index(f"{sf_dir}/documents.parquet", idx, text_source="text",
+                    id_col="doc_id", engine="whitespace", n_shards=4,
+                    resume=False)
+        return idx
+
+    idx = _memo(("audit_idx", sf_dir), build)
+    r = verify_index(idx)
+    return pd.DataFrame({
+        "ok": np.array([1 if r["ok"] else 0], dtype=np.int64),
+        "n_docs": np.array([r["n_docs"]], dtype=np.int64),
+        "postings": np.array([r["postings"]], dtype=np.int64),
+    })
+
+
 def _sharded_searcher(sf_dir: str):
     """Memoized doc-sharded searcher over the sf documents (one index
     build + actor pool per sf_dir per session, shared by every sharded
