@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import MinHasher, hamming64, shingles, simhash64, simhash_bands
+from ..functions.hashing import MinHasher
 from ..functions.tokenize import DEFAULT_ENGINE, get_tokenizer
 from ..functions.textnorm import normalize_text
 
