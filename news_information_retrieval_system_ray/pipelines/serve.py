@@ -77,17 +77,26 @@ def _make_shard_worker():
             """Single-argument dispatch for the compiled-graph channel
             (ray.dag InputNode carries one value per execution; an actor
             set supports only ONE compiled graph, so the one graph
-            serves BOTH the latency path and the bulk path):
+            serves EVERY owned-tier round):
             ``("one", tw, k, method, theta0)`` -> one weighted search;
-            ``("many", tws, k, method)`` -> a group of unseeded ones."""
-            if args[0] == "one":
+            ``("many", tws, k, method)`` -> a group of unseeded ones;
+            ``("bool", include, exclude)`` / ``("phrase", terms)`` ->
+            this shard's boolean / positional-phrase doc ids."""
+            kind = args[0]
+            if kind == "one":
                 _, tw, k, method, theta0 = args
                 return self.s.search_weighted(tw, k, method=method,
                                               theta0=theta0)
-            _, tws, k, method = args
-            return [self.s.search_weighted(tw, k, method=method,
-                                           theta0=float("-inf"))
-                    for tw in tws]
+            if kind == "many":
+                _, tws, k, method = args
+                return [self.s.search_weighted(tw, k, method=method,
+                                               theta0=float("-inf"))
+                        for tw in tws]
+            if kind == "bool":
+                _, include, exclude = args
+                return self.boolean_local(include, exclude)
+            _, phrase_terms = args
+            return self.phrase_local(phrase_terms)
 
         def search_weighted_many(self, tws: list, k: int, method: str):
             """Batched form: one RPC covers a GROUP of weighted queries,
@@ -438,12 +447,19 @@ class ShardedSearcher:
         """Sharded boolean include-AND minus exclude-OR: each shard
         resolves its own chunks (disjoint doc spaces — per-shard
         complements for NOT are exact), the driver concatenates.  No
-        actor ever holds another shard's postings or universe."""
+        actor ever holds another shard's postings or universe.  Owned
+        tiers ride the compiled dispatch channel like search()."""
         import numpy as np
         import ray
 
-        parts = ray.get([w.boolean_local.remote(list(include), list(exclude))
-                         for w in self.workers])
+        cdag = self._ensure_cdag()
+        if cdag:
+            parts = ray.get(cdag.execute(("bool", list(include),
+                                          list(exclude))))
+        else:
+            parts = ray.get([w.boolean_local.remote(list(include),
+                                                    list(exclude))
+                             for w in self.workers])
         return np.sort(np.concatenate(parts)) if parts else \
             np.empty(0, dtype=np.int64)
 
@@ -456,8 +472,12 @@ class ShardedSearcher:
         import numpy as np
         import ray
 
-        parts = ray.get([w.phrase_local.remote(phrase_terms)
-                         for w in self.workers])
+        cdag = self._ensure_cdag()
+        if cdag:
+            parts = ray.get(cdag.execute(("phrase", list(phrase_terms))))
+        else:
+            parts = ray.get([w.phrase_local.remote(phrase_terms)
+                             for w in self.workers])
         return np.sort(np.concatenate(parts)) if parts else \
             np.empty(0, dtype=np.int64)
 
