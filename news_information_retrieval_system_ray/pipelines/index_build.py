@@ -1195,29 +1195,37 @@ class StreamingIndexer:
                                       self._mh_params[1])[0].tolist():
             self._buckets.setdefault(int(key), []).append(idx)
 
-    def _near_dup(self, row: dict) -> bool:
-        """True iff the row's signature-estimated Jaccard against any
-        already-accepted doc sharing an LSH band clears the threshold."""
+    def _near_dup_sigs(self, rows: list):
+        """(sigs, band keys) for a whole add() batch in ONE vectorized
+        MinHashStage pass — the expensive part; accept/drop decisions
+        stay sequential in the caller."""
         import numpy as np
         import pyarrow as pa
 
         from ..stages.dedup import band_keys_for_sigs
 
         out = self._mh_stage(pa.table({
-            "doc_id": pa.array([0], pa.int64()),
-            self._text_col: pa.array([self._text_of(row)])}))
-        sig = np.frombuffer(out.column("sig")[0].as_py(), dtype=np.uint64)
+            "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+            self._text_col: pa.array([self._text_of(r) for r in rows])}))
+        num_perm = self._mh_params[0]
+        sigs = np.frombuffer(b"".join(out.column("sig").to_pylist()),
+                             dtype=np.uint64).reshape(len(rows), num_perm)
+        return sigs, band_keys_for_sigs(sigs, self._mh_params[1])
+
+    def _near_dup_check(self, sig, keys_i) -> bool:
+        """True iff sig's estimated Jaccard against any already-accepted
+        bucket-mate clears the threshold; registers it otherwise (an
+        accepted row must block its own later duplicates)."""
         cands: set[int] = set()
-        for key in band_keys_for_sigs(sig[None, :],
-                                      self._mh_params[1])[0].tolist():
+        for key in keys_i.tolist():
             cands.update(self._buckets.get(int(key), ()))
         for ci in cands:
             if float((self._sig_rows[ci] == sig).mean()) \
                     >= self.near_dup_threshold:
                 self.n_near_dropped += 1
                 return True
-        self._register_sig(sig)
-        self._buf_sigs.append(sig)
+        self._register_sig(sig.copy())
+        self._buf_sigs.append(sig.copy())
         return False
 
     def _text_of(self, row: dict) -> str:
@@ -1239,14 +1247,17 @@ class StreamingIndexer:
         exact duplicates (by content MD5) are dropped here — before any
         spool/tokenize/index cost — and counted in ``n_dropped``."""
         if self.dedup or self.near_dup_threshold is not None:
-            for r in rows:
+            rows = list(rows)
+            if self.near_dup_threshold is not None and rows:
+                sigs, keys = self._near_dup_sigs(rows)
+            for i, r in enumerate(rows):
                 if self.dedup:
                     h = self._content_hash(r)
                     if h in self._seen:
                         self.n_dropped += 1
                         continue
                 if self.near_dup_threshold is not None \
-                        and self._near_dup(r):
+                        and self._near_dup_check(sigs[i], keys[i]):
                     continue
                 if self.dedup:
                     self._seen.add(h)
