@@ -507,15 +507,20 @@ def index_audit(sf_dir: str) -> pd.DataFrame:
     posting total — which must equal SQL's count of distinct
     (doc, term) pairs, proving the packed VByte/block-max format holds
     exactly the token stream and nothing else."""
-    import tempfile
-
     from .index_build import build_index, verify_index
+    from ..state.manifest import read_json
 
     def build():
-        idx = tempfile.mkdtemp(prefix="nirs_audit_idx_")
-        build_index(f"{sf_dir}/documents.parquet", idx, text_source="text",
-                    id_col="doc_id", engine="whitespace", n_shards=4,
-                    resume=False)
+        # stable, content-keyed /tmp path (the _layout_key pattern): the
+        # built index reuses across processes and invalidates when the
+        # dataset regenerates; a completed manifest marks it reusable
+        idx = f"/tmp/nirs_audit_idx_{_layout_key(sf_dir, 'documents.parquet')}"
+        m = read_json(os.path.join(idx, "manifest.json"))
+        if m is None or m.get("stats") is None \
+                or not m.get("segments_done"):
+            build_index(f"{sf_dir}/documents.parquet", idx,
+                        text_source="text", id_col="doc_id",
+                        engine="whitespace", n_shards=4, resume=False)
         return idx
 
     idx = _memo(("audit_idx", sf_dir), build)
@@ -4138,7 +4143,7 @@ def ann_ivfpq(sf_dir: str, k: int = 10) -> pd.DataFrame:
     from ..stages.ann import ivfpq_build, ivfpq_topk
 
     q, qids = _query_vectors(sf_dir, 5)
-    layout = f"/tmp/nirs_ivfpq_{_layout_key(sf_dir)}"
+    layout = f"/tmp/nirs_ivfpq2_{_layout_key(sf_dir)}"  # v2: in-row list_id
     if not os.path.isdir(layout):
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])

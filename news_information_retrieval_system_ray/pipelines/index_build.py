@@ -1113,8 +1113,7 @@ class StreamingIndexer:
         self.index_dir = index_dir
         self.flush_every = int(flush_every)
         cfg = m["config"]
-        self._text_col = "html" if cfg["text_source"] == "html" \
-            else cfg["text_source"]
+        self._text_col = cfg["text_source"]  # "html" -> the html column
         self.dedup = bool(dedup)
         self.n_dropped = 0
         if spool_dir:
@@ -1294,14 +1293,18 @@ class StreamingIndexer:
             # a crash in between re-admits duplicates of this one batch
             # on restart (at-least-once), never silently drops docs
             # that were hashed but never indexed
-            hpath = self._pending.replace("stream-", "dedup-hashes-")
+            pdir, pname = os.path.split(self._pending)
+            hpath = os.path.join(pdir, pname.replace("stream-",
+                                                     "dedup-hashes-"))
             htmp = hpath + ".tmp"
             pq.write_table(pa.table({"content_hash": pa.array(
                 self._buf_hashes[:self._pending_rows], pa.string())}), htmp)
             os.replace(htmp, hpath)
             del self._buf_hashes[:self._pending_rows]
         if self.near_dup_threshold is not None and self._pending_rows:
-            spath = self._pending.replace("stream-", "dedup-sigs-")
+            pdir, pname = os.path.split(self._pending)
+            spath = os.path.join(pdir, pname.replace("stream-",
+                                                     "dedup-sigs-"))
             stmp = spath + ".tmp"
             pq.write_table(pa.table({"sig": pa.array(
                 [s.tobytes() for s in self._buf_sigs[:self._pending_rows]],
@@ -1687,7 +1690,14 @@ def verify_index(index_dir: str, *, sample_frac: float = 1.0) -> dict:
             if ids.size > 1 and not (np.diff(ids) > 0)[within[1:]].all():
                 errs.append(f"term_hash {th}: doc ids not strictly "
                             "increasing within blocks")
-            if ids.size and (ids[0] < 0 or ids[-1] >= id_bound):
+            # blocks within one packed row must also ascend: overlapping
+            # or duplicated blocks break WAND range skipping and the
+            # boolean sorted-merge even when each block is sorted
+            if bl.size > 1 and not (ids[starts][1:] > ids[ends][:-1]).all():
+                errs.append(f"term_hash {th}: block doc ranges overlap "
+                            "or regress")
+            if ids.size and (int(ids.min()) < 0
+                             or int(ids.max()) >= id_bound):
                 errs.append(f"term_hash {th}: doc id outside "
                             f"[0, {id_bound})")
             if row.get("positions_bytes") is not None:
@@ -1718,6 +1728,10 @@ def verify_index(index_dir: str, *, sample_frac: float = 1.0) -> dict:
 
     seg_files = sorted(_glob.glob(os.path.join(index_dir, "segments", "**",
                                                "*.parquet"), recursive=True))
+    if not seg_files:
+        return {"ok": False, "errors": ["no segment files on disk"],
+                "rows_checked": 0, "postings": 0, "n_docs": n_docs,
+                "id_space": id_bound, "n_tombstones": 0}
     parts = rd.read_parquet(seg_files).map_batches(
         check, batch_format="pyarrow").to_pandas()
     rows_checked = int(parts["rows"].sum())

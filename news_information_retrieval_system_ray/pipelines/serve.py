@@ -95,8 +95,17 @@ def _make_shard_worker():
             if kind == "bool":
                 _, include, exclude = args
                 return self.boolean_local(include, exclude)
-            _, phrase_terms = args
-            return self.phrase_local(phrase_terms)
+            if kind == "phrase":
+                _, phrase_terms = args
+                return self.phrase_local(phrase_terms)
+            raise ValueError(f"unknown dispatch kind {kind!r}")
+
+        def scoring_params(self) -> tuple:
+            """(k1, b, delta, compact) this shard actually scores with —
+            lets a borrowed-tier facade verify its declared params."""
+            s = self.s
+            return (float(s.k1), float(s.b), float(s.delta),
+                    bool(s.compact))
 
         def search_weighted_many(self, tws: list, k: int, method: str):
             """Batched form: one RPC covers a GROUP of weighted queries,
@@ -178,13 +187,21 @@ class ShardedSearcher:
             self._stops = frozenset()
         if workers is not None:
             # scoring runs INSIDE the tier's actors under the tier's own
-            # construction-time parameters; accepting different ones
-            # here would silently score under other settings (r4 ADVICE)
-            if (k1, b, delta, compact) != (1.5, 0.75, 0.0, False):
+            # construction-time parameters; verify the facade's declared
+            # params against what a shard actually scores with, so a
+            # frontend can truthfully attach to a non-default tier but
+            # can never silently score under other settings (r4 ADVICE)
+            import ray
+
+            try:
+                actual = tuple(ray.get(workers[0].scoring_params.remote()))
+            except AttributeError:  # pre-params tier actor: defaults only
+                actual = (1.5, 0.75, 0.0, False)
+            if (k1, b, delta, compact) != actual:
                 raise ValueError(
-                    "k1/b/delta/compact cannot be overridden when "
-                    "attaching to an existing tier (workers=...) — the "
-                    "tier's construction-time parameters govern scoring")
+                    f"declared scoring params {(k1, b, delta, compact)} "
+                    f"differ from the tier's construction-time params "
+                    f"{actual} — the tier's own parameters govern scoring")
             self.workers = list(workers)
             self._shard_chunks = shard_chunks if shard_chunks is not None \
                 else chunk_sets

@@ -471,12 +471,17 @@ def ivfpq_build(ds, out_dir: str, *, dim: int, n_lists: int = 16,
         d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         lists = d2.argmin(axis=1)
         codes = _pq_encode(m - c[lists], b)
+        blob = codes.tobytes()  # one serialization for the whole batch
+        w = codes.shape[1]
         return pa.table({
             id_col: batch.column(id_col),
-            "pq_code": pa.array(list(codes.tobytes()[i * codes.shape[1]:
-                                                     (i + 1) * codes.shape[1]]
-                                     for i in range(codes.shape[0])),
+            "pq_code": pa.array([blob[i * w:(i + 1) * w]
+                                 for i in range(codes.shape[0])],
                                 pa.binary()),
+            # list id rides IN the row too (1 byte after parquet dict
+            # encoding): the query side reads every probed partition in
+            # ONE dataset, where the hive key column is absent
+            "list_id": pa.array(lists.astype(np.int32)),
             "ivf_list": pa.array(lists.astype(np.int64)),
         })
 
@@ -535,48 +540,60 @@ def ivfpq_topk(out_dir: str, queries: np.ndarray, k: int = 10, *,
                      q.reshape(nq, m_sub, dsub), books)
     qdotc = q @ centroids.T                              # (nq, n_lists)
 
-    out = []
-    for b in np.unique(probes).tolist():
-        paths = sorted(_glob.glob(
-            _os.path.join(out_dir, f"ivf_list={b}", "*.parquet")))
-        if not paths:
-            continue
-        qids = np.flatnonzero((probes == b).any(axis=1))
-        cand = rd.read_parquet(paths, columns=[id_col, "pq_code"])
+    probed_lists = np.unique(probes).tolist()
+    paths = [f for b in probed_lists
+             for f in sorted(_glob.glob(
+                 _os.path.join(out_dir, f"ivf_list={b}", "*.parquet")))]
+    if not paths:
+        return pd.DataFrame({"qid": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int64),
+                             "vec_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    qids_of = {b: np.flatnonzero((probes == b).any(axis=1))
+               for b in probed_lists}
 
-        def score(t: pa.Table, _b=b, _qids=qids) -> pa.Table:
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            code_col = t.column("pq_code")
-            if isinstance(code_col, pa.ChunkedArray):
-                code_col = code_col.combine_chunks()
-            codes = np.frombuffer(
-                b"".join(code_col.to_pylist()),
-                dtype=np.uint8).reshape(ids.size, m_sub)
-            # one gather+sum for ALL probing queries at once:
-            # (nq_b, n_cand) = centroid dot + per-subspace LUT sums
-            s = qdotc[_qids, _b][:, None] \
+    def score(t: pa.Table) -> pa.Table:
+        # ONE dataset over every probed partition (not one Ray job per
+        # list); the in-row list_id column restores each candidate's
+        # coarse cell, and the tiny per-batch loop over distinct lists
+        # (<= nprobe * nq cells) keeps the gather+sum fully vectorized
+        ids_all = t.column(id_col).to_numpy(zero_copy_only=False)
+        lid = t.column("list_id").to_numpy(zero_copy_only=False)
+        code_col = t.column("pq_code")
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        codes_all = np.frombuffer(
+            b"".join(code_col.to_pylist()),
+            dtype=np.uint8).reshape(ids_all.size, m_sub)
+        o_q, o_id, o_s = [], [], []
+        for b in np.unique(lid).tolist():
+            rows_b = np.flatnonzero(lid == b)
+            _qids = qids_of.get(int(b))
+            if _qids is None or rows_b.size == 0:
+                continue
+            ids = ids_all[rows_b]
+            codes = codes_all[rows_b]
+            s = qdotc[_qids, int(b)][:, None] \
                 + luts[_qids][:, np.arange(m_sub)[None, :], codes].sum(axis=2)
             kk = min(k, ids.size)
-            # partial top-k per query, canonical (-score, id) order
             part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-            o_q, o_id, o_s = [], [], []
             for row, qi in enumerate(_qids.tolist()):
                 sel = part[row]
                 order = sel[np.lexsort((ids[sel], -s[row, sel]))]
                 o_q += [qi] * kk
                 o_id += ids[order].astype(np.int64).tolist()
                 o_s += s[row, order].tolist()
-            return pa.table({"qid": pa.array(o_q, pa.int64()),
-                             "vec_id": pa.array(o_id, pa.int64()),
-                             "score": pa.array(o_s, pa.float64())})
+        return pa.table({"qid": pa.array(o_q, pa.int64()),
+                         "vec_id": pa.array(o_id, pa.int64()),
+                         "score": pa.array(o_s, pa.float64())})
 
-        out.append(cand.map_batches(score, batch_format="pyarrow").to_pandas())
-    if not out:
+    allp = rd.read_parquet(paths, columns=[id_col, "pq_code", "list_id"]) \
+             .map_batches(score, batch_format="pyarrow").to_pandas()
+    if allp.empty:
         return pd.DataFrame({"qid": pd.Series(dtype=np.int64),
                              "rank": pd.Series(dtype=np.int64),
                              "vec_id": pd.Series(dtype=np.int64),
                              "score": pd.Series(dtype=np.float64)})
-    allp = pd.concat(out, ignore_index=True)
     allp = allp.sort_values(["qid", "score", "vec_id"],
                             ascending=[True, False, True], kind="mergesort")
     allp = allp.groupby("qid", group_keys=False).head(k).copy()

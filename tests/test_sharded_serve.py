@@ -348,3 +348,15 @@ def test_borrowed_tier_rejects_scoring_param_overrides(built):
         assert s.search(list(REFERENCE_QUERIES.values())[0], k=5)
     finally:
         tier.shutdown()
+    # a non-default tier IS attachable when the facade declares the
+    # tier's own params — and rejected when it declares the defaults
+    tier2 = ShardedSearcher(built, n_shards=N_SHARDS, k1=1.2)
+    try:
+        s2 = ShardedSearcher(built, workers=tier2.workers,
+                             shard_chunks=tier2._shard_chunks, k1=1.2)
+        assert s2.search(list(REFERENCE_QUERIES.values())[0], k=5)
+        with pytest.raises(ValueError, match="construction-time"):
+            ShardedSearcher(built, workers=tier2.workers,
+                            shard_chunks=tier2._shard_chunks)
+    finally:
+        tier2.shutdown()
